@@ -1,0 +1,72 @@
+"""Engine column-expression canonicalization must equal the Python oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from frontier_engine.canon import (
+    canonicalize_col,
+    canonicalize_py,
+    host_col,
+    host_of_py,
+    path_col,
+    path_of_py,
+)
+
+CASES = [
+    "https://HOST3.Example/p12",
+    "https://host3.example:443/p12",
+    "http://host3.example:80/",
+    "http://host3.example:8080/x",
+    "https://host1.example/p5#frag",
+    "  https://host1.example  ",
+    "https://host1.example",
+    "https://host1.example/?q=1#f",
+    "https://user@host1.example/a",
+    "not a url",
+    "ftp://host/x",
+    "https://host9.example/p1?page=2&size=10",
+    "HTTPS://HOST0.EXAMPLE/A/B/C",
+    "https://host0.example/p1#",
+]
+
+
+def _random_urls(n=300, seed=7):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        scheme = rng.choice(["http", "https", "HTTP", "Https"])
+        host = rng.choice(["a.example", "B.Example", "host12.example:443", "h.example:80", "x.example:8081"])
+        path = rng.choice(["", "/", "/p1", "/p1/p2?x=1", "/P9#frag", "/a b"])
+        out.append(f"{scheme}://{host}{path}")
+    return out
+
+
+def test_canonicalize_matches_oracle(spark):
+    urls = CASES + _random_urls()
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_col(F.col("url")).alias("c")).collect()
+    ]
+    want = [canonicalize_py(u) for u in urls]
+    assert got == want
+
+
+def test_host_and_path_match_oracle(spark):
+    urls = [canonicalize_py(u) for u in CASES + _random_urls(seed=9)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(
+        host_col(F.col("url")).alias("h"), path_col(F.col("url")).alias("p")
+    ).collect()
+    for u, r in zip(urls, rows):
+        assert r["h"] == host_of_py(u), u
+        assert r["p"] == path_of_py(u), u
+
+
+def test_canonical_is_idempotent():
+    for u in CASES:
+        c = canonicalize_py(u)
+        assert canonicalize_py(c) == c
