@@ -1,0 +1,182 @@
+"""Priority frontier: robots gating, per-host politeness budgets, skew-salted
+partition-local drain.
+
+Generalizes the reference's scheduling semantics:
+- politeness 1 req/s per group  → per-host token budget
+  ``max(1, floor(epoch_seconds / crawl_delay))``
+  (/root/reference/crawler/json_fetch.py:36, bhx.py:207)
+- nested-loop crawl order       → deterministic, data-derived total order
+  ``(priority DESC, enqueue_seq ASC, url ASC)`` per host
+  (/root/reference/crawler/stores/bhx.py:573-647 — branch×category×page
+  insertion order becomes an explicit sort key, so the order is identical
+  at any parallelism)
+- site-imposed access rules     → robots broadcast table with disallow
+  prefixes (/root/reference/crawler/stores/bhx.py:182-199 auth surrogate)
+
+Drain is two-phase so that mega-host skew cannot blow up a single task
+while the selected set stays EXACTLY the global per-host top-k:
+
+  phase 1: group by (host, salt) where ``salt = pmod(url_hash, n_salts)``
+           and n_salts grows with the host's backlog; an applyInPandas
+           partial top-k takes at most ``budget`` rows per salt → the
+           per-task working set is bounded by backlog/n_salts, and the
+           union over salts is a superset of the true top-k.
+  phase 2: a window over the small superset (≤ n_salts × budget rows per
+           host) takes the exact top-``budget`` and assigns politeness
+           slots ``slot × crawl_delay``.
+
+AQE's skew-join splitting can't do *budgeted* splitting — the explicit salt
+is what bounds phase-1 task memory (SURVEY.md §4.2.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import canon
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("enqueue_seq", T.LongType()),
+        T.StructField("ready_ts", T.TimestampType()),
+        T.StructField("fetch_attempts", T.IntegerType()),
+    ]
+)
+
+def order_cols():
+    """The engine-wide deterministic drain order (SURVEY.md §7.4.1)."""
+    return [F.col("priority").desc(), F.col("enqueue_seq").asc(), F.col("url").asc()]
+
+
+@dataclass(frozen=True)
+class DrainConfig:
+    epoch_seconds: float = 60.0
+    default_crawl_delay: float = 1.0
+    skew_threshold: int = 5000  # backlog above which a host gets salted
+    max_salts: int = 8
+
+
+def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
+    """seeds(url, priority) → frontier rows at depth 0, enqueue_seq 0."""
+    cu = canon.canonicalize_col(F.col("url"))
+    df = seeds.select(
+        cu.alias("url"),
+        canon.url_hash_col(cu).alias("url_hash"),
+        canon.host_col(cu).alias("host"),
+        F.col("priority").cast("double").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).cast("long").alias("enqueue_seq"),
+        F.lit("2025-06-14 00:00:00").cast("timestamp").alias("ready_ts"),
+        F.lit(0).alias("fetch_attempts"),
+    )
+    return df.filter(F.col("host") != "")
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame, cfg: DrainConfig) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (allowed-with-delay, blocked) via broadcast robots.
+
+    Unknown hosts get the default crawl_delay and no disallows (the
+    reference fetches hosts it has no metadata for; robots here is a cache,
+    not an allowlist).
+    """
+    r = robots.select("host", "crawl_delay", "disallow_prefixes")
+    joined = frontier.join(F.broadcast(r), "host", "left")
+    path = canon.path_col(F.col("url"))
+    blocked_pred = F.coalesce(
+        F.exists(F.col("disallow_prefixes"), lambda p: path.startswith(p)),
+        F.lit(False),
+    )
+    joined = joined.withColumn(
+        "crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay))
+    )
+    allowed = joined.filter(~blocked_pred).drop("disallow_prefixes")
+    blocked = joined.filter(blocked_pred).drop("disallow_prefixes", "crawl_delay")
+    return allowed, blocked
+
+
+def drain(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
+    """Select the exact per-host politeness-budget top-k of ``allowed``.
+
+    Input must carry frontier columns + ``crawl_delay``. Output: the drained
+    rows with ``slot`` (0-based politeness slot) and ``sched_offset``
+    (seconds into the epoch = slot × crawl_delay).
+    """
+    budget = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(cfg.epoch_seconds) / F.col("crawl_delay")),
+    ).cast("int")
+    fr = allowed.withColumn("budget", budget)
+
+    # host backlog → salting plan (tiny aggregate, broadcast back)
+    plan = (
+        fr.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("backlog"))
+        .withColumn(
+            "n_salts",
+            F.when(
+                F.col("backlog") > cfg.skew_threshold,
+                F.least(
+                    F.lit(cfg.max_salts),
+                    F.ceil(F.col("backlog") / cfg.skew_threshold).cast("int"),
+                ),
+            ).otherwise(F.lit(1)),
+        )
+        .select("host", "n_salts")
+    )
+    fr = fr.join(F.broadcast(plan), "host").withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.col("n_salts")).cast("int")
+    )
+
+    out_schema = T.StructType(
+        [f for f in fr.schema.fields if f.name not in ("n_salts",)]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def take_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["budget"].iloc[0])
+        # partial top-k per salt; a heap (nlargest) would save the full sort
+        # for huge groups — salting already bounds group size, so a single
+        # numpy sort is the simpler deterministic choice.
+        top = pdf.sort_values(
+            ["priority", "enqueue_seq", "url"], ascending=[False, True, True]
+        ).head(b)
+        return top[cols]
+
+    superset = fr.groupBy("host", "salt").applyInPandas(take_topk, schema=out_schema)
+
+    w = Window.partitionBy("host").orderBy(*order_cols())
+    drained = (
+        superset.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("budget"))
+        .withColumn("slot", (F.col("rn") - 1).cast("int"))
+        .withColumn("sched_offset", (F.col("rn") - 1) * F.col("crawl_delay"))
+        .drop("rn", "budget", "salt")
+    )
+    return drained
+
+
+def drain_epoch(
+    frontier: DataFrame, robots: DataFrame, cfg: DrainConfig
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One politeness epoch: → (drained, rest, blocked).
+
+    ``rest`` = allowed-but-over-budget rows, in original frontier schema,
+    carried to the next epoch. ``blocked`` = robots-disallowed rows
+    (dropped from the frontier; counted in lineage).
+    """
+    allowed, blocked = apply_robots(frontier, robots, cfg)
+    drained = drain(allowed, cfg)
+    rest = allowed.join(
+        drained.select("url_hash"), "url_hash", "left_anti"
+    ).drop("crawl_delay", "budget")
+    return drained, rest, blocked.select(*[f.name for f in FRONTIER_SCHEMA.fields])
