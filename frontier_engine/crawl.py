@@ -1,0 +1,254 @@
+"""The epoch crawl driver: frontier → politeness drain → fetch-join →
+extract → link expansion → seen update → snapshot commit, looped until the
+frontier drains dry.
+
+This is the distributed re-expression of the reference's main loop
+(`run_products.py run` — SURVEY.md §3.1): its nested
+branch×category×page iteration becomes frontier self-feed (paginated scan
+S6, /root/reference/crawler/stores/bhx.py:583-647), its per-row upsert
+dedup becomes the seen-set anti-join, its asyncio politeness sleep becomes
+the per-host token budget, and its "Mongo is the state" becomes per-epoch
+atomic snapshots with lineage.
+
+"Fetch" is a batch join of the drained frontier against the Common-Crawl
+-style ``pages`` corpus: the drained side is politeness-budget-bounded and
+therefore small, so the join is a broadcast hash join with the corpus
+streamed — no shuffle of the big side, no collect. At warehouse scale the
+corpus would additionally be bucketed by ``bucket(url_hash)`` so the probe
+prunes files; in local mode we persist the projected corpus in memory once.
+
+Determinism: every ordering used anywhere is data-derived
+(priority DESC, enqueue_seq ASC, url ASC) — never partition order, never
+wall clock, never monotonically_increasing_id — so the schedule is
+byte-identical at any parallelism (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import canon
+from .extract import links_udf, text_udf
+from .frontier import FRONTIER_SCHEMA, DrainConfig, drain_epoch, frontier_from_seeds
+from .seen import SeenConfig, empty_state, filter_unseen, update_bitmaps, with_bucket
+from .snapshot import SnapshotStore
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    max_depth: int = 6
+    max_epochs: int | None = None
+    priority_decay: float = 0.5
+    retry_decay: float = 0.5
+    max_fetch_attempts: int = 2
+    collect_stats: bool = True
+    drain: DrainConfig = field(default_factory=DrainConfig)
+    seen: SeenConfig = field(default_factory=SeenConfig)
+
+
+def _merge_frontier(parts: list[DataFrame]) -> DataFrame:
+    """Union frontier row sources and merge per url_hash, componentwise:
+    keep max priority, min depth/enqueue_seq/ready_ts, max fetch_attempts.
+    (Last-wins dedup J3 generalized to an order-free deterministic merge —
+    /root/reference/crawler/stores/cooponline.py:468-471.)
+    """
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    return allf.groupBy("url_hash").agg(
+        F.min("url").alias("url"),
+        F.min("host").alias("host"),
+        F.max("priority").alias("priority"),
+        F.min("depth").alias("depth"),
+        F.min("enqueue_seq").alias("enqueue_seq"),
+        F.min("ready_ts").alias("ready_ts"),
+        F.max("fetch_attempts").alias("fetch_attempts"),
+    ).select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages_path: str,
+    seeds_path: str,
+    robots_path: str,
+    warehouse: str,
+    cfg: CrawlConfig = CrawlConfig(),
+) -> dict:
+    """Run (or resume) a crawl; returns summary stats."""
+    store = SnapshotStore(warehouse)
+    robots = spark.read.parquet(robots_path)
+
+    pages = (
+        spark.read.parquet(pages_path)
+        .select(
+            canon.canonicalize_col(F.col("url")).alias("url"),
+            "warc_ts",
+            "html",
+            "lang",
+        )
+        .persist()
+    )
+
+    manifest = store.current_manifest()
+    if manifest is not None:
+        frontier = store.read(spark, "frontier")
+        seen_bitmap = store.read(spark, "seen_bitmap")
+        seen_urls = store.read(spark, "seen_urls")
+        if seen_bitmap is None or seen_urls is None:
+            seen_bitmap, seen_urls = empty_state(spark, cfg.seen)
+        epoch = manifest["epoch"] + 1
+    else:
+        frontier = frontier_from_seeds(spark.read.parquet(seeds_path))
+        seen_bitmap, seen_urls = empty_state(spark, cfg.seen)
+        epoch = 0
+
+    total_drained = 0
+    total_records = 0
+    epochs_run = 0
+
+    while True:
+        if cfg.max_epochs is not None and epochs_run >= cfg.max_epochs:
+            break
+
+        drained, rest, blocked = drain_epoch(frontier, robots, cfg.drain)
+        drained = drained.persist()
+        n_drained = drained.count()
+        if n_drained == 0:
+            drained.unpersist()
+            break
+
+        # --- simulated fetch: corpus ⋈ broadcast(drained), big side streamed
+        ok = pages.join(F.broadcast(drained), "url", "inner").persist()
+        ok_urls = ok.select("url")
+        missing = drained.join(F.broadcast(ok_urls), "url", "left_anti")
+
+        # --- extraction (vectorized pandas UDF; byte-identical invariant)
+        records_inc = ok.select(
+            "url",
+            "url_hash",
+            "host",
+            "depth",
+            "warc_ts",
+            "lang",
+            text_udf(F.col("html")).alias("text"),
+            F.lit(epoch).alias("epoch"),
+            "slot",
+            "sched_offset",
+        )
+
+        schedule_inc = drained.select(
+            F.lit(epoch).alias("epoch"), "host", "slot", "sched_offset", "url", "url_hash"
+        )
+
+        # --- seen update: first-time schedules only (retries already seen)
+        newly = with_bucket(
+            drained.filter(F.col("fetch_attempts") == 0).select("url_hash"), cfg.seen
+        ).select("bucket", "url_hash")
+        seen_bitmap = update_bitmaps(seen_bitmap, newly, cfg.seen)
+        seen_urls_next_paths_inc = newly  # appended via snapshot
+
+        # --- link expansion → child frontier rows
+        child_url = canon.canonicalize_col(F.col("raw_link"))
+        children = (
+            ok.select(
+                "depth",
+                "priority",
+                F.explode(links_udf(F.col("html"), F.col("url"))).alias("raw_link"),
+            )
+            .select(
+                child_url.alias("url"),
+                canon.url_hash_col(child_url).alias("url_hash"),
+                canon.host_col(child_url).alias("host"),
+                (F.col("priority") * cfg.priority_decay).alias("priority"),
+                (F.col("depth") + 1).alias("depth"),
+                F.lit(epoch + 1).cast("long").alias("enqueue_seq"),
+                F.lit("2025-06-14 00:00:00").cast("timestamp").alias("ready_ts"),
+                F.lit(0).alias("fetch_attempts"),
+            )
+            .filter((F.col("host") != "") & (F.col("depth") <= cfg.max_depth))
+        )
+        children_unseen = filter_unseen(
+            with_bucket(children, cfg.seen), seen_bitmap, seen_urls.unionByName(newly), cfg.seen
+        ).drop("bucket")
+
+        # --- retry / dead-letter (reference has print-and-continue only —
+        #     /root/reference/crawler/stores/bhx.py:604-606; we re-enqueue
+        #     with decayed priority, then dead-letter at max attempts)
+        retry_src = missing.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        retries = (
+            retry_src.filter(F.col("fetch_attempts") + 1 < cfg.max_fetch_attempts)
+            .withColumn("fetch_attempts", F.col("fetch_attempts") + 1)
+            .withColumn("priority", F.col("priority") * cfg.retry_decay)
+            .withColumn("enqueue_seq", F.lit(epoch + 1).cast("long"))
+        )
+        dead_inc = (
+            retry_src.filter(F.col("fetch_attempts") + 1 >= cfg.max_fetch_attempts)
+            .select("url", "url_hash", "host", F.lit(epoch).alias("epoch"),
+                    (F.col("fetch_attempts") + 1).alias("fetch_attempts"))
+        )
+
+        rest_rows = rest.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        next_frontier = _merge_frontier([rest_rows, children_unseen, retries])
+
+        # --- per-partition lineage (north_star: partition id, host range,
+        #     URLs emitted/deduped, politeness-latency spread)
+        lineage_inc = (
+            drained.withColumn("partition_id", F.spark_partition_id())
+            .join(F.broadcast(ok_urls.withColumn("fetched", F.lit(True))), "url", "left")
+            .groupBy("partition_id", "host")
+            .agg(
+                F.lit(epoch).alias("epoch"),
+                F.count(F.lit(1)).alias("urls_drained"),
+                F.sum(F.when(F.col("fetched"), 1).otherwise(0)).alias("pages_ok"),
+                F.sum(F.when(F.col("fetched").isNull(), 1).otherwise(0)).alias("pages_missing"),
+                F.min("slot").alias("first_slot"),
+                F.max("slot").alias("last_slot"),
+                F.max("sched_offset").alias("max_sched_offset"),
+            )
+        )
+
+        stats = {"epoch": epoch, "n_drained": n_drained}
+        if cfg.collect_stats:
+            stats.update(
+                n_records=records_inc.count(),
+                n_blocked=blocked.count(),
+                n_frontier_next=next_frontier.count(),
+            )
+            total_records += stats["n_records"]
+
+        store.commit(
+            epoch,
+            replace={"frontier": next_frontier, "seen_bitmap": seen_bitmap},
+            append={
+                "seen_urls": seen_urls_next_paths_inc,
+                "records": records_inc,
+                "schedule": schedule_inc,
+                "lineage": lineage_inc,
+                "dead_letter": dead_inc,
+            },
+            stats=stats,
+        )
+
+        drained.unpersist()
+        ok.unpersist()
+
+        # re-read committed state: truncates the logical plan per epoch and is
+        # exactly what a resumed job would see
+        frontier = store.read(spark, "frontier")
+        seen_bitmap = store.read(spark, "seen_bitmap")
+        seen_urls = store.read(spark, "seen_urls")
+
+        total_drained += n_drained
+        epoch += 1
+        epochs_run += 1
+
+    pages.unpersist()
+    return {
+        "epochs_run": epochs_run,
+        "last_epoch": epoch - 1,
+        "total_drained": total_drained,
+        "total_records": total_records,
+    }

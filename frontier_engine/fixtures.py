@@ -96,7 +96,7 @@ def generate_corpus(
 ) -> dict[str, str]:
     """Write pages/seeds/robots parquet into ``out_dir``; cached by params."""
     os.makedirs(out_dir, exist_ok=True)
-    params = {"n_hosts": n_hosts, "n_pages": n_pages, "n_seeds": n_seeds, "seed": seed, "v": 3}
+    params = {"n_hosts": n_hosts, "n_pages": n_pages, "n_seeds": n_seeds, "seed": seed, "v": 4}
     stamp = hashlib.sha256(json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
     marker = os.path.join(out_dir, f".done-{stamp}")
     paths = {
@@ -137,6 +137,8 @@ def generate_corpus(
                 links.append(f"https://{host.upper()}:443/p{rng.randrange(n)}")
             if rng.random() < 0.08:
                 links.append(f"https://{_host(rng.randrange(n_hosts))}/")
+            if rng.random() < 0.04:
+                links.append(f"https://{host}/missing{i}")  # dead link → retry path
             if h % 5 == 0 and rng.random() < 0.1:
                 links.append(f"https://{host}/private/s{i}")  # robots-disallowed
             html_b = _page_html(h, i, links, rng, lang)

@@ -1,0 +1,136 @@
+"""Iceberg-style snapshot layer: immutable Parquet + manifest JSON + atomic
+commit, with time travel and append-table lineage.
+
+The real Iceberg runtime jar is unavailable offline (verified — SURVEY.md
+§7.3), so snapshot semantics are implemented natively with an
+Iceberg-compatible shape: every commit writes immutable data files and one
+manifest listing exactly which files make up each table at that snapshot;
+``CURRENT`` is swapped with an atomic rename. Nothing is ever mutated in
+place, so readers of snapshot k are never affected by the commit of k+1 and
+a killed job resumes from the last committed manifest with zero re-fetches
+(north_rule checkpoint/resume requirement).
+
+Replaces the reference's "Mongo collections ARE the state, crash = restart
+from scratch" model (/root/reference/db/__init__.py:14-24; SURVEY.md §2.8 T5).
+
+Layout:
+    warehouse/
+      data/<table>/s<id>/part-*.parquet     one directory per (table, commit)
+      manifests/manifest-<id>.json          {snapshot_id, parent_id, epoch,
+                                             tables: {name: [paths...]},
+                                             stats: {...}}
+      CURRENT                               name of the live manifest
+
+Tables come in two modes:
+- replace tables (frontier, seen_bitmap): manifest points at only the new
+  directory;
+- append tables (records, seen_urls, schedule, lineage, dead_letter):
+  manifest carries the parent's path list plus the new increment, so an
+  append is O(increment), never a rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    APPEND_TABLES = {"records", "seen_urls", "schedule", "lineage", "dead_letter"}
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        self.data_dir = os.path.join(warehouse, "data")
+        self.manifest_dir = os.path.join(warehouse, "manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- reading
+
+    def current_manifest(self) -> dict | None:
+        cur = os.path.join(self.warehouse, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return json.load(f)
+
+    def manifest(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self.manifest_dir, f"manifest-{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def read(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        """Read a table at the current (or a time-travel) snapshot."""
+        m = self.current_manifest() if snapshot_id is None else self.manifest(snapshot_id)
+        if m is None:
+            return None
+        paths = m["tables"].get(table)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def history(self) -> list[dict]:
+        out = []
+        m = self.current_manifest()
+        while m is not None:
+            out.append(m)
+            pid = m["parent_id"]
+            m = self.manifest(pid) if pid is not None else None
+        return list(reversed(out))
+
+    # ------------------------------------------------------------ writing
+
+    def _write_table(self, df: DataFrame, table: str, sid: int) -> str:
+        final = os.path.join(self.data_dir, table, f"s{sid}")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return final
+
+    def commit(
+        self,
+        epoch: int,
+        replace: dict[str, DataFrame],
+        append: dict[str, DataFrame],
+        stats: dict | None = None,
+    ) -> int:
+        """Write all data files, then publish one manifest atomically."""
+        parent = self.current_manifest()
+        parent_id = parent["snapshot_id"] if parent else None
+        sid = (parent_id + 1) if parent_id is not None else 0
+
+        tables: dict[str, list[str]] = dict(parent["tables"]) if parent else {}
+        for name, df in replace.items():
+            tables[name] = [self._write_table(df, name, sid)]
+        for name, df in append.items():
+            inc = self._write_table(df, name, sid)
+            tables[name] = list(tables.get(name, [])) + [inc]
+
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent_id,
+            "epoch": epoch,
+            "tables": tables,
+            "stats": stats or {},
+        }
+        mpath = os.path.join(self.manifest_dir, f"manifest-{sid}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
+
+        cur_tmp = os.path.join(self.warehouse, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(f"manifest-{sid}.json")
+        os.replace(cur_tmp, os.path.join(self.warehouse, "CURRENT"))
+        return sid

@@ -1,0 +1,63 @@
+"""spark-submit entry point for the crawl engine.
+
+Usage (local sandbox):
+    python jobs/crawl.py --tier mini --warehouse /tmp/wh [--max-epochs K]
+    spark-submit --py-files frontier_engine.zip jobs/crawl.py ...
+
+Replaces the reference CLI drivers run_products.py/run_stores.py
+(/root/reference/crawler/stores/run_products.py:13-23 — Typer + importlib
+catalog scan) with an argparse + SparkSession entry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", default="mini", choices=["mini", "test", "bench"])
+    ap.add_argument("--pages"), ap.add_argument("--seeds"), ap.add_argument("--robots")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--epoch-seconds", type=float, default=30.0)
+    ap.add_argument("--max-depth", type=int, default=6)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--no-stats", action="store_true")
+    args = ap.parse_args(argv)
+
+    from frontier_engine import fixtures
+    from frontier_engine.crawl import CrawlConfig, run_crawl
+    from frontier_engine.frontier import DrainConfig
+    from frontier_engine.session import get_spark
+
+    if args.pages:
+        paths = {"pages": args.pages, "seeds": args.seeds, "robots": args.robots}
+    else:
+        paths = fixtures.corpus(args.tier)
+
+    spark = get_spark("crawl-job", cores=args.cores)
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        max_epochs=args.max_epochs,
+        collect_stats=not args.no_stats,
+        drain=DrainConfig(epoch_seconds=args.epoch_seconds),
+    )
+    t0 = time.time()
+    summary = run_crawl(
+        spark, paths["pages"], paths["seeds"], paths["robots"], args.warehouse, cfg
+    )
+    summary["wall_seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
