@@ -1,0 +1,69 @@
+"""Relational operator library: the reference's joins/filters/sinks as
+named, reusable DataFrame combinators (SURVEY.md §2.2-2.6).
+
+Each wraps the idiomatic Spark primitive so intent is explicit and the
+physical strategy (broadcast, anti-join, window) is chosen once, centrally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def semi_allowlist(df: DataFrame, allow: DataFrame, on: str | list[str]) -> DataFrame:
+    """F3: keep rows whose key exists in the (small) allowlist — broadcast
+    left-semi (cooponline.py:529-541 valid_titles)."""
+    return df.join(F.broadcast(allow), on, "left_semi")
+
+
+def anti_blocklist(df: DataFrame, block: DataFrame, on: str | list[str]) -> DataFrame:
+    """F2 generalized: drop rows whose key exists in the blocklist
+    (bhx.py:574-575 store blacklist → URL/host blocklist)."""
+    return df.join(F.broadcast(block), on, "left_anti")
+
+
+def last_wins(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """J3: deterministic last-wins dedup — row_number over an explicit
+    order, NEVER arrival order (cooponline.py:468-471 store_map overwrite).
+    ``order_by`` should put the winner first."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """J4/K1: MERGE semantics — updates replace matching keys, others kept
+    (db/__init__.py:27-63 update_one(upsert=True)). ``updates`` must be
+    unique per key (use last_wins first if not). Anti-join + union: the
+    Iceberg MERGE INTO equivalent without the runtime jar."""
+    kept = existing.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """§2.6: the frontier-drain pattern as a general operator."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def mapped_with_fallback(
+    df: DataFrame, mapping: DataFrame, key: str, mapped_col: str, out_col: str
+) -> DataFrame:
+    """J6: broadcast-mapped value with identity fallback
+    (categories_mapping.get(title, title), cooponline.py:542-588)."""
+    m = mapping.select(F.col(key), F.col(mapped_col).alias("_mapped"))
+    return (
+        df.join(F.broadcast(m), key, "left")
+        .withColumn(out_col, F.coalesce(F.col("_mapped"), F.col(key)))
+        .drop("_mapped")
+    )
