@@ -1,0 +1,362 @@
+"""Large-scale training-data text operators over a ``documents`` table
+(doc_id, text, ...): deduplication (exact, MinHash+LSH, SimHash, n-gram
+Jaccard), language-ID, quality scoring, token counting, fingerprinting.
+
+Design rules: expression-only where possible (whole-stage codegen);
+numpy-vectorized pandas UDFs where hashing math needs Python; NEVER
+row-at-a-time Python; no driver-side collection — every op is a dataflow
+that scales by adding partitions. Pair-generating ops (LSH) bucket first so
+the quadratic verify step runs only inside small candidate buckets, never
+across the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per distinct text.
+
+    xxhash64 + min-by is one shuffle; ties on hash are broken by the id so
+    the survivor set is deterministic. (At 100 TB: hash-partitioned
+    aggregation with partial map-side combine — no sort, no full-text
+    comparisons except the pathological collision case.)
+    """
+    h = F.xxhash64(F.col(text_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_h").orderBy(F.col(id_col).asc())),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup groups: (canonical_id, doc_id) for every duplicated doc."""
+    h = F.xxhash64(F.col(text_col)).alias("_h")
+    withh = df.select(F.col(id_col), h)
+    canon = withh.groupBy("_h").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        withh.join(canon, "_h")
+        .filter(F.col("group_size") > 1)
+        .select("canonical_id", id_col, "group_size")
+    )
+
+
+# -------------------------------------------------------------- shingling
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles (space-joined) of the lowercased token stream."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) >= 1)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for given (id_a, id_b) pairs.
+
+    Distinct shingles per doc → explode → count intersections per pair.
+    Used as the verify step after LSH candidate generation; cost is
+    O(sum of candidate-pair shingle sizes), not corpus².
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+        F.size(F.array_distinct(word_shingles(F.col(text_col), k))).alias("_n"),
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("sh"), F.col("_n").alias("n_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("sh"), F.col("_n").alias("n_b"))
+    joined = pairs.join(a, "id_a").join(b, ["id_b", "sh"])
+    inter = joined.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+    )
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+_MINHASH_PRIME = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 61, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(num_perm: int = 128, seed: int = 42):
+    """pandas UDF: array<string> shingles → array<long> MinHash signature.
+
+    Universal hashing (a*x+b mod Mersenne-61) over xxhash-like 64-bit
+    shingle hashes, fully vectorized in numpy per row batch.
+    """
+    a, b = _minhash_params(num_perm, seed)
+
+    def _hash_shingles(shingles: list[str]) -> np.ndarray:
+        if not shingles:
+            return np.full(num_perm, np.int64(2**62), dtype=np.int64)
+        # FNV-1a 64-bit, vectorized enough per doc (few hundred shingles)
+        hs = np.fromiter(
+            (hash_fnv1a(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+        )
+        vals = (a[None, :] * hs[:, None] + b[None, :]) % _MINHASH_PRIME
+        return vals.min(axis=0).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(shingles: pd.Series) -> pd.Series:
+        return shingles.map(lambda s: _hash_shingles(list(s) if s is not None else []))
+
+    return sig
+
+
+def hash_fnv1a(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for byte in s.encode("utf-8"):
+        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def minhash_bands(sig_col: Column, bands: int, rows: int) -> Column:
+    """Split a signature into band-hash structs for LSH bucketing."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda band: F.struct(
+            band.alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", F.transform(F.slice(sig_col, band * rows + 1, rows), lambda v: v.cast("string")))
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: (id_a < id_b, est_jaccard).
+
+    shingle → signature (pandas UDF) → band buckets (explode) → self-join
+    within (band, band_hash) buckets → estimate Jaccard from signature
+    agreement. The shuffle key is the band hash, so only colliding docs
+    ever meet — corpus² never materializes.
+    """
+    rows = num_perm // bands
+    sig_udf = minhash_signature_udf(num_perm, seed)
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        sig_udf(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sig"),
+    ).persist()
+    banded = sigs.select(
+        "id", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
+    ).select("id", "sig", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    left = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash")
+    right = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash")
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"), lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = cand.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
+    return est.select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash_udf(seed: int = 42):
+    """pandas UDF: array<string> tokens → long 64-bit SimHash."""
+
+    @F.pandas_udf(T.LongType())
+    def sim(tokens: pd.Series) -> pd.Series:
+        def one(toks) -> int:
+            if toks is None or len(toks) == 0:
+                return 0
+            hs = np.fromiter((hash_fnv1a(t) for t in toks), dtype=np.uint64, count=len(toks))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            out = np.uint64(0)
+            for i in range(64):
+                if v[i] > 0:
+                    out |= np.uint64(1) << np.uint64(i)
+            return int(out.astype(np.int64))
+
+        return tokens.map(one)
+
+    return sim
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dups: 4×16-bit chunk LSH (any pair within Hamming ≤ 3
+    shares at least one exact chunk — pigeonhole), verify with bit_count."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) >= 1)
+    sims = df.select(F.col(id_col).alias("id"), simhash_udf()(toks).alias("simhash"))
+    chunks = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    l = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "val")
+    r = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "val")
+    pairs = (
+        l.join(r, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+# --------------------------------------------------- language ID / quality
+
+EN_STOPWORDS = (
+    "the of and to in a is that for it as was with be by on not he i this are "
+    "or his from at which but have an had they you were their one all we can"
+).split()
+
+VI_CHARS = "ăâđêôơưáàảãạắằẳẵặấầẩẫậéèẻẽẹếềểễệíìỉĩịóòỏõọốồổỗộớờởỡợúùủũụứừửữựýỳỷỹỵ"
+
+
+def lang_id_col(text: Column) -> Column:
+    """Heuristic language ID (expression-only): Vietnamese diacritic density
+    vs English stopword hit-rate; falls back to 'other'."""
+    lower = F.lower(text)
+    n_chars = F.greatest(F.length(lower), F.lit(1))
+    vi_hits = n_chars - F.length(F.translate(lower, VI_CHARS, ""))
+    toks = F.filter(F.split(lower, r"\s+"), lambda t: F.length(t) >= 1)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    en_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return (
+        F.when((vi_hits / n_chars) > 0.01, F.lit("vi"))
+        .when((en_hits / n_toks) > 0.08, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score (expression-only): penalizes extreme
+    length, high punctuation/digit density, one-char tokens — the classic
+    pre-training corpus filters, cf. C4's min-token-length rule."""
+    lower = F.lower(text)
+    n = F.greatest(F.length(lower), F.lit(1))
+    toks = F.filter(F.split(lower, r"\s+"), lambda t: F.length(t) >= 1)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    punct_ratio = (n - F.length(F.regexp_replace(lower, r"[^\w\s]", ""))) / n
+    digit_ratio = (n - F.length(F.regexp_replace(lower, r"[0-9]", ""))) / n
+    short_ratio = F.size(F.filter(toks, lambda t: F.length(t) < 2)) / n_toks
+    mean_tok_len = n / n_toks
+    len_score = F.least(F.lit(1.0), n / F.lit(200.0))
+    score = (
+        len_score * 0.25
+        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.25
+        + (1 - F.least(digit_ratio * 4, F.lit(1.0))) * 0.2
+        + (1 - short_ratio) * 0.15
+        + F.least(mean_tok_len / 8, F.lit(1.0)) * 0.15
+    )
+    return F.round(score, 6)
+
+
+TOKEN_REGEX = r"[A-Za-zÀ-ỹ]+|[0-9]+|[^\sA-Za-zÀ-ỹ0-9]"
+
+
+def token_count_col(text: Column, mode: str = "whitespace") -> Column:
+    """Token counting: whitespace or BPE-ish regex segmentation."""
+    if mode == "whitespace":
+        return F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) >= 1))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+    raise ValueError(mode)
+
+
+# ---------------------------------------------------------- fingerprinting
+
+
+def fingerprint_udf(window: int = 8, k: int = 16):
+    """pandas UDF: text → array<long> winnowed rolling-hash fingerprint.
+
+    Rabin-Karp rolling hash over k-char windows, then winnowing (min hash
+    per sliding window of ``window`` hashes, deduplicated, sorted) — the
+    standard local-fingerprint scheme for copy detection, numpy-vectorized.
+    """
+    base = np.uint64(257)
+    mod_mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def one(text: str | None) -> list[int]:
+        if not text or len(text) < k:
+            return []
+        data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+        n = len(data)
+        if n < k:
+            return []
+        powers = np.array([pow(257, k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64)
+        # hash of every k-gram via correlation in uint64 (wrapping)
+        m = n - k + 1
+        idx = np.arange(m)[:, None] + np.arange(k)[None, :]
+        hashes = (data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1) & mod_mask
+        if m <= window:
+            return sorted({int(np.int64(hashes.min()))})
+        w_idx = np.arange(m - window + 1)[:, None] + np.arange(window)[None, :]
+        mins = hashes[w_idx].min(axis=1)
+        return sorted({int(x) for x in mins.astype(np.int64)})
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fp(text: pd.Series) -> pd.Series:
+        return text.map(one)
+
+    return fp

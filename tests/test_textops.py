@@ -1,0 +1,137 @@
+"""Dedup / text-analysis operators — duckdb-cross-checked where SQL can."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import textops as TX
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def test_exact_dedup_vs_duckdb(spark, docs):
+    kept = TX.exact_dedup(docs)
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"select min(doc_id) from '{DOCS}' group by text"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_duplicate_groups(spark, docs):
+    groups = TX.duplicate_groups(docs).collect()
+    n_dupes = duckdb.sql(
+        f"select coalesce(sum(c),0) from (select count(*) c from '{DOCS}' group by text having count(*)>1)"
+    ).fetchone()[0]
+    assert len(groups) == n_dupes
+    for g in groups:
+        assert g["canonical_id"] <= g["doc_id"]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    rows = df.select(TX.word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["x y"]  # shorter than k → whole text
+
+
+NEAR_DUP_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away home today"),
+    (3, "completely different content about spark distributed dataflow engines at scale"),
+    (4, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+    (5, "yet another unrelated document mentioning parquet columnar storage formats"),
+]
+
+
+@pytest.fixture(scope="module")
+def near_df(spark):
+    return spark.createDataFrame(NEAR_DUP_DOCS, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_near_dups(spark, near_df):
+    cand = TX.minhash_candidate_pairs(near_df, num_perm=64, bands=16)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cand.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in got and got[(1, 2)] > 0.5   # near dup
+    assert (3, 5) not in got                      # unrelated never collide
+
+
+def test_ngram_jaccard_verifies(spark, near_df):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+         TX.ngram_jaccard_pairs(near_df, pairs).collect()}
+    assert j[(1, 4)] == 1.0
+    assert 0.5 < j[(1, 2)] < 1.0
+    assert (1, 3) not in j or j.get((1, 3), 0.0) == 0.0  # zero intersection drops out
+
+
+def test_simhash_near_dups(spark, near_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             TX.simhash_near_dup_pairs(near_df, max_hamming=6).collect()}
+    assert pairs.get((1, 4)) == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (3, 5) not in pairs
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("vi", "sữa tươi đặc biệt cho trẻ em và gia đình"),
+            ("en", "the quick brown fox is one of the animals in the story"),
+            ("other", "zzz qqq kkk www"),
+        ],
+        "want string, text string",
+    )
+    rows = df.select("want", TX.lang_id_col(F.col("text")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            ("clean", "This is a well formed paragraph of reasonable length with many normal words present here."),
+            ("junk", "!!! ??? ### 123 456 789 !!! a b c d e !!!"),
+        ],
+        "kind string, text string",
+    )
+    rows = {r["kind"]: r["q"] for r in df.select("kind", TX.quality_score_col(F.col("text")).alias("q")).collect()}
+    assert rows["clean"] > rows["junk"]
+    assert 0.0 <= rows["junk"] < rows["clean"] <= 1.0
+
+
+def test_token_count_vs_duckdb(spark, docs):
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", TX.token_count_col(F.col("text")).alias("n")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"select doc_id, len(string_split_regex(trim(text), '\\s+')) from '{DOCS}'"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_fingerprint(spark):
+    fp = TX.fingerprint_udf()
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789"), (2, "abcdefghijklmnopqrstuvwxyz0123456789"),
+         (3, "completely different text body here entirely"), (4, "xy")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["f"] for r in df.select("doc_id", fp(F.col("text")).alias("f")).collect()}
+    assert rows[1] == rows[2] and len(rows[1]) > 0
+    assert rows[1] != rows[3]
+    assert rows[4] == []  # shorter than k-gram window
