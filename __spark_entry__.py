@@ -1,38 +1,565 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every operator family from SURVEY.md §2 over the
+driver-provided tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+everything ANSI-SQL-expressible (non-SQL ops — MinHash/SimHash/LSH/
+fingerprint/multimodal — are rows-only checked by design).
+
+Float discipline for hash-stable comparisons: money sums are exact
+fixed-point (floor-to-cents bigint), trig/cosine outputs are rounded, and
+whole-valued double sums (TPC-H quantities) are exact in IEEE754 regardless
+of order, so Spark and DuckDB hash identically.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from frontier_engine import ann, ops, textops as TX  # noqa: E402
+from frontier_engine import multimodal as MM  # noqa: E402
+from frontier_engine.frontier import DrainConfig, drain_epoch  # noqa: E402
+from frontier_engine.seen import SeenConfig, empty_state, filter_unseen, update_bitmaps, with_bucket  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(col):
+    """Exact fixed-point: floor(x*100) as bigint — identical in Spark/DuckDB."""
+    return F.floor(col * 100).cast("long")
+
+
+# --------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document-corpus curation pipeline on sf0.001 — exact dedup,
+    language-ID, quality scoring, token accounting, per-source rollup."""
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    deduped = TX.exact_dedup(docs)
+    enriched = deduped.select(
+        "doc_id",
+        "source",
+        TX.lang_id_col(F.col("text")).alias("lang_guess"),
+        TX.quality_score_col(F.col("text")).alias("quality"),
+        TX.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        TX.token_count_col(F.col("text"), "bpe").cast("long").alias("n_bpe_tokens"),
+    )
+    return (
+        enriched.groupBy("source", "lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source", "lang_guess")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_pruned_agg(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") < "1995-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_dim_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+    )
+
+
+ALLOWED_BRANDS = ["Brand#13", "Brand#19", "Brand#5"]
+
+
+def q_semi_allowlist(spark, sf):
+    p = _t(spark, sf, "part")
+    allow = spark.createDataFrame([(b,) for b in ALLOWED_BRANDS], ["p_brand"])
+    return ops.semi_allowlist(p, allow, "p_brand").select("p_partkey", "p_brand", "p_name")
+
+
+def q_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return ops.anti_blocklist(c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_last_wins(spark, sf):
+    e = _t(spark, sf, "events")
+    return ops.last_wins(
+        e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+def q_cdc_gate(spark, sf):
+    from frontier_engine.transforms import lag_cdc
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    flagged = lag_cdc(e, ("user_id",), "event_id", "value", pct=0.01)
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("price_changed"), 1).otherwise(0)).cast("long").alias("n_changes"),
+    )
+
+
+def q_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    return ops.top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+def q_priority_extract_sum(spark, sf):
+    # A1 pack-size-sum semantics: extract ints from text, aggregate
+    o = _t(spark, sf, "orders")
+    pr = F.regexp_extract(F.col("o_orderpriority"), r"(\d+)", 1).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(pr).alias("priority_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_json_props(spark, sf):
+    # C14 JSON payload parse
+    e = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        TX.token_count_col(F.col("text"), "bpe").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) >= 1)))
+        .cast("long")
+        .alias("n_distinct_tokens"),
+    )
+
+
+def q_ngram_counts(spark, sf):
+    from frontier_engine.transforms import token_ngrams_col
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(token_ngrams_col(F.col("text"), 2)).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(token_ngrams_col(F.col("text"), 2))).cast("long").alias("n_distinct_bigrams"),
+    )
+
+
+def q_exact_dedup(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+        .select("canonical_id", "group_size")
+    )
+
+
+def q_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.quality_score_col(F.col("text")).alias("quality"))
+
+
+def q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.lang_id_col(F.col("text")).alias("lang_guess"))
+
+
+def q_merge_upsert(spark, sf):
+    o = _t(spark, sf, "orders")
+    existing = o.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "o_totalprice")
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    merged = ops.merge_upsert(existing, updates, ["o_orderkey"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+
+
+def q_window_running(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        # round: DuckDB's window sum uses a different accumulation scheme
+        # (1-ulp drift vs Spark); inputs have 2 decimals so cents are exact
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+def q_haversine(spark, sf):
+    from frontier_engine.geo import haversine_km
+
+    n = _t(spark, sf, "nation")
+    lat = (F.col("n_nationkey") * 3.0 - 30.0).alias("lat")
+    lon = (F.col("n_nationkey") * 7.0 - 80.0).alias("lon")
+    pts = n.select("n_nationkey", "n_name", lat, lon)
+    return pts.select(
+        "n_nationkey",
+        "n_name",
+        F.round(
+            haversine_km(F.col("lat"), F.col("lon"), F.lit(10.0), F.lit(106.0)), 3
+        ).alias("dist_km"),
+    )
+
+
+def q_politeness_drain(spark, sf):
+    """T1: the engine's real politeness drain (applyInPandas) on a frontier
+    synthesized from events; budget = floor(30s / 10s delay) = 3 per host."""
+    e = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://h"), (F.col("user_id") % 20).cast("string"),
+        F.lit(".example/e"), F.col("event_id").cast("string"),
+    )
+    frontier = e.select(
+        url.alias("url"),
+        F.xxhash64(url).alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".example")).alias("host"),
+        F.col("value").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).cast("long").alias("enqueue_seq"),
+        F.lit("2025-06-14 00:00:00").cast("timestamp").alias("ready_ts"),
+        F.lit(0).alias("fetch_attempts"),
+    )
+    hosts = frontier.select("host").distinct()
+    robots = hosts.select(
+        "host", F.lit(10.0).alias("crawl_delay"), F.array().cast("array<string>").alias("disallow_prefixes")
+    )
+    drained, _, _ = drain_epoch(frontier, robots, DrainConfig(epoch_seconds=30.0, skew_threshold=100, max_salts=4))
+    return drained.select("host", "slot", "url", F.round("priority", 6).alias("priority"))
+
+
+def q_seen_filter(spark, sf):
+    """Two-tier seen-set (Bloom bitmap + exact backstop) vs plain anti-join."""
+    e = _t(spark, sf, "events")
+    url = F.concat(F.lit("https://x.example/e"), F.col("event_id").cast("string"))
+    cand = e.select(url.alias("url"), F.xxhash64(url).alias("url_hash"), "event_id")
+    seen_rows = cand.filter(F.col("event_id") % 3 == 0).select("url_hash")
+    cfg = SeenConfig(n_buckets=16, bits_per_bucket=1 << 14)
+    bm, su = empty_state(spark, cfg)
+    newly = with_bucket(seen_rows, cfg).select("bucket", "url_hash")
+    bm = update_bitmaps(bm, newly, cfg)
+    su = su.unionByName(newly)
+    unseen = filter_unseen(with_bucket(cand, cfg), bm, su, cfg)
+    return unseen.select("url")
+
+
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ann.brute_force_topk(emb, q, k=5)
+    return top.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), F.col("rank").cast("long").alias("rank"))
+
+
+# ------------------------------------------------- rows-only (non-SQL ops)
+
+
+def q_minhash_near_dup(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = TX.minhash_candidate_pairs(d, num_perm=64, bands=16)
+    return pairs.filter(F.col("est_jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_simhash_near_dup(spark, sf):
+    d = _t(spark, sf, "documents")
+    return TX.simhash_near_dup_pairs(d, max_hamming=6)
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    fp = TX.fingerprint_udf()
+    return d.select("doc_id", F.size(fp(F.col("text"))).cast("long").alias("n_fingerprints"))
+
+
+def q_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = 64
+    top = ann.lsh_topk(emb, q, dim=dim, k=5, n_bits=4, n_tables=16)
+    return top.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_embedding_near_dup(spark, sf):
+    # near-uniform random embeddings have no high-cosine pairs, so plant
+    # exact duplicates (id+100000) of vec_id<20 — the op must find them all
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    planted = emb.unionByName(dup)
+    pairs = ann.embedding_near_dup_pairs(planted, dim=64, threshold=0.99, n_bits=6, n_tables=8)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_multimodal_decode(spark, sf):
+    """Binary media plumbing: deterministic payloads derived from doc ids →
+    decode/feature-extract via mapInPandas."""
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def make_media(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            kinds = ["image", "audio", "video"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        MM.fake_media_bytes(kinds[int(i) % 3], 32 + int(i) % 64, 32, seed=int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(make_media, schema="media_id long, payload binary")
+    return MM.decode_features(media).select("media_id", "kind", "width", "n_bytes", "mean_byte")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pruned_agg": q_pruned_agg,
+        "dim_join": q_dim_join,
+        "semi_allowlist": q_semi_allowlist,
+        "anti_join": q_anti_join,
+        "last_wins": q_last_wins,
+        "cdc_gate": q_cdc_gate,
+        "topk_per_group": q_topk_per_group,
+        "priority_extract_sum": q_priority_extract_sum,
+        "json_props": q_json_props,
+        "token_stats": q_token_stats,
+        "ngram_counts": q_ngram_counts,
+        "exact_dedup": q_exact_dedup,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "merge_upsert": q_merge_upsert,
+        "window_running": q_window_running,
+        "haversine": q_haversine,
+        "politeness_drain": q_politeness_drain,
+        "seen_filter": q_seen_filter,
+        "ann_topk": q_ann_topk,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "fingerprint": q_fingerprint,
+        "lsh_ann": q_lsh_ann,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_VI = TX.VI_CHARS
+_SW = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) >= 1)"
+_TOKS2 = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) >= 2)"
+
+_QUALITY_SQL = f"""
+SELECT doc_id, round(
+  least(1.0, n/200.0) * 0.25
+  + (1 - least(((n - len(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'))) / n) * 4, 1.0)) * 0.25
+  + (1 - least(((n - len(regexp_replace(lower(text), '[0-9]', '', 'g'))) / n) * 4, 1.0)) * 0.2
+  + (1 - (len(list_filter({_TOKS}, x -> len(x) < 2)) / nt)) * 0.15
+  + least((n / nt) / 8, 1.0) * 0.15
+, 6) AS quality
+FROM (SELECT doc_id, text,
+             greatest(len(text), 1) AS n,
+             greatest(len({_TOKS}), 1) AS nt
+      FROM documents)
+"""
+
+_LANG_SQL = f"""
+SELECT doc_id,
+  CASE WHEN (n - len(translate(lower(text), '{_VI}', ''))) / n > 0.01 THEN 'vi'
+       WHEN len(list_filter({_TOKS}, x -> list_contains([{_SW}], x))) / nt > 0.08 THEN 'en'
+       ELSE 'other' END AS lang_guess
+FROM (SELECT doc_id, text,
+             greatest(len(lower(text)), 1) AS n,
+             greatest(len({_TOKS}), 1) AS nt
+      FROM documents)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    brands = ", ".join(f"'{b}'" for b in ALLOWED_BRANDS)
+    return {
+        "pruned_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_rows,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dim_join": """
+            SELECT n_name, r_name, count(*) AS n_customers,
+                   CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name IN ('ASIA', 'EUROPE')
+            GROUP BY n_name, r_name
+        """,
+        "semi_allowlist": f"""
+            SELECT p_partkey, p_brand, p_name FROM part WHERE p_brand IN ({brands})
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "last_wins": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events) WHERE rn = 1
+        """,
+        "cdc_gate": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CASE WHEN prev IS NULL OR abs(prev - value)/prev >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+            FROM (SELECT user_id, value,
+                         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) prev
+                  FROM events WHERE event_type = 'purchase')
+            GROUP BY user_id
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "priority_extract_sum": r"""
+            SELECT o_orderstatus,
+                   CAST(sum(CAST(regexp_extract(o_orderpriority, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS priority_sum,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ỹ]+|[0-9]+|[^\\sA-Za-zÀ-ỹ0-9]')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens
+            FROM documents
+        """,
+        "ngram_counts": f"""
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform({_TOKS2}, x -> len(x) - 1)), 0) AS BIGINT) AS n_bigrams,
+                   CAST(len(list_distinct(flatten(list_transform({_TOKS2},
+                        t -> list_transform(range(1, len(t)), i -> t[i:i+1]))))) AS BIGINT) AS n_distinct_bigrams
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS canonical_id, count(*) AS group_size
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "quality": _QUALITY_SQL,
+        "lang_id": _LANG_SQL,
+        "merge_upsert": """
+            WITH existing AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+                 updates AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+                 merged AS (
+                   SELECT * FROM existing WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+                   UNION ALL SELECT * FROM updates)
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM merged
+        """,
+        "window_running": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+            FROM events
+        """,
+        "haversine": """
+            SELECT n_nationkey, n_name,
+                   round(2 * 6371.0088 * asin(sqrt(
+                     pow(sin(radians(10.0 - (n_nationkey * 3.0 - 30.0)) / 2), 2)
+                     + cos(radians(n_nationkey * 3.0 - 30.0)) * cos(radians(10.0))
+                       * pow(sin(radians(106.0 - (n_nationkey * 7.0 - 80.0)) / 2), 2)
+                   )), 3) AS dist_km
+            FROM nation
+        """,
+        "politeness_drain": """
+            SELECT host, CAST(rn - 1 AS INTEGER) AS slot, url, round(priority, 6) AS priority
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority DESC, enqueue_seq ASC, url ASC) rn
+              FROM (
+                SELECT 'https://h' || CAST(user_id % 20 AS VARCHAR) || '.example/e' || CAST(event_id AS VARCHAR) AS url,
+                       'h' || CAST(user_id % 20 AS VARCHAR) || '.example' AS host,
+                       value AS priority, 0 AS enqueue_seq
+                FROM events))
+            WHERE rn <= 3
+        """,
+        "seen_filter": """
+            SELECT 'https://x.example/e' || CAST(event_id AS VARCHAR) AS url
+            FROM events WHERE event_id % 3 <> 0
+        """,
+        "ann_topk": """
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS cosine,
+                     row_number() OVER (PARTITION BY q.vec_id
+                                        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                                                 c.vec_id ASC) AS rank
+              FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q)
+            WHERE rank <= 5
+        """,
+    }
