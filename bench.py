@@ -1,0 +1,157 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Measures (a) headline relational/text/ANN queries from the driver contract
+at $SPARK_GRAFT_SF_DIR, and (b) the engine's north-star crawl metrics on the
+synthetic bench corpus: URLs scheduled+deduped/sec through the two-tier
+seen set + politeness drain, and pages extracted/sec through the pandas-UDF
+extractor.
+
+    python bench.py                  # local[$SPARK_GRAFT_CPUS or 32]
+    SPARK_GRAFT_CPUS=8 python bench.py
+
+Scaling-efficiency evidence (local[8] vs local[32] per BASELINE.md) is
+produced by tools/scaling_bench.py, which calls run_workload() in separate
+JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pruned_agg",
+    "dim_join",
+    "topk_per_group",
+    "window_running",
+    "cdc_gate",
+    "token_stats",
+    "ngram_counts",
+    "quality",
+    "lang_id",
+    "exact_dedup",
+    "minhash_near_dup",
+    "ann_topk",
+]
+
+
+def _time_action(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
+    """The full benched workload; returns per-query seconds + crawl metrics."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from frontier_engine import canon, fixtures
+    from frontier_engine.extract import text_udf
+    from frontier_engine.frontier import DrainConfig, drain_epoch
+    from frontier_engine.seen import (
+        SeenConfig, empty_state, filter_unseen, update_bitmaps, with_bucket,
+    )
+
+    qs = entrymod.queries()
+    out: dict = {"queries": {}}
+
+    # warm the JVM/Arrow paths once so per-query numbers measure the
+    # operator, not first-call class loading
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        out["queries"][name] = _time_action(lambda: df.write.format("noop").mode("overwrite").save())
+
+    # ----- crawl microbench on the synthetic Common-Crawl-style corpus
+    paths = fixtures.corpus(corpus_tier)
+    pages = spark.read.parquet(paths["pages"])
+    robots = spark.read.parquet(paths["robots"])
+
+    n_pages = pages.count()
+
+    # pages extracted/sec: pandas-UDF extraction over every page, forced
+    t_extract = _time_action(
+        lambda: pages.select(F.sum(F.length(text_udf(F.col("html")))).alias("n"))
+        .collect()
+    )
+    out["pages_extracted"] = n_pages
+    out["extract_seconds"] = t_extract
+    out["pages_extracted_per_s"] = round(n_pages / t_extract, 1)
+
+    # URLs scheduled+deduped/sec: candidates = every corpus URL (+50%
+    # pre-seen) → two-tier seen filter → politeness drain, one epoch
+    cfg = SeenConfig(n_buckets=256, bits_per_bucket=1 << 17)
+    cu = canon.canonicalize_col(F.col("url"))
+    cand = pages.select(
+        cu.alias("url"),
+        canon.url_hash_col(cu).alias("url_hash"),
+        canon.host_col(cu).alias("host"),
+        (F.pmod(F.xxhash64(cu), F.lit(1000)) / 1000.0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).cast("long").alias("enqueue_seq"),
+        F.lit("2025-06-14 00:00:00").cast("timestamp").alias("ready_ts"),
+        F.lit(0).alias("fetch_attempts"),
+    )
+    bm, su = empty_state(spark, cfg)
+    pre = with_bucket(cand.filter(F.col("url_hash") % 2 == 0).select("url_hash"), cfg).select("bucket", "url_hash")
+    bm = update_bitmaps(bm, pre, cfg).persist()
+    bm.count()
+    su = pre.persist()
+    su.count()
+
+    def frontier_epoch():
+        unseen = filter_unseen(with_bucket(cand, cfg), bm, su, cfg).drop("bucket")
+        drained, rest, blocked = drain_epoch(
+            unseen, robots, DrainConfig(epoch_seconds=3600.0, skew_threshold=20000, max_salts=8)
+        )
+        return drained.count()
+
+    t0 = time.time()
+    n_drained = frontier_epoch()
+    t_frontier = round(time.time() - t0, 3)
+    out["frontier_candidates"] = n_pages
+    out["frontier_drained"] = n_drained
+    out["frontier_seconds"] = t_frontier
+    out["urls_scheduled_deduped_per_s"] = round(n_pages / t_frontier, 1)
+
+    bm.unpersist()
+    su.unpersist()
+    return out
+
+
+def main() -> int:
+    from frontier_engine.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(8, cpus))
+
+    t0 = time.time()
+    res = run_workload(spark, sf_dir)
+    total = round(time.time() - t0, 2)
+
+    line = {
+        "metric": "headline_queries_plus_crawl_microbench_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": sf_dir,
+        "cpus": cpus,
+        "pages_extracted_per_s": res["pages_extracted_per_s"],
+        "urls_scheduled_deduped_per_s": res["urls_scheduled_deduped_per_s"],
+        "frontier_drained": res["frontier_drained"],
+        "pages_extracted": res["pages_extracted"],
+    }
+    print(json.dumps(line))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

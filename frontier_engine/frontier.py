@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -137,22 +138,38 @@ def drain(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
         "salt", F.pmod(F.col("url_hash"), F.col("n_salts")).cast("int")
     )
 
-    out_schema = T.StructType(
-        [f for f in fr.schema.fields if f.name not in ("n_salts",)]
-    )
-    cols = [f.name for f in out_schema.fields]
-
+    # Arrow-payload discipline: only the selection keys cross into Python
+    # and only the selected url_hashes cross back; the full rows are
+    # recovered with a JVM-side semi-join. Inside the UDF the sort is
+    # numpy-numeric (lexsort on priority/enqueue_seq); the URL string order
+    # is only consulted for boundary ties.
     def take_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["budget"].iloc[0])
-        # partial top-k per salt; a heap (nlargest) would save the full sort
-        # for huge groups — salting already bounds group size, so a single
-        # numpy sort is the simpler deterministic choice.
-        top = pdf.sort_values(
-            ["priority", "enqueue_seq", "url"], ascending=[False, True, True]
-        ).head(b)
-        return top[cols]
+        n = len(pdf)
+        if n <= b:
+            return pdf[["url_hash"]]
+        p = pdf["priority"].to_numpy()
+        s = pdf["enqueue_seq"].to_numpy()
+        order = np.lexsort((s, -p))  # (priority desc, enqueue_seq asc)
+        pb, sb = p[order[b - 1]], s[order[b - 1]]
+        strictly_before = (p > pb) | ((p == pb) & (s < sb))
+        n_before = int(strictly_before.sum())
+        need = b - n_before
+        tie_idx = np.flatnonzero((p == pb) & (s == sb))
+        if len(tie_idx) > need:
+            urls = pdf["url"].to_numpy()[tie_idx]
+            tie_sel = tie_idx[np.argsort(urls, kind="stable")[:need]]
+        else:
+            tie_sel = tie_idx
+        sel = np.concatenate([np.flatnonzero(strictly_before), tie_sel])
+        return pdf.iloc[sel][["url_hash"]]
 
-    superset = fr.groupBy("host", "salt").applyInPandas(take_topk, schema=out_schema)
+    selected = (
+        fr.select("host", "salt", "budget", "priority", "enqueue_seq", "url", "url_hash")
+        .groupBy("host", "salt")
+        .applyInPandas(take_topk, schema="url_hash long")
+    )
+    superset = fr.drop("n_salts").join(selected, "url_hash", "left_semi")
 
     w = Window.partitionBy("host").orderBy(*order_cols())
     drained = (

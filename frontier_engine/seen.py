@@ -101,37 +101,34 @@ def filter_unseen(
 ) -> DataFrame:
     """Return the candidate rows whose url_hash is NOT in the seen set.
 
-    ``candidates`` must already be unique per url_hash and carry a ``bucket``
-    column (see :func:`with_bucket`). All candidate columns pass through.
+    ``candidates`` must carry a ``bucket`` column (see :func:`with_bucket`);
+    all candidate columns pass through.
+
+    Arrow-payload discipline: only (bucket, url_hash) crosses into Python,
+    and only the Bloom-POSITIVE hashes cross back (the common case — a fresh
+    URL — never returns from the UDF). Positives are then confirmed against
+    the exact backstop (semi-join) and removed from the candidates with a
+    JVM-side int64 anti-join, so false positives can never drop a URL.
     """
-    cand_schema = candidates.schema
-    out_schema = T.StructType(list(cand_schema.fields) + [T.StructField("maybe_seen", T.BooleanType())])
-    colnames = [f.name for f in cand_schema.fields]
     k_cfg = cfg
 
     def test_fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
-            return pd.DataFrame(columns=colnames + ["maybe_seen"])
-        if right.empty or right["bitmap"].iloc[0] is None:
-            flags = np.zeros(len(left), dtype=bool)
-        else:
-            bitmap = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8).copy()
-            pos = _probe_positions(left["url_hash"].to_numpy().view(np.uint64), k_cfg)
-            flags = _bitmap_test(bitmap, pos)
-        out = left.copy()
-        out["maybe_seen"] = flags
-        return out
+        if left.empty or right.empty or right["bitmap"].iloc[0] is None:
+            return pd.DataFrame({"url_hash": pd.Series([], dtype="int64")})
+        bitmap = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+        hashes = left["url_hash"].to_numpy()
+        pos = _probe_positions(hashes.view(np.uint64), k_cfg)
+        flags = _bitmap_test(bitmap, pos)
+        return pd.DataFrame({"url_hash": hashes[flags]})
 
-    tested = (
-        candidates.groupBy("bucket")
+    positives = (
+        candidates.select("bucket", "url_hash")
+        .groupBy("bucket")
         .cogroup(seen_bitmap.groupBy("bucket"))
-        .applyInPandas(test_fn, schema=out_schema)
+        .applyInPandas(test_fn, schema="url_hash long")
     )
-    definite = tested.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = tested.filter(F.col("maybe_seen")).drop("maybe_seen")
-    # exact backstop: only Bloom-positive rows pay the anti-join
-    confirmed = maybe.join(seen_urls.select("url_hash"), "url_hash", "left_anti")
-    return definite.unionByName(confirmed)
+    confirmed_seen = positives.join(seen_urls.select("url_hash"), "url_hash", "left_semi")
+    return candidates.join(confirmed_seen, "url_hash", "left_anti")
 
 
 def update_bitmaps(

@@ -1,0 +1,70 @@
+"""Structured Streaming ingest: dedup, windows, foreachBatch snapshots."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from frontier_engine import fixtures, streaming
+from frontier_engine.extract import extract_text_py
+from frontier_engine.snapshot import SnapshotStore
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    """Split the mini corpus into 3 parquet files = 3 arriving chunks,
+    with one duplicated URL across chunks to exercise streaming dedup."""
+    paths = fixtures.corpus("mini")
+    t = pq.read_table(paths["pages"])
+    d = tmp_path_factory.mktemp("stream-pages")
+    n = t.num_rows
+    third = n // 3
+    pq.write_table(t.slice(0, third), os.path.join(d, "chunk0.parquet"))
+    pq.write_table(t.slice(third, third), os.path.join(d, "chunk1.parquet"))
+    # last chunk re-includes the first 10 rows → cross-batch duplicates
+    import pyarrow as pa
+
+    last = pa.concat_tables([t.slice(0, 10), t.slice(2 * third)])
+    pq.write_table(last, os.path.join(d, "chunk2.parquet"))
+    return str(d), n
+
+
+def test_streaming_ingest_dedups_and_snapshots(spark, pages_dir, tmp_path):
+    d, n_unique = pages_dir
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    res = streaming.run_ingest(spark, d, wh, ckpt)
+    assert res["batches"] >= 1
+
+    store = SnapshotStore(wh)
+    recs = store.read(spark, "stream_records")
+    rows = recs.collect()
+    # exact dedup across micro-batches (duplicates arrived within watermark)
+    assert len(rows) == n_unique
+    assert len({r["url_hash"] for r in rows}) == n_unique
+    # byte-identical extraction invariant holds on the streaming path too
+    t = pq.read_table(os.path.join(fixtures.default_fixture_dir("mini"), "pages.parquet"))
+    expected = {u: x for u, x in zip(t.column("url").to_pylist(), t.column("text").to_pylist())}
+    for r in rows[:50]:
+        assert r["text"] == expected[r["url"]]
+    # one snapshot per micro-batch, appends accumulate
+    hist = store.history()
+    assert len(hist) >= 3  # 3 files, maxFilesPerTrigger=1
+
+
+def test_host_window_counts_batch_semantics(spark):
+    """Windowed agg logic validated on a static frame (same code path)."""
+    paths = fixtures.corpus("mini")
+    pages = spark.read.parquet(paths["pages"])
+    # run the same transformations on a batch frame
+    from pyspark.sql import functions as F
+
+    agg = (
+        streaming.with_identity(pages)
+        .groupBy(F.window("warc_ts", "1 minute").alias("win"), "host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    total = agg.agg(F.sum("n_pages")).collect()[0][0]
+    assert total == pages.count()
