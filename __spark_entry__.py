@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from frontier_engine import ann, ops, textops as TX  # noqa: E402
 from frontier_engine import multimodal as MM  # noqa: E402
 from frontier_engine.frontier import DrainConfig, drain_epoch  # noqa: E402
-from frontier_engine.seen import SeenConfig, empty_state, filter_unseen, update_bitmaps, with_bucket  # noqa: E402
+from frontier_engine.seen import SeenConfig, empty_state, filter_unseen, update_state, with_bucket  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -281,11 +281,10 @@ def q_seen_filter(spark, sf):
     cand = e.select(url.alias("url"), F.xxhash64(url).alias("url_hash"), "event_id")
     seen_rows = cand.filter(F.col("event_id") % 3 == 0).select("url_hash")
     cfg = SeenConfig(n_buckets=16, bits_per_bucket=1 << 14)
-    bm, su = empty_state(spark, cfg)
+    state = empty_state(spark, cfg)
     newly = with_bucket(seen_rows, cfg).select("bucket", "url_hash")
-    bm = update_bitmaps(bm, newly, cfg)
-    su = su.unionByName(newly)
-    unseen = filter_unseen(with_bucket(cand, cfg), bm, su, cfg)
+    state = state.unionByName(update_state(state, newly, cfg, epoch=0))
+    unseen = filter_unseen(with_bucket(cand, cfg), state, cfg)
     return unseen.select("url")
 
 

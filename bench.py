@@ -54,7 +54,7 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
     from frontier_engine.extract import text_udf
     from frontier_engine.frontier import DrainConfig, drain_epoch
     from frontier_engine.seen import (
-        SeenConfig, empty_state, filter_unseen, update_bitmaps, with_bucket,
+        SeenConfig, empty_state, filter_unseen, update_state, with_bucket,
     )
 
     qs = entrymod.queries()
@@ -98,15 +98,13 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
         F.lit("2025-06-14 00:00:00").cast("timestamp").alias("ready_ts"),
         F.lit(0).alias("fetch_attempts"),
     )
-    bm, su = empty_state(spark, cfg)
+    state = empty_state(spark, cfg)
     pre = with_bucket(cand.filter(F.col("url_hash") % 2 == 0).select("url_hash"), cfg).select("bucket", "url_hash")
-    bm = update_bitmaps(bm, pre, cfg).persist()
-    bm.count()
-    su = pre.persist()
-    su.count()
+    state = state.unionByName(update_state(state, pre, cfg, epoch=0)).persist()
+    state.count()
 
     def frontier_epoch():
-        unseen = filter_unseen(with_bucket(cand, cfg), bm, su, cfg).drop("bucket")
+        unseen = filter_unseen(with_bucket(cand, cfg), state, cfg).drop("bucket")
         drained, rest, blocked = drain_epoch(
             unseen, robots, DrainConfig(epoch_seconds=3600.0, skew_threshold=20000, max_salts=8)
         )
@@ -120,8 +118,7 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
     out["frontier_seconds"] = t_frontier
     out["urls_scheduled_deduped_per_s"] = round(n_pages / t_frontier, 1)
 
-    bm.unpersist()
-    su.unpersist()
+    state.unpersist()
     return out
 
 

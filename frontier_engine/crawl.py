@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from . import canon
 from .extract import links_udf, text_udf
 from .frontier import FRONTIER_SCHEMA, DrainConfig, drain_epoch, frontier_from_seeds
-from .seen import SeenConfig, empty_state, filter_unseen, update_bitmaps, with_bucket
+from .seen import SeenConfig, empty_state, filter_unseen, update_state, with_bucket
 from .snapshot import SnapshotStore
 
 
@@ -95,14 +95,13 @@ def run_crawl(
     manifest = store.current_manifest()
     if manifest is not None:
         frontier = store.read(spark, "frontier")
-        seen_bitmap = store.read(spark, "seen_bitmap")
-        seen_urls = store.read(spark, "seen_urls")
-        if seen_bitmap is None or seen_urls is None:
-            seen_bitmap, seen_urls = empty_state(spark, cfg.seen)
+        seen_state = store.read(spark, "seen_state")
+        if seen_state is None:
+            seen_state = empty_state(spark, cfg.seen)
         epoch = manifest["epoch"] + 1
     else:
         frontier = frontier_from_seeds(spark.read.parquet(seeds_path))
-        seen_bitmap, seen_urls = empty_state(spark, cfg.seen)
+        seen_state = empty_state(spark, cfg.seen)
         epoch = 0
 
     total_drained = 0
@@ -113,7 +112,8 @@ def run_crawl(
         if cfg.max_epochs is not None and epochs_run >= cfg.max_epochs:
             break
 
-        drained, rest, blocked = drain_epoch(frontier, robots, cfg.drain)
+        drain_res = drain_epoch(frontier, robots, cfg.drain)
+        drained, rest, blocked = drain_res
         drained = drained.persist()
         n_drained = drained.count()
         if n_drained == 0:
@@ -147,8 +147,8 @@ def run_crawl(
         newly = with_bucket(
             drained.filter(F.col("fetch_attempts") == 0).select("url_hash"), cfg.seen
         ).select("bucket", "url_hash")
-        seen_bitmap = update_bitmaps(seen_bitmap, newly, cfg.seen)
-        seen_urls_next_paths_inc = newly  # appended via snapshot
+        seen_inc = update_state(seen_state, newly, cfg.seen, epoch)
+        seen_after = seen_state.unionByName(seen_inc)
 
         # --- link expansion → child frontier rows
         child_url = canon.canonicalize_col(F.col("raw_link"))
@@ -171,7 +171,7 @@ def run_crawl(
             .filter((F.col("host") != "") & (F.col("depth") <= cfg.max_depth))
         )
         children_unseen = filter_unseen(
-            with_bucket(children, cfg.seen), seen_bitmap, seen_urls.unionByName(newly), cfg.seen
+            with_bucket(children, cfg.seen), seen_after, cfg.seen
         ).drop("bucket")
 
         # --- retry / dead-letter (reference has print-and-continue only —
@@ -221,9 +221,9 @@ def run_crawl(
 
         store.commit(
             epoch,
-            replace={"frontier": next_frontier, "seen_bitmap": seen_bitmap},
+            replace={"frontier": next_frontier},
             append={
-                "seen_urls": seen_urls_next_paths_inc,
+                "seen_state": seen_inc,
                 "records": records_inc,
                 "schedule": schedule_inc,
                 "lineage": lineage_inc,
@@ -234,12 +234,12 @@ def run_crawl(
 
         drained.unpersist()
         ok.unpersist()
+        drain_res.unpersist()
 
         # re-read committed state: truncates the logical plan per epoch and is
         # exactly what a resumed job would see
         frontier = store.read(spark, "frontier")
-        seen_bitmap = store.read(spark, "seen_bitmap")
-        seen_urls = store.read(spark, "seen_urls")
+        seen_state = store.read(spark, "seen_state")
 
         total_drained += n_drained
         epoch += 1

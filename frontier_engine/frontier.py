@@ -31,13 +31,14 @@ is what bounds phase-1 task memory (SURVEY.md §4.2.4).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from . import canon
 
@@ -63,7 +64,9 @@ def order_cols():
 class DrainConfig:
     epoch_seconds: float = 60.0
     default_crawl_delay: float = 1.0
-    skew_threshold: int = 5000  # backlog above which a host gets salted
+    # legacy knob: salting is now unconditional (see drain()); retained so
+    # stored configs keep deserializing
+    skew_threshold: int = 5000
     max_salts: int = 8
 
 
@@ -105,49 +108,61 @@ def apply_robots(frontier: DataFrame, robots: DataFrame, cfg: DrainConfig) -> tu
     return allowed, blocked
 
 
-def drain(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
+@dataclass
+class DrainResult:
+    """(drained, rest, blocked) + the epoch's pinned intermediates.
+
+    Iterable for ergonomic ``drained, rest, blocked = drain_epoch(...)``
+    unpacking; call :meth:`unpersist` once the epoch's outputs are
+    materialized (written/counted) to release the pinned memory.
+    """
+
+    drained: DataFrame
+    rest: DataFrame
+    blocked: DataFrame
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def __iter__(self):
+        return iter((self.drained, self.rest, self.blocked))
+
+    def unpersist(self) -> None:
+        for df in self.cached:
+            df.unpersist()
+
+
+def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None = None) -> DataFrame:
     """Select the exact per-host politeness-budget top-k of ``allowed``.
 
     Input must carry frontier columns + ``crawl_delay``. Output: the drained
     rows with ``slot`` (0-based politeness slot) and ``sched_offset``
     (seconds into the epoch = slot × crawl_delay).
+
+    Salting is UNCONDITIONAL (``salt = pmod(url_hash, max_salts)``): every
+    host's backlog is split across ``max_salts`` partition-local heaps, so a
+    mega-host can never blow up one task, small hosts just produce small
+    groups, and no backlog-census barrier (aggregate + broadcast) is needed
+    before the drain — one shuffle straight to the top-k. Inside the UDF the
+    sort is numpy-numeric (lexsort on priority/enqueue_seq); URL string
+    order is only consulted for boundary ties. Each (host, salt) group
+    returns its EXACT top-``budget`` rows, so the union is a superset of
+    the true per-host top-k of size ≤ max_salts × budget, and the phase-2
+    window is exact.
     """
     budget = F.greatest(
         F.lit(1),
         F.floor(F.lit(cfg.epoch_seconds) / F.col("crawl_delay")),
     ).cast("int")
-    fr = allowed.withColumn("budget", budget)
-
-    # host backlog → salting plan (tiny aggregate, broadcast back)
-    plan = (
-        fr.groupBy("host")
-        .agg(F.count(F.lit(1)).alias("backlog"))
-        .withColumn(
-            "n_salts",
-            F.when(
-                F.col("backlog") > cfg.skew_threshold,
-                F.least(
-                    F.lit(cfg.max_salts),
-                    F.ceil(F.col("backlog") / cfg.skew_threshold).cast("int"),
-                ),
-            ).otherwise(F.lit(1)),
-        )
-        .select("host", "n_salts")
-    )
-    fr = fr.join(F.broadcast(plan), "host").withColumn(
-        "salt", F.pmod(F.col("url_hash"), F.col("n_salts")).cast("int")
+    fr = allowed.withColumn("budget", budget).withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.lit(cfg.max_salts)).cast("int")
     )
 
-    # Arrow-payload discipline: only the selection keys cross into Python
-    # and only the selected url_hashes cross back; the full rows are
-    # recovered with a JVM-side semi-join. Inside the UDF the sort is
-    # numpy-numeric (lexsort on priority/enqueue_seq); the URL string order
-    # is only consulted for boundary ties.
+    cols = [f.name for f in fr.schema.fields]
+
     def take_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["budget"].iloc[0])
         n = len(pdf)
         if n <= b:
-            return pdf[["url_hash"]]
+            return pdf[cols]
         p = pdf["priority"].to_numpy()
         s = pdf["enqueue_seq"].to_numpy()
         order = np.lexsort((s, -p))  # (priority desc, enqueue_seq asc)
@@ -162,14 +177,11 @@ def drain(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
         else:
             tie_sel = tie_idx
         sel = np.concatenate([np.flatnonzero(strictly_before), tie_sel])
-        return pdf.iloc[sel][["url_hash"]]
+        return pdf.iloc[sel][cols]
 
-    selected = (
-        fr.select("host", "salt", "budget", "priority", "enqueue_seq", "url", "url_hash")
-        .groupBy("host", "salt")
-        .applyInPandas(take_topk, schema="url_hash long")
+    superset = fr.groupBy("host", "salt").applyInPandas(
+        take_topk, schema=fr.schema
     )
-    superset = fr.drop("n_salts").join(selected, "url_hash", "left_semi")
 
     w = Window.partitionBy("host").orderBy(*order_cols())
     drained = (
@@ -184,16 +196,24 @@ def drain(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
 
 def drain_epoch(
     frontier: DataFrame, robots: DataFrame, cfg: DrainConfig
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """One politeness epoch: → (drained, rest, blocked).
+) -> DrainResult:
+    """One politeness epoch: → DrainResult(drained, rest, blocked).
 
     ``rest`` = allowed-but-over-budget rows, in original frontier schema,
     carried to the next epoch. ``blocked`` = robots-disallowed rows
-    (dropped from the frontier; counted in lineage).
+    (dropped from the frontier; counted in lineage). ``allowed`` feeds both
+    the drain and the rest anti-join, so it is pinned for the epoch —
+    release via ``DrainResult.unpersist()`` after materializing outputs.
     """
+    # NB: ``allowed`` is consumed by both the drain and the rest anti-join,
+    # but it is a cheap map-side projection of the (normally already
+    # persisted) frontier — recomputing beats double-caching 10^8 wide rows.
+    cached: list[DataFrame] = []
     allowed, blocked = apply_robots(frontier, robots, cfg)
-    drained = drain(allowed, cfg)
+    drained = drain(allowed, cfg, cached)
     rest = allowed.join(
-        drained.select("url_hash"), "url_hash", "left_anti"
+        drained.select("url_hash").hint("shuffle_hash"), "url_hash", "left_anti"
     ).drop("crawl_delay", "budget")
-    return drained, rest, blocked.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+    return DrainResult(
+        drained, rest, blocked.select(*[f.name for f in FRONTIER_SCHEMA.fields]), cached
+    )

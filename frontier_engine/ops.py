@@ -56,6 +56,26 @@ def top_k_per_group(
     )
 
 
+def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """K5: CSV export sink. Always quoted+escaped — the reference's shipped
+    CSV has 47 rows corrupted by unescaped embedded commas
+    (/root/reference/bhx.csv, SURVEY.md §5.1); quoteAll prevents that class
+    of corruption."""
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def decode_cookie_json(cookie: Column, json_path: str) -> Column:
+    """C15: URL-decode a cookie value then pull a field from its JSON
+    payload (bhx.py:438-443 `unquote(cookie)` → json → device id)."""
+    return F.get_json_object(F.url_decode(cookie), json_path)
+
+
 def mapped_with_fallback(
     df: DataFrame, mapping: DataFrame, key: str, mapped_col: str, out_col: str
 ) -> DataFrame:

@@ -1,28 +1,30 @@
-"""Two-tier distributed URL-seen set.
+"""Two-tier distributed URL-seen set, LSM-style.
 
 Generalizes the reference's upsert-as-dedup (Mongo ``update_one(upsert=True)``
 keyed on ``(store, sku)``, /root/reference/db/__init__.py:40,:63) to a
-10^10-key seen set:
+10^10-key seen set with ONE state table:
 
-Tier 1 — ``seen_bitmap(bucket:int, bitmap:binary)``: B bucket shards, each a
-blocked Bloom filter (k probes derived from the 64-bit xxhash64 identity via
-a splitmix64 finalizer, all numpy-vectorized). A negative is DEFINITELY
-unseen — the common case at crawl time — and never touches tier 2.
+    seen_state(bucket int, epoch int, bitmap binary, exact binary)
 
-Tier 2 — ``seen_urls(bucket:int, url_hash:long)``: the exact backstop. Only
-Bloom-positive candidates (true dupes + FPR·N false positives) are
-anti-joined against it, so Bloom false positives can never drop a URL —
-the seen set is EXACT, matching the reference's probe-then-upsert semantics.
+partitioned by ``bucket = pmod(url_hash, B)``. Per epoch, each touched
+bucket appends one row:
+- ``bitmap``: the bucket's FULL blocked-Bloom filter after the epoch
+  (cumulative — reading the max-epoch row gives current tier 1),
+- ``exact``: ONLY this epoch's new url_hashes, as a sorted int64 numpy
+  array (little-endian bytes) — the exact tier accumulates as immutable
+  sorted runs, LSM-fashion; membership is a vectorized ``searchsorted``
+  per run, and a compaction job can merge runs at leisure.
 
-Both tiers are partitioned by ``bucket = pmod(url_hash, B)`` so the bitmap
-test/merge is a co-grouped map over aligned buckets (one Arrow batch per
-bucket, no driver-side state — contrast ``df.stat.bloomFilter`` which
-collects to the driver and cannot hold 10^10 keys).
+Epoch dedup is ONE cogrouped map (candidates×state aligned on bucket) that
+tests tier 1 and, for Bloom-positives only, tier 2 — returning just the
+CONFIRMED-SEEN hashes — plus one JVM anti-join to drop them. Bloom false
+positives therefore never drop a URL: the seen set is EXACT, matching the
+reference's probe-then-upsert semantics. No driver-side state anywhere
+(contrast ``df.stat.bloomFilter``, which cannot hold 10^10 keys).
 
-Scale note: at 10^10 URLs / 1% FPR a classic Bloom needs ~9.6 bits/key ≈
-12 GB total; with B = 2^14 buckets that is ~730 KB per bucket — one small
-Arrow batch per cogroup task. ``bits_per_bucket`` is sized for the test tier
-here and is a pure config knob.
+Scale math: 10^10 URLs / 1% FPR ≈ 9.6 bits/key ≈ 12 GB of bitmap + 80 GB
+of exact runs; with B = 2^14 buckets that is ~730 KB bitmap + ~5 MB exact
+per bucket — one modest Arrow batch per cogroup task, appends O(increment).
 """
 
 from __future__ import annotations
@@ -41,6 +43,16 @@ class SeenConfig:
     n_buckets: int = 64
     bits_per_bucket: int = 1 << 17  # 16 KiB/bucket at the test tier
     k: int = 8
+
+
+SEEN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("epoch", T.IntegerType()),
+        T.StructField("bitmap", T.BinaryType()),
+        T.StructField("exact", T.BinaryType()),
+    ]
+)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -75,28 +87,34 @@ def _bitmap_set(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
     return bitmap
 
 
+def _exact_runs(state: pd.DataFrame) -> list[np.ndarray]:
+    return [
+        np.frombuffer(b, dtype="<i8")
+        for b in state["exact"]
+        if b is not None and len(b) > 0
+    ]
+
+
+def _latest_bitmap(state: pd.DataFrame) -> np.ndarray | None:
+    if state.empty:
+        return None
+    row = state.loc[state["epoch"].idxmax()]
+    if row["bitmap"] is None:
+        return None
+    return np.frombuffer(row["bitmap"], dtype=np.uint8)
+
+
 def with_bucket(df: DataFrame, cfg: SeenConfig, hash_col: str = "url_hash") -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.col(hash_col), F.lit(cfg.n_buckets)).cast("int"))
 
 
-def empty_state(spark: SparkSession, cfg: SeenConfig) -> tuple[DataFrame, DataFrame]:
-    """(seen_bitmap, seen_urls) — both empty."""
-    bitmap_schema = T.StructType(
-        [T.StructField("bucket", T.IntegerType()), T.StructField("bitmap", T.BinaryType())]
-    )
-    urls_schema = T.StructType(
-        [T.StructField("bucket", T.IntegerType()), T.StructField("url_hash", T.LongType())]
-    )
-    return (
-        spark.createDataFrame([], bitmap_schema),
-        spark.createDataFrame([], urls_schema),
-    )
+def empty_state(spark: SparkSession, cfg: SeenConfig) -> DataFrame:
+    return spark.createDataFrame([], SEEN_STATE_SCHEMA)
 
 
 def filter_unseen(
     candidates: DataFrame,
-    seen_bitmap: DataFrame,
-    seen_urls: DataFrame,
+    seen_state: DataFrame,
     cfg: SeenConfig,
 ) -> DataFrame:
     """Return the candidate rows whose url_hash is NOT in the seen set.
@@ -104,60 +122,94 @@ def filter_unseen(
     ``candidates`` must carry a ``bucket`` column (see :func:`with_bucket`);
     all candidate columns pass through.
 
-    Arrow-payload discipline: only (bucket, url_hash) crosses into Python,
-    and only the Bloom-POSITIVE hashes cross back (the common case — a fresh
-    URL — never returns from the UDF). Positives are then confirmed against
-    the exact backstop (semi-join) and removed from the candidates with a
-    JVM-side int64 anti-join, so false positives can never drop a URL.
+    One shuffle, zero joins: the full candidate rows flow through the
+    bucket-aligned cogroup and only the unseen ones flow out. (A slim
+    hash-only variant + anti-join was measured slower here: the extra join
+    costs two more stage barriers, which dominate the saved Arrow bytes.)
     """
     k_cfg = cfg
+    colnames = [f.name for f in candidates.schema.fields]
 
-    def test_fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty or right["bitmap"].iloc[0] is None:
-            return pd.DataFrame({"url_hash": pd.Series([], dtype="int64")})
-        bitmap = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
-        hashes = left["url_hash"].to_numpy()
+    def test_fn(key, cand: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return cand[colnames]
+        bitmap = _latest_bitmap(state) if not state.empty else None
+        if bitmap is None:
+            return cand[colnames]
+        hashes = cand["url_hash"].to_numpy()
         pos = _probe_positions(hashes.view(np.uint64), k_cfg)
-        flags = _bitmap_test(bitmap, pos)
-        return pd.DataFrame({"url_hash": hashes[flags]})
+        maybe = _bitmap_test(bitmap, pos)
+        if not maybe.any():
+            return cand[colnames]
+        sub = hashes[maybe]
+        seen_mask = np.zeros(len(sub), dtype=bool)
+        for run in _exact_runs(state):  # runs are non-empty sorted arrays
+            idx = np.minimum(np.searchsorted(run, sub), len(run) - 1)
+            seen_mask |= run[idx] == sub
+        drop = np.zeros(len(cand), dtype=bool)
+        drop[np.flatnonzero(maybe)[seen_mask]] = True
+        return cand.loc[~drop, colnames]
 
-    positives = (
-        candidates.select("bucket", "url_hash")
-        .groupBy("bucket")
-        .cogroup(seen_bitmap.groupBy("bucket"))
-        .applyInPandas(test_fn, schema="url_hash long")
+    return (
+        candidates.groupBy("bucket")
+        .cogroup(seen_state.groupBy("bucket"))
+        .applyInPandas(test_fn, schema=candidates.schema)
     )
-    confirmed_seen = positives.join(seen_urls.select("url_hash"), "url_hash", "left_semi")
-    return candidates.join(confirmed_seen, "url_hash", "left_anti")
 
 
-def update_bitmaps(
-    seen_bitmap: DataFrame,
+def update_state(
+    seen_state: DataFrame,
     newly_seen: DataFrame,
     cfg: SeenConfig,
+    epoch: int,
 ) -> DataFrame:
-    """Merge newly-seen url_hashes into the bucket bitmaps (cogrouped map).
-
-    ``newly_seen`` needs (bucket, url_hash). Buckets untouched this epoch are
-    passed through unchanged (cogroup yields keys present on either side).
-    """
+    """One appended seen_state row per touched bucket: cumulative bitmap +
+    this epoch's sorted exact run. Input needs (bucket, url_hash)."""
     m_bytes = cfg.bits_per_bucket // 8
     k_cfg = cfg
 
-    def merge_fn(key, new: pd.DataFrame, old: pd.DataFrame) -> pd.DataFrame:
+    def merge_fn(key, new: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+        if new.empty:
+            return pd.DataFrame(columns=["bucket", "epoch", "bitmap", "exact"])
         bucket = int(key[0])
-        if old.empty or old["bitmap"].iloc[0] is None:
-            bitmap = np.zeros(m_bytes, dtype=np.uint8)
-        else:
-            bitmap = np.frombuffer(old["bitmap"].iloc[0], dtype=np.uint8).copy()
-        if not new.empty:
-            pos = _probe_positions(new["url_hash"].to_numpy().view(np.uint64), k_cfg)
-            bitmap = _bitmap_set(bitmap, pos)
-        return pd.DataFrame({"bucket": [bucket], "bitmap": [bitmap.tobytes()]})
+        prior = _latest_bitmap(state)
+        bitmap = np.zeros(m_bytes, dtype=np.uint8) if prior is None else prior.copy()
+        hashes = np.unique(new["url_hash"].to_numpy())
+        pos = _probe_positions(hashes.view(np.uint64), k_cfg)
+        bitmap = _bitmap_set(bitmap, pos)
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "epoch": [epoch],
+                "bitmap": [bitmap.tobytes()],
+                "exact": [np.sort(hashes).astype("<i8").tobytes()],
+            }
+        )
 
     return (
         newly_seen.select("bucket", "url_hash")
         .groupBy("bucket")
-        .cogroup(seen_bitmap.groupBy("bucket"))
-        .applyInPandas(merge_fn, schema="bucket int, bitmap binary")
+        .cogroup(seen_state.groupBy("bucket"))
+        .applyInPandas(merge_fn, schema=SEEN_STATE_SCHEMA)
     )
+
+
+def compact_state(seen_state: DataFrame, cfg: SeenConfig, epoch: int) -> DataFrame:
+    """LSM compaction: merge each bucket's exact runs into one sorted run
+    (and keep only the latest bitmap). Run occasionally, off the hot path."""
+
+    def compact_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        bitmap = _latest_bitmap(pdf)
+        runs = _exact_runs(pdf)
+        merged = np.unique(np.concatenate(runs)) if runs else np.array([], dtype="<i8")
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "epoch": [epoch],
+                "bitmap": [bitmap.tobytes() if bitmap is not None else None],
+                "exact": [merged.astype("<i8").tobytes()],
+            }
+        )
+
+    return seen_state.groupBy("bucket").applyInPandas(compact_fn, schema=SEEN_STATE_SCHEMA)

@@ -40,11 +40,20 @@ def get_spark(
         .config("spark.default.parallelism", str(cores_n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by shuffle BYTES; our pandas-UDF stages are CPU-heavy
+        # per row at tiny byte volumes (hashes + URLs), and the default 1 MB
+        # floor collapses them to a handful of tasks — keep partitions fine
+        # enough that CPU parallelism survives coalescing
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # throughput collector: the default G1 loses 2-3x wall time under
+        # 32-task-thread allocation rates on many-core boxes (measured on
+        # identical plans); ParallelGC is stable for batch workloads
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

@@ -22,9 +22,8 @@ Layout:
       CURRENT                               name of the live manifest
 
 Tables come in two modes:
-- replace tables (frontier, seen_bitmap): manifest points at only the new
-  directory;
-- append tables (records, seen_urls, schedule, lineage, dead_letter):
+- replace tables (frontier): manifest points at only the new directory;
+- append tables (records, seen_state, schedule, lineage, dead_letter):
   manifest carries the parent's path list plus the new increment, so an
   append is O(increment), never a rewrite.
 """
@@ -40,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotStore:
-    APPEND_TABLES = {"records", "seen_urls", "schedule", "lineage", "dead_letter"}
+    APPEND_TABLES = {"records", "seen_state", "schedule", "lineage", "dead_letter", "stream_records"}
 
     def __init__(self, warehouse: str):
         self.warehouse = warehouse

@@ -87,8 +87,14 @@ def test_seen_set_matches_oracle(spark, engine_result, oracle_result):
     for r in sorted(sched, key=lambda r: r["epoch"]):
         first_time.setdefault(r["url"], r["epoch"])
     assert set(first_time) == oracle_result.seen
-    seen_urls = store.read(spark, "seen_urls")
-    assert seen_urls.select("url_hash").distinct().count() == len(oracle_result.seen)
+    import numpy as np
+
+    state = store.read(spark, "seen_state").collect()
+    hashes = set()
+    for r in state:
+        if r["exact"]:
+            hashes.update(np.frombuffer(r["exact"], dtype="<i8").tolist())
+    assert len(hashes) == len(oracle_result.seen)
 
 
 def test_records_byte_identical(spark, engine_result, oracle_result):

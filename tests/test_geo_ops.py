@@ -131,3 +131,23 @@ def test_top_k_per_group_vs_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_export_csv_quotes_embedded_commas(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("Sữa, hộp 4", 1), ('He said "hi"', 2)], "name string, n int"
+    )
+    out = str(tmp_path / "csv")
+    ops.export_csv(df, out)
+    back = spark.read.option("header", "true").option("escape", '"').csv(out)
+    got = {(r["name"], int(r["n"])) for r in back.collect()}
+    assert got == {("Sữa, hộp 4", 1), ('He said "hi"', 2)}
+
+
+def test_decode_cookie_json(spark):
+    import urllib.parse
+
+    raw = urllib.parse.quote('{"did": "abc-123", "v": 2}')
+    df = spark.createDataFrame([(raw,)], "cookie string")
+    r = df.select(ops.decode_cookie_json(F.col("cookie"), "$.did").alias("did")).collect()[0]
+    assert r["did"] == "abc-123"

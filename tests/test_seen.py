@@ -4,13 +4,12 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import functions as F
-
 from frontier_engine.seen import (
     SeenConfig,
+    compact_state,
     empty_state,
     filter_unseen,
-    update_bitmaps,
+    update_state,
     with_bucket,
 )
 
@@ -22,48 +21,63 @@ def _cand_df(spark, hashes, cfg):
 
 def test_empty_state_passes_everything(spark):
     cfg = SeenConfig(n_buckets=8, bits_per_bucket=1 << 12)
-    bm, su = empty_state(spark, cfg)
+    state = empty_state(spark, cfg)
     hashes = [random.Random(1).randrange(-(2**63), 2**63) for _ in range(500)]
     cand = _cand_df(spark, hashes, cfg)
-    out = filter_unseen(cand, bm, su, cfg)
+    out = filter_unseen(cand, state, cfg)
     assert sorted(r["url_hash"] for r in out.collect()) == sorted(hashes)
 
 
 def test_roundtrip_exact_with_tiny_bitmap(spark):
-    # tiny bitmap → guaranteed Bloom false positives; backstop must keep it exact
+    # tiny bitmap → guaranteed Bloom false positives; the exact runs must
+    # keep the seen set EXACT regardless
     cfg = SeenConfig(n_buckets=4, bits_per_bucket=256, k=4)
     rng = random.Random(42)
     all_hashes = list({rng.randrange(-(2**63), 2**63) for _ in range(2000)})
     seen_half = all_hashes[:1000]
     unseen_half = all_hashes[1000:]
 
-    bm, su = empty_state(spark, cfg)
+    state = empty_state(spark, cfg)
     newly = _cand_df(spark, seen_half, cfg).select("bucket", "url_hash")
-    bm2 = update_bitmaps(bm, newly, cfg)
-    su2 = su.unionByName(newly)
+    state = state.unionByName(update_state(state, newly, cfg, epoch=0))
 
     cand = _cand_df(spark, all_hashes, cfg)
-    out = filter_unseen(cand, bm2, su2, cfg)
+    out = filter_unseen(cand, state, cfg)
     got = sorted(r["url_hash"] for r in out.collect())
     assert got == sorted(unseen_half)
 
     # everything marked seen → nothing passes
-    bm3 = update_bitmaps(bm2, _cand_df(spark, unseen_half, cfg).select("bucket", "url_hash"), cfg)
-    su3 = su2.unionByName(_cand_df(spark, unseen_half, cfg).select("bucket", "url_hash"))
-    assert filter_unseen(cand, bm3, su3, cfg).count() == 0
+    newly2 = _cand_df(spark, unseen_half, cfg).select("bucket", "url_hash")
+    state2 = state.unionByName(update_state(state, newly2, cfg, epoch=1))
+    assert filter_unseen(cand, state2, cfg).count() == 0
 
 
-def test_incremental_updates_merge(spark):
+def test_incremental_runs_and_compaction(spark):
     cfg = SeenConfig(n_buckets=4, bits_per_bucket=1 << 12)
-    bm, su = empty_state(spark, cfg)
-    batches = [[1, 2, 3], [4, 5], [6]]
-    for b in batches:
-        newly = _cand_df(spark, b, cfg).select("bucket", "url_hash")
-        bm = update_bitmaps(bm, newly, cfg)
-        su = su.unionByName(newly)
+    state = empty_state(spark, cfg)
+    for epoch, batch in enumerate([[1, 2, 3], [4, 5], [6]]):
+        newly = _cand_df(spark, batch, cfg).select("bucket", "url_hash")
+        state = state.unionByName(update_state(state, newly, cfg, epoch))
     cand = _cand_df(spark, list(range(10)), cfg)
-    out = sorted(r["url_hash"] for r in filter_unseen(cand, bm, su, cfg).collect())
+    out = sorted(r["url_hash"] for r in filter_unseen(cand, state, cfg).collect())
     assert out == [0, 7, 8, 9]
-    # bitmap table stays one row per touched bucket
-    counts = bm.groupBy("bucket").count().collect()
+
+    # LSM compaction: one row per bucket afterwards, same membership
+    compacted = compact_state(state, cfg, epoch=99)
+    counts = compacted.groupBy("bucket").count().collect()
     assert all(r["count"] == 1 for r in counts)
+    out2 = sorted(r["url_hash"] for r in filter_unseen(cand, compacted, cfg).collect())
+    assert out2 == out
+
+
+def test_bitmap_is_cumulative_across_epochs(spark):
+    cfg = SeenConfig(n_buckets=1, bits_per_bucket=1 << 12)
+    state = empty_state(spark, cfg)
+    state = state.unionByName(
+        update_state(state, _cand_df(spark, [10], cfg).select("bucket", "url_hash"), cfg, 0)
+    )
+    state = state.unionByName(
+        update_state(state, _cand_df(spark, [20], cfg).select("bucket", "url_hash"), cfg, 1)
+    )
+    # both epochs' keys must test seen (latest bitmap covers epoch-0 keys)
+    assert filter_unseen(_cand_df(spark, [10, 20, 30], cfg), state, cfg).count() == 1

@@ -77,9 +77,16 @@ def test_kill_resume_equals_uninterrupted(spark, corpus):
         rb = {r["url"]: r["text"] for r in b.read(spark, "records").collect()}
         assert ra == rb
 
-        ha = sorted(r["url_hash"] for r in a.read(spark, "seen_urls").collect())
-        hb = sorted(r["url_hash"] for r in b.read(spark, "seen_urls").collect())
-        assert ha == hb
+        import numpy as np
+
+        def seen_hashes(store):
+            out = set()
+            for r in store.read(spark, "seen_state").collect():
+                if r["exact"]:
+                    out.update(np.frombuffer(r["exact"], dtype="<i8").tolist())
+            return sorted(out)
+
+        assert seen_hashes(a) == seen_hashes(b)
     finally:
         shutil.rmtree(wh_full, ignore_errors=True)
         shutil.rmtree(wh_part, ignore_errors=True)
