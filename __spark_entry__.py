@@ -466,7 +466,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_gate": """
             SELECT user_id, count(*) AS n_events,
-                   CAST(sum(CASE WHEN prev IS NULL OR abs(prev - value)/prev >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+                   CAST(sum(CASE WHEN prev IS NULL THEN 1
+                                 WHEN prev = 0 THEN CASE WHEN value <> 0 THEN 1 ELSE 0 END
+                                 WHEN abs(prev - value)/abs(prev) >= 0.01 THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_changes
             FROM (SELECT user_id, value,
                          lag(value) OVER (PARTITION BY user_id ORDER BY event_id) prev
                   FROM events WHERE event_type = 'purchase')

@@ -114,35 +114,34 @@ def _minhash_params(num_perm: int, seed: int = 42):
 
 
 def minhash_signature_udf(num_perm: int = 128, seed: int = 42):
-    """pandas UDF: array<string> shingles → array<long> MinHash signature.
+    """pandas UDF: array<long> shingle HASHES → array<long> MinHash signature.
 
-    Universal hashing (a*x+b mod Mersenne-61) over xxhash-like 64-bit
-    shingle hashes, fully vectorized in numpy per row batch.
+    String hashing stays JVM-side (``xxhash64`` inside a higher-order
+    ``transform`` — see :func:`shingle_hashes`); the UDF is pure numpy:
+    universal hashing (a*x+b mod Mersenne-61) over the 64-bit shingle
+    hashes, min per permutation.
     """
     a, b = _minhash_params(num_perm, seed)
 
-    def _hash_shingles(shingles: list[str]) -> np.ndarray:
-        if not shingles:
+    def _sig_of(hashes) -> np.ndarray:
+        if hashes is None or len(hashes) == 0:
             return np.full(num_perm, np.int64(2**62), dtype=np.int64)
-        # FNV-1a 64-bit, vectorized enough per doc (few hundred shingles)
-        hs = np.fromiter(
-            (hash_fnv1a(s) for s in shingles), dtype=np.uint64, count=len(shingles)
-        )
+        hs = np.asarray(hashes, dtype=np.int64).view(np.uint64)
         vals = (a[None, :] * hs[:, None] + b[None, :]) % _MINHASH_PRIME
         return vals.min(axis=0).astype(np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(shingles: pd.Series) -> pd.Series:
-        return shingles.map(lambda s: _hash_shingles(list(s) if s is not None else []))
+    def sig(shingle_hashes: pd.Series) -> pd.Series:
+        return shingle_hashes.map(_sig_of)
 
     return sig
 
 
-def hash_fnv1a(s: str) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    for byte in s.encode("utf-8"):
-        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-    return h
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct 64-bit shingle hashes, computed entirely JVM-side."""
+    return F.transform(
+        F.array_distinct(word_shingles(text, k)), lambda s: F.xxhash64(s)
+    )
 
 
 def minhash_bands(sig_col: Column, bands: int, rows: int) -> Column:
@@ -178,7 +177,7 @@ def minhash_candidate_pairs(
     sig_udf = minhash_signature_udf(num_perm, seed)
     sigs = df.select(
         F.col(id_col).alias("id"),
-        sig_udf(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sig"),
+        sig_udf(shingle_hashes(F.col(text_col), shingle_k)).alias("sig"),
     ).persist()
     banded = sigs.select(
         "id", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
@@ -206,23 +205,26 @@ def minhash_candidate_pairs(
 
 
 def simhash_udf(seed: int = 42):
-    """pandas UDF: array<string> tokens → long 64-bit SimHash."""
+    """pandas UDF: array<long> token HASHES → long 64-bit SimHash.
+
+    Token hashing stays JVM-side (xxhash64 in a higher-order transform);
+    the UDF is pure numpy bit-vote math.
+    """
 
     @F.pandas_udf(T.LongType())
-    def sim(tokens: pd.Series) -> pd.Series:
-        def one(toks) -> int:
-            if toks is None or len(toks) == 0:
-                return 0
-            hs = np.fromiter((hash_fnv1a(t) for t in toks), dtype=np.uint64, count=len(toks))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out = np.uint64(0)
-            for i in range(64):
-                if v[i] > 0:
-                    out |= np.uint64(1) << np.uint64(i)
-            return int(out.astype(np.int64))
+    def sim(token_hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
 
-        return tokens.map(one)
+        def one(hashes) -> int:
+            if hashes is None or len(hashes) == 0:
+                return 0
+            hs = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            word = np.where(v > 0, np.uint64(1), np.uint64(0)) << shifts
+            return int(word.sum(dtype=np.uint64).astype(np.int64))
+
+        return token_hashes.map(one)
 
     return sim
 
@@ -233,7 +235,8 @@ def simhash_near_dup_pairs(
     """SimHash near-dups: 4×16-bit chunk LSH (any pair within Hamming ≤ 3
     shares at least one exact chunk — pigeonhole), verify with bit_count."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) >= 1)
-    sims = df.select(F.col(id_col).alias("id"), simhash_udf()(toks).alias("simhash"))
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    sims = df.select(F.col(id_col).alias("id"), simhash_udf()(tok_hashes).alias("simhash"))
     chunks = sims.select(
         "id",
         "simhash",

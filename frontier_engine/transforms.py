@@ -307,10 +307,19 @@ def cdc_changed(
     sort-merge per AQE)."""
     prev = prev_df.select(*keys, F.col(price_col).alias("_prev_price"))
     j = new_df.join(prev, list(keys), "left")
-    changed = F.col("_prev_price").isNull() | (
-        F.abs(F.col("_prev_price") - F.col(price_col)) / F.col("_prev_price") >= pct
-    )
+    changed = _cdc_pred(F.col("_prev_price"), F.col(price_col), pct)
     return j.withColumn("price_changed", changed).drop("_prev_price")
+
+
+def _cdc_pred(prev: Column, new: Column, pct: float) -> Column:
+    """No prior → changed; zero prior → changed iff value differs (the
+    reference divides blindly and would crash on 0 — cdc.py:10); else the
+    relative-delta threshold."""
+    return (
+        F.when(prev.isNull(), F.lit(True))
+        .when(prev == 0, new != 0)
+        .otherwise(F.abs(prev - new) / F.abs(prev) >= pct)
+    )
 
 
 def lag_cdc(df: DataFrame, keys: tuple[str, ...], ts_col: str, price_col: str, pct: float = 0.01) -> DataFrame:
@@ -319,7 +328,4 @@ def lag_cdc(df: DataFrame, keys: tuple[str, ...], ts_col: str, price_col: str, p
 
     w = Window.partitionBy(*keys).orderBy(ts_col)
     prev = F.lag(price_col).over(w)
-    return df.withColumn(
-        "price_changed",
-        prev.isNull() | (F.abs(prev - F.col(price_col)) / prev >= pct),
-    )
+    return df.withColumn("price_changed", _cdc_pred(prev, F.col(price_col), pct))

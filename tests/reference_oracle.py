@@ -169,4 +169,6 @@ def o_parse_price(price_str: str) -> float:
 def o_cdc_changed(prev_price: float | None, new_price: float, pct: float = 0.01) -> bool:
     if prev_price is None:
         return True
-    return abs(prev_price - new_price) / prev_price >= pct
+    if prev_price == 0:
+        return new_price != 0
+    return abs(prev_price - new_price) / abs(prev_price) >= pct
