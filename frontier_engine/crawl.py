@@ -26,6 +26,7 @@ byte-identical at any parallelism (SURVEY.md §7.4).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +38,9 @@ from .seen import SeenConfig, empty_state, filter_unseen, update_state, with_buc
 from .snapshot import SnapshotStore
 
 
+BASE_TS = datetime(2025, 6, 14, 0, 0, 0)
+
+
 @dataclass(frozen=True)
 class CrawlConfig:
     max_depth: int = 6
@@ -45,8 +49,20 @@ class CrawlConfig:
     retry_decay: float = 0.5
     max_fetch_attempts: int = 2
     collect_stats: bool = True
+    # T3 freshness: re-enqueue each successfully fetched URL to be fetched
+    # again N epochs later (with decayed priority); None disables recrawl
+    recrawl_after_epochs: int | None = None
+    recrawl_priority_decay: float = 0.25
     drain: DrainConfig = field(default_factory=DrainConfig)
     seen: SeenConfig = field(default_factory=SeenConfig)
+
+
+def _epoch_ts(cfg: CrawlConfig, epoch: int) -> str:
+    """Deterministic logical clock: BASE + epoch × epoch_seconds (never
+    wall clock — SURVEY.md §7.4.5)."""
+    return (BASE_TS + timedelta(seconds=epoch * cfg.drain.epoch_seconds)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
 
 
 def _merge_frontier(parts: list[DataFrame]) -> DataFrame:
@@ -112,7 +128,7 @@ def run_crawl(
         if cfg.max_epochs is not None and epochs_run >= cfg.max_epochs:
             break
 
-        drain_res = drain_epoch(frontier, robots, cfg.drain)
+        drain_res = drain_epoch(frontier, robots, cfg.drain, epoch_ts=_epoch_ts(cfg, epoch))
         drained, rest, blocked = drain_res
         drained = drained.persist()
         n_drained = drained.count()
@@ -191,7 +207,27 @@ def run_crawl(
         )
 
         rest_rows = rest.select(*[f.name for f in FRONTIER_SCHEMA.fields])
-        next_frontier = _merge_frontier([rest_rows, children_unseen, retries])
+        merge_parts = [rest_rows, children_unseen, retries]
+
+        if cfg.recrawl_after_epochs is not None:
+            # T3 recrawl: fetched pages come back into the frontier, dormant
+            # until their ready_ts (the reference re-runs whole groups every
+            # ~1/4 day — /root/reference/crawler/json_fetch.py:29)
+            recrawl_rows = ok.select(
+                "url",
+                "url_hash",
+                "host",
+                (F.col("priority") * cfg.recrawl_priority_decay).alias("priority"),
+                "depth",
+                F.lit(epoch + cfg.recrawl_after_epochs).cast("long").alias("enqueue_seq"),
+                F.lit(_epoch_ts(cfg, epoch + cfg.recrawl_after_epochs))
+                .cast("timestamp")
+                .alias("ready_ts"),
+                F.lit(0).alias("fetch_attempts"),
+            )
+            merge_parts.append(recrawl_rows)
+
+        next_frontier = _merge_frontier(merge_parts)
 
         # --- per-partition lineage (north_star: partition id, host range,
         #     URLs emitted/deduped, politeness-latency spread)

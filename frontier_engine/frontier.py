@@ -195,16 +195,25 @@ def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None =
 
 
 def drain_epoch(
-    frontier: DataFrame, robots: DataFrame, cfg: DrainConfig
+    frontier: DataFrame,
+    robots: DataFrame,
+    cfg: DrainConfig,
+    epoch_ts: str | None = None,
 ) -> DrainResult:
     """One politeness epoch: → DrainResult(drained, rest, blocked).
 
-    ``rest`` = allowed-but-over-budget rows, in original frontier schema,
-    carried to the next epoch. ``blocked`` = robots-disallowed rows
-    (dropped from the frontier; counted in lineage). ``allowed`` feeds both
-    the drain and the rest anti-join, so it is pinned for the epoch —
-    release via ``DrainResult.unpersist()`` after materializing outputs.
+    ``rest`` = allowed-but-over-budget rows plus not-yet-ready rows
+    (``ready_ts > epoch_ts`` — the T3 recrawl/freshness gate, skipped when
+    ``epoch_ts`` is None), in original frontier schema, carried to the next
+    epoch. ``blocked`` = robots-disallowed rows (dropped from the frontier;
+    counted in lineage).
     """
+    frontier_cols = [f.name for f in FRONTIER_SCHEMA.fields]
+    if epoch_ts is not None:
+        deferred = frontier.filter(F.col("ready_ts") > F.lit(epoch_ts).cast("timestamp"))
+        frontier = frontier.filter(F.col("ready_ts") <= F.lit(epoch_ts).cast("timestamp"))
+    else:
+        deferred = None
     # NB: ``allowed`` is consumed by both the drain and the rest anti-join,
     # but it is a cheap map-side projection of the (normally already
     # persisted) frontier — recomputing beats double-caching 10^8 wide rows.
@@ -214,6 +223,6 @@ def drain_epoch(
     rest = allowed.join(
         drained.select("url_hash").hint("shuffle_hash"), "url_hash", "left_anti"
     ).drop("crawl_delay", "budget")
-    return DrainResult(
-        drained, rest, blocked.select(*[f.name for f in FRONTIER_SCHEMA.fields]), cached
-    )
+    if deferred is not None:
+        rest = rest.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))
+    return DrainResult(drained, rest, blocked.select(*frontier_cols), cached)

@@ -133,3 +133,43 @@ class SnapshotStore:
             f.write(f"manifest-{sid}.json")
         os.replace(cur_tmp, os.path.join(self.warehouse, "CURRENT"))
         return sid
+
+
+def diff_table(
+    spark: SparkSession,
+    store: SnapshotStore,
+    table: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    from_id: int,
+    to_id: int | None = None,
+):
+    """T4/E7 change detection between snapshots via time travel: rows in
+    ``to`` that are new or whose value columns changed vs ``from``.
+
+    The reference's CDC is a per-row point lookup against the previous
+    price (common/cdc.py:4-11); here it is one key join between two
+    immutable snapshots — no state service, no per-row round trips.
+    Output: to-rows + ``change_type`` ('added' | 'changed').
+    """
+    from pyspark.sql import functions as F
+
+    old = store.read(spark, table, snapshot_id=from_id)
+    new = store.read(spark, table, snapshot_id=to_id)
+    if new is None:
+        raise ValueError(f"table {table!r} missing at snapshot {to_id}")
+    if old is None:
+        return new.withColumn("change_type", F.lit("added"))
+    old_vals = old.select(
+        *key_cols, *[F.col(c).alias(f"_old_{c}") for c in value_cols]
+    )
+    j = new.join(old_vals, key_cols, "left")
+    is_added = F.col(f"_old_{value_cols[0]}").isNull()
+    is_changed = F.lit(False)
+    for c in value_cols:
+        is_changed = is_changed | (F.col(c) != F.col(f"_old_{c}"))
+    return (
+        j.filter(is_added | is_changed)
+        .withColumn("change_type", F.when(is_added, "added").otherwise("changed"))
+        .drop(*[f"_old_{c}" for c in value_cols])
+    )
