@@ -179,16 +179,23 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("id"),
         sig_udf(shingle_hashes(F.col(text_col), shingle_k)).alias("sig"),
     ).persist()
+    # band join ships ONLY ids — the 128-long signature arrays are attached
+    # afterwards to the (few) surviving candidate pairs, not to every banded
+    # row in the shuffle
     banded = sigs.select(
-        "id", "sig", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
-    ).select("id", "sig", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
-    left = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash")
-    right = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash")
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    left = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     cand = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sigs = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     agree = F.aggregate(
         F.zip_with(
@@ -197,7 +204,7 @@ def minhash_candidate_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    est = cand.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
+    est = with_sigs.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
     return est.select("id_a", "id_b", "est_jaccard")
 
 

@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--no-stats", action="store_true")
+    ap.add_argument("--recrawl-epochs", type=int, default=None,
+                    help="re-fetch pages every N epochs (T3 freshness)")
     args = ap.parse_args(argv)
 
     from frontier_engine import fixtures
@@ -47,6 +49,7 @@ def main(argv=None):
         max_depth=args.max_depth,
         max_epochs=args.max_epochs,
         collect_stats=not args.no_stats,
+        recrawl_after_epochs=args.recrawl_epochs,
         drain=DrainConfig(epoch_seconds=args.epoch_seconds),
     )
     t0 = time.time()
