@@ -331,6 +331,16 @@ def q_lsh_ann(spark, sf):
     return top.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_ivf_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ann.train_ivf_centroids(emb, dim=64, n_centroids=8)
+    top = ann.ivf_topk(emb, q, cents, k=5, n_probe=4)
+    return top.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_embedding_near_dup(spark, sf):
     # near-uniform random embeddings have no high-cosine pairs, so plant
     # exact duplicates (id+100000) of vec_id<20 — the op must find them all
@@ -395,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "fingerprint": q_fingerprint,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
     }

@@ -127,6 +127,93 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic k-means centroids trained on a fixed sample.
+
+    Training on a bounded sample then broadcasting centroids is the
+    standard IVF recipe at any scale (the full corpus is only ever
+    ASSIGNED, one matrix multiply per Arrow batch). Sample = first
+    ``sample_rows`` by id (deterministic), init = first ``n_centroids``
+    sample vectors — no RNG, so rebuilds are identical.
+    """
+    sample = np.vstack(
+        [r[vec_col] for r in corpus.orderBy(id_col).limit(sample_rows).collect()]
+    ).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = sample[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """pandas UDF: embedding → array of the n_probe nearest centroid ids
+    (one matrix multiply per Arrow batch)."""
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vec: pd.Series) -> pd.Series:
+        mat = np.vstack(vec.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top), index=vec.index)
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in ONE inverted list (their
+    nearest centroid); queries probe their ``n_probe`` nearest lists; exact
+    cosine only inside probed lists. The scan fraction is ~n_probe/n_lists.
+    """
+    c_assign = ivf_assign_udf(centroids, 1)
+    q_assign = ivf_assign_udf(centroids, n_probe)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("cluster"),
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col),
+        F.explode(q_assign(F.col(query_vec_col))).alias("cluster"),
+    )
+    cands = c.join(F.broadcast(q), "cluster").drop("cluster")
+    scored = cands.withColumn("cosine", cosine_col(F.col(vec_col), F.col(query_vec_col)))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .dropDuplicates([query_id_col, id_col])
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

@@ -79,3 +79,21 @@ def test_embedding_near_dup_pairs(spark, corpus):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for r in base:
         assert (r["vec_id"], 10_000 + r["vec_id"]) in got
+
+
+def test_ivf_topk_recall(spark, corpus, queries):
+    qdf, qids = queries
+    cents = ann.train_ivf_centroids(corpus, dim=64, n_centroids=8)
+    assert cents.shape == (8, 64)
+    # deterministic: retraining gives identical centroids
+    again = ann.train_ivf_centroids(corpus, dim=64, n_centroids=8)
+    import numpy as np
+
+    assert np.array_equal(cents, again)
+    exact = ann.brute_force_topk(corpus, qdf, k=5)
+    approx = ann.ivf_topk(corpus, qdf, cents, k=5, n_probe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # random vectors; n_probe=4 of 8 lists
+    assert all((q, q) in a for q in qids)  # self vector always found
