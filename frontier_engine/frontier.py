@@ -16,12 +16,12 @@ Generalizes the reference's scheduling semantics:
 Drain is two-phase so that mega-host skew cannot blow up a single task
 while the selected set stays EXACTLY the global per-host top-k:
 
-  phase 1: group by (host, salt) where ``salt = pmod(url_hash, n_salts)``
-           and n_salts grows with the host's backlog; an applyInPandas
-           partial top-k takes at most ``budget`` rows per salt → the
-           per-task working set is bounded by backlog/n_salts, and the
-           union over salts is a superset of the true top-k.
-  phase 2: a window over the small superset (≤ n_salts × budget rows per
+  phase 1: group by (host, salt) with unconditional
+           ``salt = pmod(url_hash, max_salts)``; an applyInPandas exact
+           top-``budget`` per (host, salt) → the per-task working set is
+           bounded by backlog/max_salts, and the union over salts is a
+           superset of the true per-host top-k.
+  phase 2: a window over the small superset (≤ max_salts × budget rows per
            host) takes the exact top-``budget`` and assigns politeness
            slots ``slot × crawl_delay``.
 
