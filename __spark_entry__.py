@@ -2,8 +2,10 @@
 
 ``queries()`` exposes every operator family from SURVEY.md §2 over the
 driver-provided tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-everything ANSI-SQL-expressible (non-SQL ops — MinHash/SimHash/LSH/
-fingerprint/multimodal — are rows-only checked by design).
+EVERY query, including the approximate/sketch ops (MinHash/SimHash/LSH/IVF/
+fingerprint/multimodal) — each of those is designed so its output is
+deterministically equal to an exact SQL recomputation on the fixed test
+corpora (see the determinism notes above q_minhash_near_dup).
 
 Float discipline for hash-stable comparisons: money sums are exact
 fixed-point (floor-to-cents bigint), trig/cosine outputs are rounded, and
@@ -299,52 +301,86 @@ def q_ann_topk(spark, sf):
     return top.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), F.col("rank").cast("long").alias("rank"))
 
 
-# ------------------------------------------------- rows-only (non-SQL ops)
+# ---------------------- formerly rows-only ops, now oracle-checked
+#
+# Determinism notes (why each approximate op can be hash-compared against an
+# exact SQL oracle on the driver's FIXED sf0.01 tables — verified empirically
+# at sf0.001/0.01/0.1 in tests/test_entry_oracles.py):
+# - minhash: candidates go through an EXACT shingle-Jaccard verify, so the
+#   only failure mode is a missed candidate. The corpus' true pairs are all
+#   at jaccard ≥ 0.8 (none in [0.4, 0.8)); with 32 bands × 4 rows the miss
+#   probability per such pair is (1-0.8^4)^32 < 5e-8, and the pipeline is
+#   deterministic given the fixed data, so candidates ⊇ true pairs holds on
+#   every run once verified.
+# - simhash: chunk-LSH with n_chunks = max_hamming+1 has EXACT recall by
+#   pigeonhole; the md5_60 token hash is recomputable in DuckDB SQL.
+# - fingerprint: poly31 scheme = codepoint Horner mod 2^31-1, recomputable
+#   via DuckDB list_reduce; winnowing mirrored with a window-min.
+# - lsh/ivf ANN: candidate sets verified to contain the exact top-k at all
+#   three SFs (nt=32/nb=4; nc=16/np=8), so the reranked output equals the
+#   brute-force oracle deterministically on this data.
+# - embedding near-dup: planted exact duplicates have identical sign
+#   sketches (same bucket in every table → recall 1 by construction);
+#   natural max cosine is ≤ 0.61 ≪ the 0.99 threshold at every SF.
 
 
 def q_minhash_near_dup(spark, sf):
+    """MinHash+LSH candidates → exact shingle-Jaccard verify ≥ 0.5."""
     d = _t(spark, sf, "documents")
-    pairs = TX.minhash_candidate_pairs(d, num_perm=64, bands=16)
-    return pairs.filter(F.col("est_jaccard") >= 0.5).select(
-        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    cand = TX.minhash_candidate_pairs(d, num_perm=128, bands=32, attach_estimate=False)
+    verified = TX.ngram_jaccard_pairs(d, cand, k=3)
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
 def q_simhash_near_dup(spark, sf):
     d = _t(spark, sf, "documents")
-    return TX.simhash_near_dup_pairs(d, max_hamming=6)
+    pairs = TX.simhash_near_dup_pairs(d, max_hamming=3, token_hash="md5_60")
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
-    fp = TX.fingerprint_udf()
+    fp = TX.fingerprint_udf(window=8, k=16, scheme="poly31")
     return d.select("doc_id", F.size(fp(F.col("text"))).cast("long").alias("n_fingerprints"))
 
 
-def q_lsh_ann(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+def _ann_inputs(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    dim = 64
-    top = ann.lsh_topk(emb, q, dim=dim, k=5, n_bits=4, n_tables=16)
-    return top.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+    return emb, q
+
+
+def q_lsh_ann(spark, sf):
+    emb, q = _ann_inputs(spark, sf)
+    top = ann.lsh_topk(emb, q, dim=64, k=5, n_bits=4, n_tables=32)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_ivf_ann(spark, sf):
-    emb = _t(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    emb, q = _ann_inputs(spark, sf)
+    cents = ann.train_ivf_centroids(emb, dim=64, n_centroids=16)
+    top = ann.ivf_topk(emb, q, cents, k=5, n_probe=8)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
-    cents = ann.train_ivf_centroids(emb, dim=64, n_centroids=8)
-    top = ann.ivf_topk(emb, q, cents, k=5, n_probe=4)
-    return top.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def q_embedding_near_dup(spark, sf):
     # near-uniform random embeddings have no high-cosine pairs, so plant
     # exact duplicates (id+100000) of vec_id<20 — the op must find them all
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
     dup = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -355,7 +391,8 @@ def q_embedding_near_dup(spark, sf):
 
 def q_multimodal_decode(spark, sf):
     """Binary media plumbing: deterministic payloads derived from doc ids →
-    decode/feature-extract via mapInPandas."""
+    decode/feature-extract via mapInPandas. The fake body is a closed form
+    ((seed*31 + i*7) % 256), so the oracle recomputes the features in SQL."""
     import pandas as pd
 
     d = _t(spark, sf, "documents").select("doc_id")
@@ -376,7 +413,32 @@ def q_multimodal_decode(spark, sf):
             )
 
     media = d.mapInPandas(make_media, schema="media_id long, payload binary")
-    return MM.decode_features(media).select("media_id", "kind", "width", "n_bytes", "mean_byte")
+    return MM.decode_features(media).select(
+        "media_id", "kind", "width", "n_bytes", F.round("mean_byte", 4).alias("mean_byte")
+    )
+
+
+def q_ngram_search(spark, sf):
+    """K6: token-bigram inverted index build + multi-term lookup."""
+    from frontier_engine import index as IX
+
+    d = _t(spark, sf, "documents")
+    postings = IX.build_postings(d, n=2)
+    return IX.match_counts(postings, NGRAM_TERMS)
+
+
+NGRAM_TERMS = ["part filter", "table hash", "sort query"]
+
+
+def q_batch_infer(spark, sf):
+    """C9: batched model inference (mapInPandas, per-worker model singleton)
+    with a deterministic closed-form model the oracle recomputes in SQL."""
+    from frontier_engine.infer import batch_infer, heuristic_quality_model
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return batch_infer(
+        d, heuristic_quality_model, "doc_id long, score double, label string"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -408,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
+        "ngram_search": q_ngram_search,
+        "batch_infer": q_batch_infer,
     }
 
 
@@ -440,6 +504,19 @@ FROM (SELECT doc_id, text,
              greatest(len(lower(text)), 1) AS n,
              greatest(len({_TOKS}), 1) AS nt
       FROM documents)
+"""
+
+
+_BRUTE_TOPK_SQL = """
+    SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                                         c.vec_id ASC) AS rank
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q)
+    WHERE rank <= 5
 """
 
 
@@ -564,15 +641,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://x.example/e' || CAST(event_id AS VARCHAR) AS url
             FROM events WHERE event_id % 3 <> 0
         """,
-        "ann_topk": """
-            SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS cosine,
-                     row_number() OVER (PARTITION BY q.vec_id
-                                        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
-                                                 c.vec_id ASC) AS rank
-              FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q)
-            WHERE rank <= 5
+        "ann_topk": _BRUTE_TOPK_SQL,
+        # lsh/ivf candidate sets provably contain the exact top-k on the
+        # fixed test corpora (see the determinism notes above q_lsh_ann), so
+        # the reranked approximate output equals the brute-force oracle
+        "lsh_ann": _BRUTE_TOPK_SQL,
+        "ivf_ann": _BRUTE_TOPK_SQL,
+        "minhash_near_dup": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+              FROM toks),
+            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS i
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b, round(i/(na+nb-i), 4) AS jaccard FROM inter
+            WHERE i/(na+nb-i) >= 0.5
+        """,
+        "simhash_near_dup": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) AS h FROM toks),
+            bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                     FROM h, range(60) r(b) GROUP BY 1, 2),
+            sim AS (SELECT d.doc_id,
+                           coalesce((SELECT sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                                     FROM bits WHERE bits.doc_id = d.doc_id), 0) AS simhash
+                    FROM documents d)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "fingerprint": """
+            WITH cps AS (
+              SELECT doc_id, len(text) AS n,
+                     CAST(list_transform(range(1, len(text)+1), i -> unicode(text[i])) AS BIGINT[]) AS cp
+              FROM documents),
+            pos AS (
+              SELECT doc_id, n, cp, unnest(range(1, n - 16 + 2)) AS i
+              FROM cps WHERE n >= 16),
+            kg AS (
+              SELECT doc_id, i,
+                     list_reduce(cp[i:i+15], (acc, c) -> (acc * 257 + c) % 2147483647) AS h
+              FROM pos),
+            wm AS (
+              SELECT doc_id, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+                     max(i) OVER (PARTITION BY doc_id) AS m
+              FROM kg),
+            cnt AS (
+              SELECT doc_id, count(DISTINCT wmin) AS nf
+              FROM wm WHERE i <= greatest(m - 7, 1) GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(cnt.nf, 0) AS BIGINT) AS n_fingerprints
+            FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+        """,
+        "embedding_near_dup": """
+            WITH planted AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings WHERE vec_id < 20)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+            FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(32 + doc_id % 64 AS INTEGER) AS width,
+                   CAST(256 AS INTEGER) AS n_bytes,
+                   round(list_sum(list_transform(range(0, 256), i -> (doc_id * 31 + i * 7) % 256)) / 256.0, 4) AS mean_byte
+            FROM documents
+        """,
+        "ngram_search": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            bg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 2 THEN []
+                   ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END)) AS ngram
+                   FROM toks)
+            SELECT doc_id, count(DISTINCT ngram) AS n_terms FROM bg
+            WHERE ngram IN ({", ".join(f"'{t}'" for t in NGRAM_TERMS)})
+            GROUP BY doc_id
+        """,
+        "batch_infer": f"""
+            SELECT doc_id,
+                   (CAST(len({_TOKS}) * 7 + len(text) AS BIGINT) % 100) / 100.0 AS score,
+                   CASE WHEN (CAST(len({_TOKS}) * 7 + len(text) AS BIGINT) % 100) / 100.0 > 0.5
+                        THEN 'keep' ELSE 'drop' END AS label
+            FROM documents
         """,
     }

@@ -97,7 +97,7 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_bits: int = 10,
+    n_bits: int | None = 10,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -107,7 +107,10 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: union of n_tables hyperplane-bucket joins,
     exact cosine inside buckets only. Candidate set = docs sharing ≥1
-    bucket with the query in any table."""
+    bucket with the query in any table. ``n_bits=None`` derives the bucket
+    count from corpus size (:func:`auto_bits`)."""
+    if n_bits is None:
+        n_bits = auto_bits(corpus.count())
     cands = None
     for t in range(n_tables):
         b = hyperplane_bucket_udf(dim, n_bits, t, seed)
@@ -214,18 +217,40 @@ def ivf_topk(
     )
 
 
+def auto_bits(n_rows: int, target_bucket: int = 1024, min_bits: int = 4, max_bits: int = 24) -> int:
+    """Derive hyperplane-LSH bit width from corpus size so expected bucket
+    occupancy stays ~``target_bucket`` rows: ``n_bits ≈ log2(n/target)``.
+
+    A fixed bit width makes the intra-bucket self-join quadratic in corpus
+    size (N²/2^bits); deriving it keeps per-bucket work bounded as the
+    corpus grows — the difference between sf0.1 and 100 TB.
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     n_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    target_bucket: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup detection: LSH self-join then exact cosine
-    ≥ threshold. Output (id_a < id_b, cosine)."""
+    ≥ threshold. Output (id_a < id_b, cosine).
+
+    ``n_bits=None`` derives the bucket count from the corpus size via
+    :func:`auto_bits` (one count job — run it on the cached/written corpus).
+    """
+    if n_bits is None:
+        n_bits = auto_bits(corpus.count(), target_bucket)
     pairs = None
     for t in range(n_tables):
         b = hyperplane_bucket_udf(dim, n_bits, t, seed)

