@@ -278,13 +278,20 @@ def q_politeness_drain(spark, sf):
 
 def q_seen_filter(spark, sf):
     """Two-tier seen-set (Bloom bitmap + exact backstop) vs plain anti-join."""
+    from frontier_engine.canon import url_hash2_col
+
     e = _t(spark, sf, "events")
     url = F.concat(F.lit("https://x.example/e"), F.col("event_id").cast("string"))
-    cand = e.select(url.alias("url"), F.xxhash64(url).alias("url_hash"), "event_id")
-    seen_rows = cand.filter(F.col("event_id") % 3 == 0).select("url_hash")
+    cand = e.select(
+        url.alias("url"),
+        F.xxhash64(url).alias("url_hash"),
+        url_hash2_col(url).alias("url_hash2"),
+        "event_id",
+    )
+    seen_rows = cand.filter(F.col("event_id") % 3 == 0).select("url_hash", "url_hash2")
     cfg = SeenConfig(n_buckets=16, bits_per_bucket=1 << 14)
     state = empty_state(spark, cfg)
-    newly = with_bucket(seen_rows, cfg).select("bucket", "url_hash")
+    newly = with_bucket(seen_rows, cfg).select("bucket", "url_hash", "url_hash2")
     state = state.unionByName(update_state(state, newly, cfg, epoch=0))
     unseen = filter_unseen(with_bucket(cand, cfg), state, cfg)
     return unseen.select("url")

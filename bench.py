@@ -99,13 +99,16 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
     # URLs scheduled+deduped/sec: candidates = every corpus URL (+50%
     # pre-seen) → two-tier seen filter → politeness drain, one epoch
     cfg = SeenConfig(n_buckets=256, bits_per_bucket=1 << 17)
-    cu = canon.canonicalize_col(F.col("url"))
+
     fr_reps = 8
-    cand = replicated(fr_reps, []).select(
-        cu.alias("url"),
-        canon.url_hash_col(cu).alias("url_hash"),
-        canon.host_col(cu).alias("host"),
-        (F.pmod(F.xxhash64(cu), F.lit(1000)) / 1000.0).alias("priority"),
+    cand = canon.identity_first(
+        replicated(fr_reps, []).withColumnRenamed("url", "raw"), F.col("raw"), "c_url"
+    ).select(
+        F.col("c_url").alias("url"),
+        "url_hash",
+        "url_hash2",
+        "host",
+        (F.pmod(F.col("url_hash"), F.lit(1000)) / 1000.0).alias("priority"),
         F.lit(0).alias("depth"),
         F.lit(0).cast("long").alias("enqueue_seq"),
         F.lit("2025-06-14 00:00:00").cast("timestamp").alias("ready_ts"),
@@ -113,12 +116,14 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
     )
     n_cand = base_n * fr_reps
     state = empty_state(spark, cfg)
-    pre = with_bucket(cand.filter(F.col("url_hash") % 2 == 0).select("url_hash"), cfg).select("bucket", "url_hash")
+    pre = with_bucket(
+        cand.filter(F.col("url_hash") % 2 == 0).select("url_hash", "url_hash2"), cfg
+    ).select("bucket", "url_hash", "url_hash2")
     state = state.unionByName(update_state(state, pre, cfg, epoch=0)).persist()
     state.count()
 
     def frontier_epoch():
-        unseen = filter_unseen(with_bucket(cand, cfg), state, cfg).drop("bucket")
+        unseen = filter_unseen(with_bucket(cand, cfg), state, cfg).drop("bucket", "url_hash2")
         res = drain_epoch(
             unseen, robots, DrainConfig(epoch_seconds=3600.0, max_salts=8)
         )

@@ -12,7 +12,10 @@ tests/test_canon.py):
                         codegen, used in the hot path (no Python per row)
 
 Canonical form:
-  * strip surrounding whitespace
+  * strip surrounding whitespace — an EXPLICIT charset (space, \t, \n, \r,
+    \f, \v, NBSP) applied identically on both paths; Python's bare
+    ``str.strip()`` and Spark's ``F.trim`` disagree on tabs/newlines/NBSP,
+    which would split the dedup identity between engine and oracle
   * drop the fragment (``#...``)
   * lowercase scheme and netloc
   * strip default ports (``:80`` for http, ``:443`` for https)
@@ -34,9 +37,14 @@ from pyspark.sql import functions as F
 _URL_PATTERN = "(?i)^(https?)://([^/?#]+)([^#]*)$"
 _URL_RE = re.compile(_URL_PATTERN)
 
+# the one whitespace set both engines strip: Java \s (space \t \n \x0B \f \r)
+# plus NBSP. Java regex: [\s ]; Python str.strip charset below.
+_STRIP_CHARS = " \t\n\x0b\f\r\u00a0"
+_STRIP_RE = "^[\\s\\u00A0]+|[\\s\\u00A0]+$"
+
 
 def canonicalize_py(url: str) -> str:
-    u = url.strip()
+    u = url.strip(_STRIP_CHARS)
     h = u.find("#")
     if h >= 0:
         u = u[:h]
@@ -46,10 +54,13 @@ def canonicalize_py(url: str) -> str:
     scheme = m.group(1).lower()
     netloc = m.group(2).lower()
     rest = m.group(3)
-    if scheme == "http" and netloc.endswith(":80"):
-        netloc = netloc[:-3]
-    elif scheme == "https" and netloc.endswith(":443"):
-        netloc = netloc[:-4]
+    # strip the scheme's default port only when the host part (after the
+    # last @) carries exactly one colon — otherwise stripping would expose
+    # another ':NN' suffix and canonicalization would not be idempotent
+    hostpart = netloc[netloc.rfind("@") + 1 :]
+    default = ":80" if scheme == "http" else ":443"
+    if hostpart.endswith(default) and ":" not in hostpart[: -len(default)]:
+        netloc = netloc[: -len(default)]
     if rest == "":
         rest = "/"
     return f"{scheme}://{netloc}{rest}"
@@ -79,36 +90,53 @@ def path_of_py(canonical_url: str) -> str:
 
 
 def canonicalize_col(url: Column) -> Column:
-    """Column-expression twin of :func:`canonicalize_py` (whole-stage codegen)."""
-    u = F.trim(url)
-    u = F.when(u.contains("#"), F.substring_index(u, "#", 1)).otherwise(u)
+    """Column-expression twin of :func:`canonicalize_py` (whole-stage codegen).
+
+    Built COMPACT on purpose: the stripped+defragged intermediate is
+    referenced ~6× (Catalyst expressions are trees — every reference
+    inlines the subtree), and the default-port strip runs as two
+    post-assembly regexp_replaces instead of a netloc CASE that would
+    quadruple the references. This keeps the whole expression small enough
+    to stay under the JVM 64 KB codegen limit even when the optimizer
+    substitutes it into a pushed-down filter predicate.
+    """
+    # strip + defrag in one chain; (?s) so '#.*' consumes internal newlines
+    u = F.regexp_replace(F.regexp_replace(url, _STRIP_RE, ""), "(?s)#.*", "")
     scheme = F.lower(F.regexp_extract(u, _URL_PATTERN, 1))
     netloc = F.lower(F.regexp_extract(u, _URL_PATTERN, 2))
     rest = F.regexp_extract(u, _URL_PATTERN, 3)
-    netloc = (
-        F.when(
-            (scheme == "http") & netloc.endswith(":80"),
-            F.substring(netloc, 1, F.length(netloc) - 3),
-        )
-        .when(
-            (scheme == "https") & netloc.endswith(":443"),
-            F.substring(netloc, 1, F.length(netloc) - 4),
-        )
-        .otherwise(netloc)
+    assembled = F.concat(
+        scheme, F.lit("://"), netloc, F.when(rest == "", F.lit("/")).otherwise(rest)
     )
-    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
-    canonical = F.concat(scheme, F.lit("://"), netloc, rest)
-    return F.when(scheme == "", u).otherwise(canonical)
+    canonical = F.when(scheme == "", u).otherwise(assembled)
+    # default-port strip AFTER assembly (scheme+netloc already lowercase):
+    # ':80'/':443' at the end of the authority, for the matching scheme,
+    # only when the host part has no other colon (idempotence — see
+    # canonicalize_py)
+    canonical = F.regexp_replace(
+        canonical, "^(http://(?:[^/?#]*@)?[^/?#:]*):80(?=[/?#]|$)", "$1"
+    )
+    canonical = F.regexp_replace(
+        canonical, "^(https://(?:[^/?#]*@)?[^/?#:]*):443(?=[/?#]|$)", "$1"
+    )
+    return canonical
+
+
+# host of a canonical URL in ONE regex: authority minus userinfo (greedy
+# [^/?#]*@ swallows up to the LAST @) minus a trailing all-digit port
+# (backtracking makes the lazy host group give up ':digits' only when the
+# whole port matches to the boundary — same as host_of_py's rfind+isdigit)
+_HOST_PATTERN = "(?i)^https?://(?:[^/?#]*@)?([^/?#]*?)(?::[0-9]+)?(?=[/?#]|$)"
 
 
 def host_col(canonical_url: Column) -> Column:
-    """Host of an already-canonical URL (netloc minus userinfo/port)."""
-    netloc = F.regexp_extract(canonical_url, _URL_PATTERN, 2)
-    netloc = F.substring_index(netloc, "@", -1)
-    after = F.substring_index(netloc, ":", -1)
-    has_port = netloc.contains(":") & after.rlike("^[0-9]+$")
-    stripped = F.substring(netloc, 1, F.length(netloc) - F.length(after) - 1)
-    return F.when(has_port, stripped).otherwise(netloc)
+    """Host of an already-canonical URL (netloc minus userinfo/port).
+
+    Single ``regexp_extract`` so that expressions referencing it (and
+    filters the optimizer pushes down with it inlined) stay small — the old
+    CASE form inlined the netloc extraction 8×.
+    """
+    return F.regexp_extract(canonical_url, _HOST_PATTERN, 1)
 
 
 def path_col(canonical_url: Column) -> Column:
@@ -124,3 +152,41 @@ def url_hash_col(canonical_url: Column) -> Column:
     hash of the URL string is ever needed.
     """
     return F.xxhash64(canonical_url)
+
+
+def canonical_first(df, raw_col: Column, url_name: str = "url"):
+    """Materialize the canonical URL in its own projection so downstream
+    columns (hashes, host) and filters reference an attribute instead of
+    re-inlining the canonical expression per use. (Catalyst expressions are
+    trees; CollapseProject will not re-merge a non-cheap, multiply-
+    referenced alias.)"""
+    return df.withColumn(url_name, canonicalize_col(raw_col))
+
+
+def identity_first(df, raw_col: Column, url_name: str = "url"):
+    """Canonical url + url_hash + url_hash2 + host in staged projections —
+    each derived column references the canonical attribute once.
+
+    NOTE the optimizer may still push a downstream filter (e.g.
+    ``host != ''``) below these projections with the aliases substituted —
+    that is fine and even desirable (rows drop at the scan) BECAUSE
+    canonicalize_col/host_col are deliberately compact; see their
+    docstrings for the 64 KB codegen-budget reasoning.
+    """
+    d = canonical_first(df, raw_col, url_name)
+    return (
+        d.withColumn("host", host_col(F.col(url_name)))
+        .withColumn("url_hash", url_hash_col(F.col(url_name)))
+        .withColumn("url_hash2", url_hash2_col(F.col(url_name)))
+    )
+
+
+def url_hash2_col(canonical_url: Column) -> Column:
+    """Independent second 64-bit hash (a salt column ahead of the URL gives
+    a different xxhash64 stream). Together with :func:`url_hash_col` this is
+    a 128-bit identity: at 10^10 URLs the expected number of (h1, h2)
+    collisions is n²/2^129 ≈ 10^-19, vs ~2-3 silent merges for 64 bits —
+    the exact-tier key is (h1, h2), matching the reference's exact PK
+    semantics (/root/reference/db/__init__.py:40) without storing strings.
+    """
+    return F.xxhash64(F.lit("fe-h2"), canonical_url)

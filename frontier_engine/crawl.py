@@ -11,11 +11,14 @@ the per-host token budget, and its "Mongo is the state" becomes per-epoch
 atomic snapshots with lineage.
 
 "Fetch" is a batch join of the drained frontier against the Common-Crawl
--style ``pages`` corpus: the drained side is politeness-budget-bounded and
-therefore small, so the join is a broadcast hash join with the corpus
-streamed — no shuffle of the big side, no collect. At warehouse scale the
-corpus would additionally be bucketed by ``bucket(url_hash)`` so the probe
-prunes files; in local mode we persist the projected corpus in memory once.
+-style ``pages`` corpus. The corpus is hash-repartitioned by ``url`` ONCE
+(and persisted), so every epoch's fetch join reuses that distribution and
+shuffles only the drained side; the drained side is NOT force-broadcast —
+its size is Σ per-host budgets, which grows linearly with host count (at
+millions of hosts a forced broadcast OOMs the driver), so AQE picks
+broadcast only when the epoch's drain is actually small. At warehouse
+scale the corpus would be a bucketed table on ``bucket(url_hash)`` with
+the same effect across jobs.
 
 Determinism: every ordering used anywhere is data-derived
 (priority DESC, enqueue_seq ASC, url ASC) — never partition order, never
@@ -28,13 +31,20 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import canon
 from .extract import links_udf, text_udf
 from .frontier import FRONTIER_SCHEMA, DrainConfig, drain_epoch, frontier_from_seeds
-from .seen import SeenConfig, empty_state, filter_unseen, update_state, with_bucket
+from .seen import (
+    SeenConfig,
+    compact_state,
+    empty_state,
+    filter_unseen,
+    update_state,
+    with_bucket,
+)
 from .snapshot import SnapshotStore
 
 
@@ -53,6 +63,13 @@ class CrawlConfig:
     # again N epochs later (with decayed priority); None disables recrawl
     recrawl_after_epochs: int | None = None
     recrawl_priority_decay: float = 0.25
+    # LSM hygiene: every K epochs merge each seen bucket's exact runs into
+    # one (bounds cogroup input at K runs/bucket); None disables
+    compact_every: int | None = 8
+    # snapshot GC: keep only the last K snapshots' manifests + data files
+    # (resume only ever needs the latest; time travel needs history — set
+    # None to retain everything)
+    expire_keep_last: int | None = None
     drain: DrainConfig = field(default_factory=DrainConfig)
     seen: SeenConfig = field(default_factory=SeenConfig)
 
@@ -66,16 +83,20 @@ def _epoch_ts(cfg: CrawlConfig, epoch: int) -> str:
 
 
 def _merge_frontier(parts: list[DataFrame]) -> DataFrame:
-    """Union frontier row sources and merge per url_hash, componentwise:
+    """Union frontier row sources and merge per URL, componentwise:
     keep max priority, min depth/enqueue_seq/ready_ts, max fetch_attempts.
     (Last-wins dedup J3 generalized to an order-free deterministic merge —
     /root/reference/crawler/stores/cooponline.py:468-471.)
+
+    The merge key is the full ``url``, not ``url_hash``: grouping on the
+    64-bit hash silently merges distinct colliding URLs (~n²/2^65 expected
+    — real at 10^10), and one of them would never be crawled.
     """
     allf = parts[0]
     for p in parts[1:]:
         allf = allf.unionByName(p)
-    return allf.groupBy("url_hash").agg(
-        F.min("url").alias("url"),
+    return allf.groupBy("url").agg(
+        F.min("url_hash").alias("url_hash"),
         F.min("host").alias("host"),
         F.max("priority").alias("priority"),
         F.min("depth").alias("depth"),
@@ -97,14 +118,20 @@ def run_crawl(
     store = SnapshotStore(warehouse)
     robots = spark.read.parquet(robots_path)
 
+    # one corpus shuffle up front: hash-distribute by the join key so every
+    # epoch's fetch join reuses this partitioning (only the drained side
+    # moves per epoch); at warehouse scale this is the bucketed-table layout
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pages = (
-        spark.read.parquet(pages_path)
-        .select(
-            canon.canonicalize_col(F.col("url")).alias("url"),
-            "warc_ts",
-            "html",
-            "lang",
+        canon.canonical_first(
+            spark.read.parquet(pages_path).select(
+                F.col("url").alias("raw"), "warc_ts", "html", "lang"
+            ),
+            F.col("raw"),
+            "url",
         )
+        .select("url", "warc_ts", "html", "lang")
+        .repartition(n_shuffle, "url")
         .persist()
     )
 
@@ -136,10 +163,12 @@ def run_crawl(
             drained.unpersist()
             break
 
-        # --- simulated fetch: corpus ⋈ broadcast(drained), big side streamed
-        ok = pages.join(F.broadcast(drained), "url", "inner").persist()
+        # --- simulated fetch: corpus ⋈ drained on the corpus' resident
+        # partitioning; no forced broadcast (AQE may still choose one when
+        # the epoch's drain is genuinely small)
+        ok = pages.join(drained, "url", "inner").persist()
         ok_urls = ok.select("url")
-        missing = drained.join(F.broadcast(ok_urls), "url", "left_anti")
+        missing = drained.join(ok_urls, "url", "left_anti")
 
         # --- extraction (vectorized pandas UDF; byte-identical invariant)
         records_inc = ok.select(
@@ -159,25 +188,33 @@ def run_crawl(
             F.lit(epoch).alias("epoch"), "host", "slot", "sched_offset", "url", "url_hash"
         )
 
-        # --- seen update: first-time schedules only (retries already seen)
+        # --- seen update: first-time schedules only (retries already seen);
+        # identity is the 128-bit (url_hash, url_hash2) pair
         newly = with_bucket(
-            drained.filter(F.col("fetch_attempts") == 0).select("url_hash"), cfg.seen
-        ).select("bucket", "url_hash")
+            drained.filter(F.col("fetch_attempts") == 0).select(
+                "url_hash", canon.url_hash2_col(F.col("url")).alias("url_hash2")
+            ),
+            cfg.seen,
+        ).select("bucket", "url_hash", "url_hash2")
         seen_inc = update_state(seen_state, newly, cfg.seen, epoch)
         seen_after = seen_state.unionByName(seen_inc)
 
-        # --- link expansion → child frontier rows
-        child_url = canon.canonicalize_col(F.col("raw_link"))
+        # --- link expansion → child frontier rows (canonical URL gets its
+        # own projection so the derived hash/host columns reference an
+        # attribute, not 4 inlined copies of the canonical CASE — see
+        # canon.canonical_first)
+        exploded = ok.select(
+            "depth",
+            "priority",
+            F.explode(links_udf(F.col("html"), F.col("url"))).alias("raw_link"),
+        )
         children = (
-            ok.select(
-                "depth",
-                "priority",
-                F.explode(links_udf(F.col("html"), F.col("url"))).alias("raw_link"),
-            )
+            canon.identity_first(exploded, F.col("raw_link"), "c_url")
             .select(
-                child_url.alias("url"),
-                canon.url_hash_col(child_url).alias("url_hash"),
-                canon.host_col(child_url).alias("host"),
+                F.col("c_url").alias("url"),
+                "url_hash",
+                "url_hash2",
+                "host",
                 (F.col("priority") * cfg.priority_decay).alias("priority"),
                 (F.col("depth") + 1).alias("depth"),
                 F.lit(epoch + 1).cast("long").alias("enqueue_seq"),
@@ -188,7 +225,7 @@ def run_crawl(
         )
         children_unseen = filter_unseen(
             with_bucket(children, cfg.seen), seen_after, cfg.seen
-        ).drop("bucket")
+        ).drop("bucket", "url_hash2")
 
         # --- retry / dead-letter (reference has print-and-continue only —
         #     /root/reference/crawler/stores/bhx.py:604-606; we re-enqueue
@@ -233,7 +270,7 @@ def run_crawl(
         #     URLs emitted/deduped, politeness-latency spread)
         lineage_inc = (
             drained.withColumn("partition_id", F.spark_partition_id())
-            .join(F.broadcast(ok_urls.withColumn("fetched", F.lit(True))), "url", "left")
+            .join(ok_urls.withColumn("fetched", F.lit(True)), "url", "left")
             .groupBy("partition_id", "host")
             .agg(
                 F.lit(epoch).alias("epoch"),
@@ -247,26 +284,64 @@ def run_crawl(
         )
 
         stats = {"epoch": epoch, "n_drained": n_drained}
+
+        # stats come from df.observe() on DataFrames the commit writes
+        # anyway — zero extra jobs (the old per-epoch .count() calls each
+        # re-ran the full epoch DAG)
+        observations: dict[str, Observation] = {}
         if cfg.collect_stats:
-            stats.update(
-                n_records=records_inc.count(),
-                n_blocked=blocked.count(),
-                n_frontier_next=next_frontier.count(),
+            observations["n_records"] = Observation()
+            records_inc = records_inc.observe(
+                observations["n_records"], F.count(F.lit(1)).alias("n")
             )
-            total_records += stats["n_records"]
+            observations["n_frontier_next"] = Observation()
+            next_frontier = next_frontier.observe(
+                observations["n_frontier_next"], F.count(F.lit(1)).alias("n")
+            )
+            observations["n_blocked"] = Observation()
+            blocked = blocked.observe(
+                observations["n_blocked"], F.count(F.lit(1)).alias("n")
+            )
+
+        # LSM compaction every K epochs: replace the seen table with one
+        # merged run per bucket instead of appending another run
+        compacting = (
+            cfg.compact_every is not None
+            and epoch > 0
+            and (epoch + 1) % cfg.compact_every == 0
+        )
+        replace_tables = {"frontier": next_frontier}
+        append_tables = {
+            "records": records_inc,
+            "schedule": schedule_inc,
+            "lineage": lineage_inc,
+            "dead_letter": dead_inc,
+            "blocked": blocked,
+        }
+        if compacting:
+            replace_tables["seen_state"] = compact_state(seen_after, cfg.seen, epoch)
+        else:
+            append_tables["seen_state"] = seen_inc
+
+        # stats_fn runs after the data writes (observations complete) but
+        # before the manifest write, so the manifest is immutable-complete
+        def observed_stats() -> dict:
+            return {k: int(o.get["n"]) for k, o in observations.items()}
 
         store.commit(
             epoch,
-            replace={"frontier": next_frontier},
-            append={
-                "seen_state": seen_inc,
-                "records": records_inc,
-                "schedule": schedule_inc,
-                "lineage": lineage_inc,
-                "dead_letter": dead_inc,
-            },
+            replace=replace_tables,
+            append=append_tables,
             stats=stats,
+            stats_fn=observed_stats if cfg.collect_stats else None,
         )
+
+        if cfg.collect_stats:
+            stats.update(observed_stats())
+            total_records += stats["n_records"]
+
+        if cfg.expire_keep_last is not None:
+            store.expire_snapshots(keep_last=cfg.expire_keep_last)
 
         drained.unpersist()
         ok.unpersist()

@@ -71,11 +71,12 @@ class DrainConfig:
 
 def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
     """seeds(url, priority) → frontier rows at depth 0, enqueue_seq 0."""
-    cu = canon.canonicalize_col(F.col("url"))
-    df = seeds.select(
-        cu.alias("url"),
-        canon.url_hash_col(cu).alias("url_hash"),
-        canon.host_col(cu).alias("host"),
+    df = canon.identity_first(
+        seeds.select("priority", F.col("url").alias("raw")), F.col("raw"), "url"
+    ).select(
+        "url",
+        "url_hash",
+        "host",
         F.col("priority").cast("double").alias("priority"),
         F.lit(0).alias("depth"),
         F.lit(0).cast("long").alias("enqueue_seq"),
@@ -219,8 +220,13 @@ def drain_epoch(
     cached: list[DataFrame] = []
     allowed, blocked = apply_robots(frontier, robots, cfg)
     drained = drain(allowed, cfg, cached)
+    # anti-join on (url_hash, url): the hash does the discrimination, the
+    # url guards the 64-bit collision case (two distinct URLs, equal hash —
+    # dropping both from ``rest`` would lose one forever)
     rest = allowed.join(
-        drained.select("url_hash").hint("shuffle_hash"), "url_hash", "left_anti"
+        drained.select("url_hash", "url").hint("shuffle_hash"),
+        ["url_hash", "url"],
+        "left_anti",
     ).drop("crawl_delay", "budget")
     if deferred is not None:
         rest = rest.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))

@@ -10,21 +10,29 @@ partitioned by ``bucket = pmod(url_hash, B)``. Per epoch, each touched
 bucket appends one row:
 - ``bitmap``: the bucket's FULL blocked-Bloom filter after the epoch
   (cumulative — reading the max-epoch row gives current tier 1),
-- ``exact``: ONLY this epoch's new url_hashes, as a sorted int64 numpy
-  array (little-endian bytes) — the exact tier accumulates as immutable
-  sorted runs, LSM-fashion; membership is a vectorized ``searchsorted``
-  per run, and a compaction job can merge runs at leisure.
+- ``exact``: ONLY this epoch's new identities, as (h1, h2) int64 PAIRS
+  sorted lexicographically (little-endian bytes, row-major) — the exact
+  tier accumulates as immutable sorted runs, LSM-fashion; membership is a
+  vectorized ``searchsorted`` per run, and :func:`compact_state` merges
+  runs at leisure.
+
+The identity is 128-bit: h1 = xxhash64(url), h2 = a salted second xxhash64
+(canon.url_hash2_col). A 64-bit-only exact tier silently merges ~n²/2^65
+distinct URLs (≈ 2-3 at 10^10 — each one a page never crawled); at 128
+bits the expectation is ~10^-19, i.e. the seen set is exact in the same
+sense as the reference's PK upsert (/root/reference/db/__init__.py:40).
+Bloom probes still use h1 alone — tier 1 is allowed false positives
+because tier 2 confirms, and false positives never drop a URL.
 
 Epoch dedup is ONE cogrouped map (candidates×state aligned on bucket) that
-tests tier 1 and, for Bloom-positives only, tier 2 — returning just the
-CONFIRMED-SEEN hashes — plus one JVM anti-join to drop them. Bloom false
-positives therefore never drop a URL: the seen set is EXACT, matching the
-reference's probe-then-upsert semantics. No driver-side state anywhere
+tests tier 1 and, for Bloom-positives only, tier 2 — returning the
+candidate rows that are NOT confirmed-seen. No driver-side state anywhere
 (contrast ``df.stat.bloomFilter``, which cannot hold 10^10 keys).
 
-Scale math: 10^10 URLs / 1% FPR ≈ 9.6 bits/key ≈ 12 GB of bitmap + 80 GB
-of exact runs; with B = 2^14 buckets that is ~730 KB bitmap + ~5 MB exact
-per bucket — one modest Arrow batch per cogroup task, appends O(increment).
+Scale math: 10^10 URLs / 1% FPR ≈ 9.6 bits/key ≈ 12 GB of bitmap + 160 GB
+of exact pair runs; with B = 2^14 buckets that is ~730 KB bitmap + ~10 MB
+exact per bucket — one modest Arrow batch per cogroup task, appends
+O(increment).
 """
 
 from __future__ import annotations
@@ -88,11 +96,37 @@ def _bitmap_set(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
 
 
 def _exact_runs(state: pd.DataFrame) -> list[np.ndarray]:
+    """Each run: (n, 2) int64 array of (h1, h2) rows, lex-sorted."""
     return [
-        np.frombuffer(b, dtype="<i8")
+        np.frombuffer(b, dtype="<i8").reshape(-1, 2)
         for b in state["exact"]
         if b is not None and len(b) > 0
     ]
+
+
+def _sort_pairs(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Distinct (h1, h2) rows in lexicographic order, as an (n, 2) array."""
+    pairs = np.column_stack([h1, h2])
+    if not np.issubdtype(pairs.dtype, np.integer):
+        # a float dtype here means a null or out-of-range hash upstream —
+        # casting would silently corrupt identities
+        raise TypeError(f"hash columns must be int64, got {pairs.dtype}")
+    return np.unique(pairs, axis=0)
+
+
+def _run_contains(run: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Vectorized membership of (h1, h2) in one lex-sorted run."""
+    rh1 = run[:, 0]
+    left = np.searchsorted(rh1, h1, side="left")
+    right = np.searchsorted(rh1, h1, side="right")
+    out = np.zeros(len(h1), dtype=bool)
+    width = right - left
+    one = width == 1  # the overwhelmingly common case: unique h1 in the run
+    idx = left[one]
+    out[one] = run[idx, 1] == h2[one]
+    for i in np.flatnonzero(width > 1):  # h1 collision inside the run: rare
+        out[i] = bool((run[left[i] : right[i], 1] == h2[i]).any())
+    return out
 
 
 def _latest_bitmap(state: pd.DataFrame) -> np.ndarray | None:
@@ -117,10 +151,12 @@ def filter_unseen(
     seen_state: DataFrame,
     cfg: SeenConfig,
 ) -> DataFrame:
-    """Return the candidate rows whose url_hash is NOT in the seen set.
+    """Return the candidate rows whose (url_hash, url_hash2) identity is NOT
+    in the seen set.
 
-    ``candidates`` must carry a ``bucket`` column (see :func:`with_bucket`);
-    all candidate columns pass through.
+    ``candidates`` must carry ``bucket`` (see :func:`with_bucket`) and both
+    hash columns (``url_hash2`` via canon.url_hash2_col); all candidate
+    columns pass through.
 
     One shuffle, zero joins: the full candidate rows flow through the
     bucket-aligned cogroup and only the unseen ones flow out. (A slim
@@ -136,16 +172,16 @@ def filter_unseen(
         bitmap = _latest_bitmap(state) if not state.empty else None
         if bitmap is None:
             return cand[colnames]
-        hashes = cand["url_hash"].to_numpy()
-        pos = _probe_positions(hashes.view(np.uint64), k_cfg)
+        h1 = cand["url_hash"].to_numpy()
+        h2 = cand["url_hash2"].to_numpy()
+        pos = _probe_positions(h1.view(np.uint64), k_cfg)
         maybe = _bitmap_test(bitmap, pos)
         if not maybe.any():
             return cand[colnames]
-        sub = hashes[maybe]
-        seen_mask = np.zeros(len(sub), dtype=bool)
-        for run in _exact_runs(state):  # runs are non-empty sorted arrays
-            idx = np.minimum(np.searchsorted(run, sub), len(run) - 1)
-            seen_mask |= run[idx] == sub
+        sub1, sub2 = h1[maybe], h2[maybe]
+        seen_mask = np.zeros(len(sub1), dtype=bool)
+        for run in _exact_runs(state):  # runs are non-empty lex-sorted pairs
+            seen_mask |= _run_contains(run, sub1, sub2)
         drop = np.zeros(len(cand), dtype=bool)
         drop[np.flatnonzero(maybe)[seen_mask]] = True
         return cand.loc[~drop, colnames]
@@ -164,7 +200,8 @@ def update_state(
     epoch: int,
 ) -> DataFrame:
     """One appended seen_state row per touched bucket: cumulative bitmap +
-    this epoch's sorted exact run. Input needs (bucket, url_hash)."""
+    this epoch's lex-sorted exact pair run. Input needs
+    (bucket, url_hash, url_hash2)."""
     m_bytes = cfg.bits_per_bucket // 8
     k_cfg = cfg
 
@@ -174,20 +211,20 @@ def update_state(
         bucket = int(key[0])
         prior = _latest_bitmap(state)
         bitmap = np.zeros(m_bytes, dtype=np.uint8) if prior is None else prior.copy()
-        hashes = np.unique(new["url_hash"].to_numpy())
-        pos = _probe_positions(hashes.view(np.uint64), k_cfg)
+        pairs = _sort_pairs(new["url_hash"].to_numpy(), new["url_hash2"].to_numpy())
+        pos = _probe_positions(pairs[:, 0].view(np.uint64), k_cfg)
         bitmap = _bitmap_set(bitmap, pos)
         return pd.DataFrame(
             {
                 "bucket": [bucket],
                 "epoch": [epoch],
                 "bitmap": [bitmap.tobytes()],
-                "exact": [np.sort(hashes).astype("<i8").tobytes()],
+                "exact": [pairs.astype("<i8").tobytes()],
             }
         )
 
     return (
-        newly_seen.select("bucket", "url_hash")
+        newly_seen.select("bucket", "url_hash", "url_hash2")
         .groupBy("bucket")
         .cogroup(seen_state.groupBy("bucket"))
         .applyInPandas(merge_fn, schema=SEEN_STATE_SCHEMA)
@@ -202,7 +239,11 @@ def compact_state(seen_state: DataFrame, cfg: SeenConfig, epoch: int) -> DataFra
         bucket = int(pdf["bucket"].iloc[0])
         bitmap = _latest_bitmap(pdf)
         runs = _exact_runs(pdf)
-        merged = np.unique(np.concatenate(runs)) if runs else np.array([], dtype="<i8")
+        merged = (
+            np.unique(np.concatenate(runs, axis=0), axis=0)
+            if runs
+            else np.empty((0, 2), dtype="<i8")
+        )
         return pd.DataFrame(
             {
                 "bucket": [bucket],

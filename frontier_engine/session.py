@@ -57,6 +57,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    # Shuffle/spill media: prefer RAM-backed /dev/shm over the box's single
+    # shared /tmp disk. On a real cluster every executor brings its own
+    # local disks, so per-node shuffle bandwidth scales with N; on this one
+    # box the disk is a CONSTANT shared term that corrupts N-vs-4N scaling
+    # measurements (BENCH/BASELINE.md) and adds 10-20% run-to-run jitter.
+    # Override with SPARK_LOCAL_DIRS (standard Spark env var) if RAM is
+    # tight.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/fe-spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -39,7 +39,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotStore:
-    APPEND_TABLES = {"records", "seen_state", "schedule", "lineage", "dead_letter", "stream_records"}
+    APPEND_TABLES = {
+        "records", "seen_state", "schedule", "lineage", "dead_letter",
+        "blocked", "stream_records",
+    }
 
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
@@ -76,12 +79,19 @@ class SnapshotStore:
         return spark.read.parquet(*paths)
 
     def history(self) -> list[dict]:
+        """Manifest chain oldest→newest; stops at the expiry horizon (a
+        parent manifest removed by :meth:`expire_snapshots`)."""
         out = []
         m = self.current_manifest()
         while m is not None:
             out.append(m)
             pid = m["parent_id"]
-            m = self.manifest(pid) if pid is not None else None
+            if pid is None:
+                break
+            try:
+                m = self.manifest(pid)
+            except FileNotFoundError:
+                break
         return list(reversed(out))
 
     # ------------------------------------------------------------ writing
@@ -102,8 +112,14 @@ class SnapshotStore:
         replace: dict[str, DataFrame],
         append: dict[str, DataFrame],
         stats: dict | None = None,
+        stats_fn=None,
     ) -> int:
-        """Write all data files, then publish one manifest atomically."""
+        """Write all data files, then publish one manifest atomically.
+
+        ``stats_fn``, if given, is called AFTER the data writes and its dict
+        merged into ``stats`` — the hook for ``df.observe()`` metrics, which
+        only materialize once the writes run.
+        """
         parent = self.current_manifest()
         parent_id = parent["snapshot_id"] if parent else None
         sid = (parent_id + 1) if parent_id is not None else 0
@@ -115,12 +131,16 @@ class SnapshotStore:
             inc = self._write_table(df, name, sid)
             tables[name] = list(tables.get(name, [])) + [inc]
 
+        all_stats = dict(stats or {})
+        if stats_fn is not None:
+            all_stats.update(stats_fn())
+
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent_id,
             "epoch": epoch,
             "tables": tables,
-            "stats": stats or {},
+            "stats": all_stats,
         }
         mpath = os.path.join(self.manifest_dir, f"manifest-{sid}.json")
         tmp = mpath + ".tmp"
@@ -133,6 +153,53 @@ class SnapshotStore:
             f.write(f"manifest-{sid}.json")
         os.replace(cur_tmp, os.path.join(self.warehouse, "CURRENT"))
         return sid
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """GC: keep the newest ``keep_last`` manifests, delete older
+        manifest files and every data directory no kept manifest references.
+
+        Append tables keep their full path lists in every manifest, so
+        their history survives expiry; what goes away is time travel to
+        expired snapshot ids and the superseded versions of replace tables
+        (old frontier snapshots — the bulk of the garbage in a long crawl).
+        """
+        kept: list[dict] = []
+        m = self.current_manifest()
+        while m is not None and len(kept) < keep_last:
+            kept.append(m)
+            pid = m["parent_id"]
+            if pid is None:
+                break
+            try:
+                m = self.manifest(pid)
+            except FileNotFoundError:
+                break
+        referenced = {
+            os.path.normpath(p)
+            for man in kept
+            for paths in man["tables"].values()
+            for p in paths
+        }
+        removed_dirs = 0
+        for table in os.listdir(self.data_dir):
+            tdir = os.path.join(self.data_dir, table)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                full = os.path.normpath(os.path.join(tdir, d))
+                if full not in referenced:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed_dirs += 1
+        keep_ids = {man["snapshot_id"] for man in kept}
+        removed_manifests = 0
+        for f in os.listdir(self.manifest_dir):
+            if not f.startswith("manifest-"):
+                continue
+            sid = int(f.removeprefix("manifest-").removesuffix(".json"))
+            if sid not in keep_ids:
+                os.remove(os.path.join(self.manifest_dir, f))
+                removed_manifests += 1
+        return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests}
 
 
 def diff_table(

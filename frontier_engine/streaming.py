@@ -54,11 +54,14 @@ def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
 
 
 def with_identity(pages: DataFrame) -> DataFrame:
-    cu = canon.canonicalize_col(F.col("url"))
-    return pages.select(
-        cu.alias("url"),
-        canon.url_hash_col(cu).alias("url_hash"),
-        canon.host_col(cu).alias("host"),
+    return canon.identity_first(
+        pages.select(F.col("url").alias("raw"), "warc_ts", "html", "lang"),
+        F.col("raw"),
+        "c_url",
+    ).select(
+        F.col("c_url").alias("url"),
+        "url_hash",
+        "host",
         "warc_ts",
         "html",
         "lang",
@@ -105,11 +108,30 @@ def run_ingest(
 
     Each micro-batch commits one snapshot (epoch = batch id), so the stream
     inherits the batch engine's resume-from-manifest semantics on top of
-    Structured Streaming's own checkpoint."""
+    Structured Streaming's own checkpoint.
+
+    foreachBatch is AT-LEAST-ONCE: if the job dies after the snapshot
+    commit but before the streaming checkpoint records the batch, the
+    restarted query REPLAYS the batch. The sink is therefore idempotent per
+    batch_id — replayed ids (already present in the manifest history's
+    stream stats) are skipped, upgrading the pipeline to effectively-once.
+    """
     store = SnapshotStore(warehouse)
     deduped = dedup_stream(stream_pages(spark, pages_dir), watermark)
+    committed_ids = {
+        m["stats"]["batch_id"]
+        for m in store.history()
+        if m["stats"].get("source") == "stream" and "batch_id" in m["stats"]
+    }
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in committed_ids:
+            # replay of a batch whose snapshot already committed: skip the
+            # commit but still drain every partition — Spark's state-store
+            # commit tracker requires foreachBatch to process the whole
+            # DataFrame (the dedup state behind it must advance)
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         extracted = batch_df.select(
             "url",
             "url_hash",
@@ -125,6 +147,7 @@ def run_ingest(
             append={"stream_records": extracted},
             stats={"source": "stream", "batch_id": int(batch_id)},
         )
+        committed_ids.add(int(batch_id))
 
     q = (
         deduped.writeStream.foreachBatch(sink)

@@ -22,6 +22,10 @@ CASES = [
     "http://host3.example:8080/x",
     "https://host1.example/p5#frag",
     "  https://host1.example  ",
+    "\thttps://a.example/x\n",
+    "\r\nhttps://b.example/y\t ",
+    " https://c.example/z ",  # NBSP padding
+    "\x0b\fhttps://d.example/w",
     "https://host1.example",
     "https://host1.example/?q=1#f",
     "https://user@host1.example/a",
@@ -30,6 +34,22 @@ CASES = [
     "https://host9.example/p1?page=2&size=10",
     "HTTPS://HOST0.EXAMPLE/A/B/C",
     "https://host0.example/p1#",
+    # port/userinfo/fragment edge cases for the compact regex forms
+    "http://x:80:80/x",
+    "http://x:8080",
+    "https://h:80/x",      # https + :80 → NOT stripped
+    "http://h:443/x",      # http + :443 → NOT stripped
+    "http://a@b:80/x",
+    "http://a@b@c/p",
+    "http://@h/",
+    "http://a@/",
+    "http://:80/x",
+    "http:///x",
+    "http://",
+    "https://h#frag\nwith newline",
+    "https://h/p#a#b#c",
+    "http://a:1:2/",
+    "http://h:80x/",
 ]
 
 
@@ -53,6 +73,22 @@ def test_canonicalize_matches_oracle(spark):
     ]
     want = [canonicalize_py(u) for u in urls]
     assert got == want
+
+
+def test_canonical_first_matches_oracle(spark):
+    from frontier_engine.canon import canonical_first
+
+    urls = CASES + _random_urls(seed=11)
+    df = spark.createDataFrame([(u,) for u in urls], ["raw"])
+    out = canonical_first(df, F.col("raw"), "url")
+    got = [r["url"] for r in out.select("url").collect()]
+    assert got == [canonicalize_py(u) for u in urls]
+    # compact canonical expression: one copy inlines the 2-op strip/defrag
+    # subtree ~6x + 2 port strips (= 14). The old CASE form was ~50 and
+    # multiplied to 250+ once a host filter was pushed through — the bound
+    # catches that class of regression
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") <= 20
 
 
 def test_host_and_path_match_oracle(spark):

@@ -90,11 +90,12 @@ def test_seen_set_matches_oracle(spark, engine_result, oracle_result):
     import numpy as np
 
     state = store.read(spark, "seen_state").collect()
-    hashes = set()
+    identities = set()  # exact tier stores 128-bit (h1, h2) rows
     for r in state:
         if r["exact"]:
-            hashes.update(np.frombuffer(r["exact"], dtype="<i8").tolist())
-    assert len(hashes) == len(oracle_result.seen)
+            arr = np.frombuffer(r["exact"], dtype="<i8").reshape(-1, 2)
+            identities.update(map(tuple, arr.tolist()))
+    assert len(identities) == len(oracle_result.seen)
 
 
 def test_records_byte_identical(spark, engine_result, oracle_result):

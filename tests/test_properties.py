@@ -9,12 +9,14 @@ from frontier_engine.canon import canonicalize_py, host_of_py, path_of_py
 
 url_like = st.one_of(
     st.builds(
-        lambda scheme, host, port, path, frag: f"{scheme}://{host}{port}{path}{frag}",
+        lambda pad_l, scheme, host, port, path, frag, pad_r: f"{pad_l}{scheme}://{host}{port}{path}{frag}{pad_r}",
+        st.sampled_from(["", " ", "\t", "\n", "\r\n", "\x0b\f", " ", "  \t"]),
         st.sampled_from(["http", "https", "HTTP", "Https", "HTTPS"]),
         st.from_regex(r"[A-Za-z0-9][A-Za-z0-9.\-]{0,20}", fullmatch=True),
         st.sampled_from(["", ":80", ":443", ":8080"]),
         st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,10}){0,4}(\?[a-z0-9=&]{0,12})?", fullmatch=True),
         st.sampled_from(["", "#frag", "#", "#a#b"]),
+        st.sampled_from(["", " ", "\t", "\n", " ", "\t  "]),
     ),
     st.text(max_size=40),
 )

@@ -92,6 +92,67 @@ def test_kill_resume_equals_uninterrupted(spark, corpus):
         shutil.rmtree(wh_part, ignore_errors=True)
 
 
+def test_compaction_and_expiry_preserve_crawl_equivalence(spark, corpus):
+    """Seen-run compaction (every 3 epochs) + snapshot GC (keep 2) + a kill
+    at epoch 3 with resume must yield the exact same crawl as a plain
+    uninterrupted run — and must actually bound runs and delete garbage."""
+    wh_plain = tempfile.mkdtemp(prefix="fe-plain-")
+    wh_lsm = tempfile.mkdtemp(prefix="fe-lsm-")
+    try:
+        run_crawl(
+            spark, corpus["pages"], corpus["seeds"], corpus["robots"], wh_plain,
+            _cfg(compact_every=None),
+        )
+        lsm_cfg = lambda **kw: _cfg(compact_every=3, expire_keep_last=2, **kw)  # noqa: E731
+        run_crawl(
+            spark, corpus["pages"], corpus["seeds"], corpus["robots"], wh_lsm,
+            lsm_cfg(max_epochs=3),
+        )
+        run_crawl(spark, corpus["pages"], corpus["seeds"], corpus["robots"], wh_lsm, lsm_cfg())
+
+        a, b = SnapshotStore(wh_plain), SnapshotStore(wh_lsm)
+        key = lambda r: (r["epoch"], r["host"], r["slot"], r["url"])  # noqa: E731
+        assert sorted(map(key, a.read(spark, "schedule").collect())) == sorted(
+            map(key, b.read(spark, "schedule").collect())
+        )
+
+        # compaction bound: ≤ compact_every runs per bucket at any time
+        state_rows = b.read(spark, "seen_state").groupBy("bucket").count().collect()
+        assert max(r["count"] for r in state_rows) <= 3
+
+        # GC: only the last 2 manifests remain, and no unreferenced data dirs
+        manifests = os.listdir(os.path.join(wh_lsm, "manifests"))
+        assert len(manifests) == 2
+        kept_paths = {
+            p
+            for m in b.history()
+            for ps in m["tables"].values()
+            for p in ps
+        }
+        on_disk = {
+            os.path.join(wh_lsm, "data", t, d)
+            for t in os.listdir(os.path.join(wh_lsm, "data"))
+            for d in os.listdir(os.path.join(wh_lsm, "data", t))
+        }
+        assert on_disk == kept_paths
+    finally:
+        shutil.rmtree(wh_plain, ignore_errors=True)
+        shutil.rmtree(wh_lsm, ignore_errors=True)
+
+
+def test_expire_snapshots_basics(spark, tmp_path):
+    wh = str(tmp_path / "wh-gc")
+    store = SnapshotStore(wh)
+    for i in range(4):
+        store.commit(i, replace={"t": spark.range(i + 1)}, append={"log": spark.range(1)})
+    res = store.expire_snapshots(keep_last=2)
+    assert res["removed_manifests"] == 2
+    assert res["removed_dirs"] == 2  # two superseded versions of "t"
+    assert store.read(spark, "t").count() == 4
+    assert store.read(spark, "log").count() == 4  # append history survives
+    assert [m["snapshot_id"] for m in store.history()] == [2, 3]
+
+
 def test_failed_commit_leaves_previous_snapshot_live(spark, tmp_path):
     wh = str(tmp_path / "wh2")
     store = SnapshotStore(wh)

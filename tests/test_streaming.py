@@ -54,6 +54,25 @@ def test_streaming_ingest_dedups_and_snapshots(spark, pages_dir, tmp_path):
     assert len(hist) >= 3  # 3 files, maxFilesPerTrigger=1
 
 
+def test_replayed_batch_commits_once(spark, pages_dir, tmp_path):
+    """foreachBatch is at-least-once: a batch whose snapshot already
+    committed (job died before the streaming checkpoint advanced) is
+    REPLAYED on restart and must not duplicate rows. Simulated by running
+    the same input with a FRESH checkpoint (all batches replay) against a
+    warehouse that already holds batch 0's snapshot."""
+    d, n_unique = pages_dir
+    wh = str(tmp_path / "wh-replay")
+    streaming.run_ingest(spark, d, wh, str(tmp_path / "ckpt1"))
+    store = SnapshotStore(wh)
+    rows_first = store.read(spark, "stream_records").count()
+    n_snapshots = len(store.history())
+
+    # fresh checkpoint → Spark reprocesses every file as batches 0..n again
+    streaming.run_ingest(spark, d, wh, str(tmp_path / "ckpt2"))
+    assert store.read(spark, "stream_records").count() == rows_first
+    assert len(store.history()) == n_snapshots  # no duplicate snapshots
+
+
 def test_host_window_counts_batch_semantics(spark):
     """Windowed agg logic validated on a static frame (same code path)."""
     paths = fixtures.corpus("mini")
