@@ -35,6 +35,11 @@ HEADLINE = [
     "lang_id",
     "exact_dedup",
     "minhash_near_dup",
+    "simhash_near_dup",
+    "fingerprint",
+    "ngram_search",
+    "batch_infer",
+    "embedding_near_dup",
     "ann_topk",
 ]
 

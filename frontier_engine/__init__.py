@@ -10,7 +10,7 @@ distributed dataflow over Spark DataFrames:
 - ``seen``       two-tier URL-seen set: partitioned blocked-Bloom bitmap
                  shards + exact sorted-parquet backstop
 - ``frontier``   per-host politeness token-bucket + priority drain
-                 (applyInPandas, skew-salted)
+                 (two-phase skew-salted JVM windows)
 - ``snapshot``   Iceberg-style snapshot/manifest layer (atomic commit,
                  time travel, per-partition lineage)
 - ``crawl``      the epoch driver gluing the above into the crawl loop
@@ -21,6 +21,13 @@ distributed dataflow over Spark DataFrames:
 - ``textops``    large-scale training-data ops: dedup (exact/MinHash/
                  SimHash), language-ID, quality scoring, fingerprinting
 - ``ann``        similarity search over embedding columns
+- ``index``      token-ngram inverted index (partitioned layout + pruned
+                 term lookup)
+- ``infer``      batched model inference (mapInPandas, per-worker model
+                 singleton)
+- ``multimodal`` binary media columns: decode/resize/frame-sample plumbing
+- ``streaming``  Structured Streaming ingest surface
+- ``geo``        haversine, GeoJSON, geo-hierarchy flatten/nest
 """
 
 __version__ = "0.1.0"

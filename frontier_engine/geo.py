@@ -47,6 +47,44 @@ def flatten_geo_hierarchy(
     )
 
 
+def nest_geo_hierarchy(flat: DataFrame) -> DataFrame:
+    """E5 nested form: one row per city with a ``map<district_name,
+    array<ward_name>>`` column — the document shape the reference stores in
+    Mongo (cooponline.py:362-378 builds exactly this dict-of-lists).
+
+    Input: the flattened join from :func:`flatten_geo_hierarchy` with
+    columns (city_id, district, ward). Missing wards (left-outer nulls)
+    become empty arrays, preserving the reference's empty-district
+    semantics.
+    """
+    per_district = flat.groupBy("city_id", "district").agg(
+        F.sort_array(
+            F.collect_list(F.col("ward"))
+        ).alias("wards")  # collect_list drops nulls → ward-less district = []
+    )
+    return per_district.groupBy("city_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("district"), F.col("wards")))
+            )
+        ).alias("districts")
+    )
+
+
+def unnest_geo_hierarchy(nested: DataFrame) -> DataFrame:
+    """Inverse of :func:`nest_geo_hierarchy`: explode the map back to flat
+    (city_id, district, ward) rows; empty ward arrays round-trip
+    to a single null-ward row (the left-outer shape)."""
+    d = nested.select(
+        "city_id", F.explode(F.col("districts")).alias("district", "wards")
+    )
+    return d.select(
+        "city_id",
+        "district",
+        F.explode_outer(F.col("wards")).alias("ward"),
+    )
+
+
 def nearest_stores(
     points: DataFrame, stores: DataFrame, k: int = 1,
     point_key: str = "point_id",

@@ -46,12 +46,11 @@ def build_postings(
 ) -> DataFrame:
     """(ngram, doc_id) distinct postings; optionally cap per-ngram list size
     (lowest doc_ids kept — deterministic) to bound stop-ngram skew."""
-    postings = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(token_ngrams_col(F.col(text_col), n))).alias("ngram"),
-        )
-        .dropDuplicates(["ngram", "doc_id"])
+    # postings are distinct by construction: array_distinct dedupes within
+    # a doc and each doc contributes once — no dropDuplicates shuffle needed
+    postings = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(token_ngrams_col(F.col(text_col), n))).alias("ngram"),
     )
     if max_postings is not None:
         from pyspark.sql import Window

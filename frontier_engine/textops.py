@@ -83,10 +83,18 @@ def ngram_jaccard_pairs(
     Used as the verify step after LSH candidate generation; cost is
     O(sum of candidate-pair shingle sizes), not corpus².
     """
-    sh = df.select(
+    # shingle set + its size computed ONCE per doc, then exploded: putting
+    # size(array_distinct(...)) in the same select as the explode places it
+    # in the Project above the Generate, i.e. re-evaluated per exploded
+    # ROW — measured 40x slower on 5k docs
+    shs = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
-        F.size(F.array_distinct(word_shingles(F.col(text_col), k))).alias("_n"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("_shs"),
+    )
+    sh = (
+        shs.select("_id", F.size("_shs").alias("_n"), "_shs")
+        .withColumn("sh", F.explode("_shs"))
+        .drop("_shs")
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh"), F.col("_n").alias("n_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("sh"), F.col("_n").alias("n_b"))
@@ -199,12 +207,33 @@ def minhash_candidate_pairs(
     banded = sigs.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
-    left = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
-    right = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
+    # pair generation via groupBy + in-bucket combinations rather than a
+    # banded self-join: the self-join evaluates the signature pipeline
+    # TWICE (left and right are the same un-persisted DAG); the aggregate
+    # evaluates it once and the pair explosion is pure array math. Bucket
+    # sizes are bounded by the LSH design (colliding docs only), so the
+    # collect_list is small per group.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, F.size("ids")),
+                lambda y: F.struct(
+                    F.least(F.element_at(F.col("ids"), i), y).alias("id_a"),
+                    F.greatest(F.element_at(F.col("ids"), i), y).alias("id_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))  # drops duplicate-id pairs
         .dropDuplicates(["id_a", "id_b"])
     )
     if not attach_estimate:

@@ -97,3 +97,19 @@ def test_ivf_topk_recall(spark, corpus, queries):
     recall = len(e & a) / len(e)
     assert recall >= 0.5, recall  # random vectors; n_probe=4 of 8 lists
     assert all((q, q) in a for q in qids)  # self vector always found
+
+
+def test_auto_bits_bounds_bucket_occupancy():
+    from frontier_engine.ann import auto_bits
+
+    # bucket count grows with corpus size: expected occupancy stays near the
+    # target across 10x steps instead of going quadratic
+    for n in [1_000, 10_000, 100_000, 1_000_000, 10_000_000, 1_000_000_000]:
+        bits = auto_bits(n, target_bucket=1024)
+        if n <= 1024:
+            assert bits == 4
+        else:
+            expected = n / (1 << bits)
+            assert expected <= 1024 * 1.01  # ceil keeps occupancy <= target
+            assert bits <= 24
+    assert auto_bits(10_000) < auto_bits(100_000) < auto_bits(10_000_000)

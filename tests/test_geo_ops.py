@@ -151,3 +151,28 @@ def test_decode_cookie_json(spark):
     df = spark.createDataFrame([(raw,)], "cookie string")
     r = df.select(ops.decode_cookie_json(F.col("cookie"), "$.did").alias("did")).collect()[0]
     assert r["did"] == "abc-123"
+
+
+def test_geo_hierarchy_nest_roundtrip(spark):
+    cities = spark.createDataFrame([(1, "HCM"), (2, "HN")], "city_id int, city string")
+    districts = spark.createDataFrame(
+        [(10, 1, "Q1"), (11, 1, "Q3"), (20, 2, "BD")],
+        "district_id int, city_id int, district string",
+    )
+    wards = spark.createDataFrame(
+        [(100, 10, "P.Bến Nghé"), (101, 10, "P.Bến Thành")],
+        "ward_id int, district_id int, ward string",
+    )
+    flat = geo.flatten_geo_hierarchy(cities, districts, wards)
+    nested = geo.nest_geo_hierarchy(flat.select("city_id", "district", "ward"))
+    rows = {r["city_id"]: r["districts"] for r in nested.collect()}
+    assert rows[1] == {"Q1": ["P.Bến Nghé", "P.Bến Thành"], "Q3": []}
+    assert rows[2] == {"BD": []}
+
+    back = geo.unnest_geo_hierarchy(nested)
+    got = sorted((r["city_id"], r["district"], r["ward"]) for r in back.collect())
+    want = sorted(
+        (r["city_id"], r["district"], r["ward"])
+        for r in flat.select("city_id", "district", "ward").collect()
+    )
+    assert got == want

@@ -129,9 +129,14 @@ def worker(cpus: int) -> None:
 
 def orchestrate() -> int:
     results = {}
+    mem_per_core = float(os.environ.get("SCALING_MEM_PER_CORE_GB", "1.5"))
     for cpus in LEVELS:
         env = dict(os.environ)
-        env.setdefault("SPARK_DRIVER_MEM", "48g")
+        # memory scales WITH cores, like a real cluster where 4N executors
+        # bring 4N heaps: a fixed 48g at every level gives the 2-core run
+        # 24g/core and the 32-core run 1.5g/core, and the resulting GC
+        # geometry difference (measured ±25%) swamps the scaling signal
+        env.setdefault("SPARK_DRIVER_MEM", f"{max(2, round(mem_per_core * cpus))}g")
         # taskset pins the whole process tree (JVM + GC threads + python
         # workers) to exactly `cpus` physical cores — without it, a local[N]
         # JVM still spreads its python workers and GC threads across all 32
