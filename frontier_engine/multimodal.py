@@ -3,12 +3,18 @@ metadata; decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` operators.
 
 The Spark-side plumbing (schemas, batch iteration, partitioning-neutral
-signatures) is REAL and tested; the codec step is STUBBED because no
-image/audio library ships in this container: ``decode`` parses a
-deterministic fake header (magic 'FEIM'/'FEAU'/'FEVI' + dims, as written by
-``fake_media_bytes``) and raises ``NotImplementedError`` on real codecs.
-Swap ``_decode_stub`` for PIL/ffmpeg bindings on a real cluster — nothing
-else changes.
+signatures) is REAL and tested, and so is the codec for every UNCOMPRESSED
+container this module can parse with struct+numpy alone:
+
+- BMP  (24-bit uncompressed, ``BI_RGB``) → pixel bytes, row padding stripped
+- WAV  (RIFF/WAVE PCM)                   → raw sample bytes + channel/width
+- PPM  (binary ``P6``)                   → RGB bytes
+- FEIM/FEAU/FEVI                         → the deterministic fixture format
+  (closed-form body so an independent SQL oracle can recompute features)
+
+COMPRESSED codecs (JPEG/PNG/MP4/…) raise ``NotImplementedError`` — no
+image/audio library ships in this container; plug PIL/ffmpeg into
+``_decode`` on a real cluster and nothing else changes.
 """
 
 from __future__ import annotations
@@ -56,19 +62,131 @@ def fake_media_bytes(kind: str, width: int, height: int, seed: int, n: int = 256
     return magic + struct.pack("<HH", width, height) + body
 
 
-def _decode_stub(payload: bytes) -> tuple[str, int, int, np.ndarray]:
-    """Parse the fake header; real codecs are intentionally unimplemented."""
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (tests + round-trips).
+
+    ``pixels``: uint8 array of shape (height, width, 3) in RGB order.
+    Rows are written bottom-up in BGR with 4-byte padding, per the spec.
+    """
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += pixels[y, :, ::-1].tobytes()  # BGR
+        body += b"\x00" * pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE PCM-16 encoder. ``samples``: int16 array
+    (interleaved when ``channels > 1``)."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary P6 PPM encoder. ``pixels``: uint8 (height, width, 3) RGB."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def _decode_bmp(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    if len(payload) < 54:
+        raise ValueError("truncated BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bitcount = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bitcount={bitcount} compression={compression}")
+    h_abs = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h_abs, offset=data_offset)
+    rows = raw.reshape(h_abs, stride)[:, :row_bytes]
+    if h > 0:  # bottom-up storage → flip to top-down
+        rows = rows[::-1]
+    # BGR → RGB
+    body = np.ascontiguousarray(rows.reshape(h_abs, w, 3)[:, :, ::-1]).reshape(-1)
+    return "image", w, h_abs, body
+
+
+def _decode_wav(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos, channels, bits, data = 12, 0, 0, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels = struct.unpack_from("<HH", chunk, 0)
+            bits = struct.unpack_from("<H", chunk, 14)[0]
+            if audio_format != 1:
+                raise NotImplementedError(f"WAV audio_format={audio_format} (non-PCM)")
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)
+    if data is None or channels == 0:
+        raise ValueError("WAV missing fmt/data chunk")
+    # width = channels, height = bits/sample; body = raw sample bytes
+    return "audio", channels, bits, np.frombuffer(data, dtype=np.uint8)
+
+
+def _decode_ppm(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    # header: P6, whitespace/comment-separated width height maxval, 1 ws byte
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM")
+    body = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return "image", w, h, body
+
+
+def _decode(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Dispatch on magic bytes: real parse for uncompressed containers,
+    fixture parse for FEIM/FEAU/FEVI, NotImplementedError for compressed
+    codecs (plug PIL/ffmpeg in here on a real cluster)."""
     if payload is None or len(payload) < 8:
         raise ValueError("truncated payload")
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
     magic, rest = payload[:4], payload[4:]
     if magic not in _MAGIC:
         raise NotImplementedError(
-            "real media codecs unavailable in this container — plug a "
-            "PIL/ffmpeg decoder in here on a real cluster"
+            "compressed media codecs (JPEG/PNG/MP4/...) unavailable in this "
+            "container — plug a PIL/ffmpeg decoder in here on a real cluster"
         )
     w, h = struct.unpack("<HH", rest[:4])
     body = np.frombuffer(rest[4:], dtype=np.uint8)
     return _MAGIC[magic], w, h, body
+
+
+# back-compat alias (the stub grew into a real dispatcher)
+_decode_stub = _decode
 
 
 DECODED_SCHEMA = (
@@ -81,7 +199,8 @@ def decode_features(df: DataFrame) -> DataFrame:
     """mapInPandas: binary payload → decoded dims + byte-level features.
 
     The feature math (mean, 16-bin histogram) is real numpy over the whole
-    Arrow batch; only the codec itself is the stub.
+    Arrow batch; the codec handles uncompressed BMP/WAV/PPM plus the
+    deterministic fixture format (compressed codecs raise → dropped here).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,7 +211,7 @@ def decode_features(df: DataFrame) -> DataFrame:
                 if payload is None:
                     continue
                 try:
-                    kind, w, h, body = _decode_stub(bytes(payload))
+                    kind, w, h, body = _decode(bytes(payload))
                 except (NotImplementedError, ValueError):
                     continue  # undecodable → dropped (dead-letter upstream)
                 hist = np.bincount(body >> 4, minlength=16).astype("int32")
@@ -123,7 +242,7 @@ def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 if payload is None:
                     continue
                 try:
-                    kind, w, h, body = _decode_stub(bytes(payload))
+                    kind, w, h, body = _decode(bytes(payload))
                 except (NotImplementedError, ValueError):
                     continue
                 n_out = max(1, int(len(body) * (target_w * target_h) / max(1, w * h)))
@@ -152,7 +271,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 if payload is None:
                     continue
                 try:
-                    kind, w, h, body = _decode_stub(bytes(payload))
+                    kind, w, h, body = _decode(bytes(payload))
                 except (NotImplementedError, ValueError):
                     continue
                 if kind != "video" or len(body) == 0:

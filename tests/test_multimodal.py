@@ -1,4 +1,5 @@
-"""Multimodal plumbing: schemas, mapInPandas batching, stubbed codecs."""
+"""Multimodal plumbing: schemas, mapInPandas batching, real uncompressed
+codecs (BMP/WAV/PPM) + fixture format; compressed codecs stay stubbed."""
 
 from __future__ import annotations
 
@@ -43,3 +44,54 @@ def test_sample_frames(spark, media):
     assert sorted(r["frame_no"] for r in frames) == [0, 1, 2, 3]
     total = sum(len(r["frame"]) for r in frames)
     assert total == 1024
+
+
+def test_bmp_round_trip():
+    import numpy as np
+
+    px = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)  # w=5 → row pad 1
+    kind, w, h, body = MM._decode(MM.encode_bmp(px))
+    assert (kind, w, h) == ("image", 5, 3)
+    assert np.array_equal(body.reshape(3, 5, 3), px)  # padding stripped, BGR undone
+
+
+def test_wav_round_trip():
+    import numpy as np
+
+    samples = (np.arange(16, dtype=np.int16) * 1000 - 8000).astype(np.int16)
+    kind, channels, bits, body = MM._decode(MM.encode_wav(samples, 8000, channels=2))
+    assert (kind, channels, bits) == ("audio", 2, 16)
+    assert np.array_equal(np.frombuffer(body.tobytes(), dtype="<i2"), samples)
+
+
+def test_ppm_round_trip():
+    import numpy as np
+
+    px = (np.arange(4 * 4 * 3, dtype=np.uint8) * 3).reshape(4, 4, 3)
+    kind, w, h, body = MM._decode(MM.encode_ppm(px))
+    assert (kind, w, h) == ("image", 4, 4)
+    assert np.array_equal(body.reshape(4, 4, 3), px)
+    # comments in the header parse too
+    with_comment = b"P6\n# a comment\n4 4\n255\n" + px.tobytes()
+    assert MM._decode(with_comment)[1:3] == (4, 4)
+
+
+def test_real_formats_through_spark_pipeline(spark):
+    """BMP/WAV payloads decode through the same mapInPandas operator as the
+    fixture format — mixed-format corpora in one pass."""
+    import numpy as np
+
+    bmp = MM.encode_bmp(np.full((2, 2, 3), 7, dtype=np.uint8))
+    wav = MM.encode_wav(np.zeros(8, dtype=np.int16))
+    rows = [
+        (10, "image", bmp, ("image/bmp", 2, 2, None)),
+        (11, "audio", wav, ("audio/wav", 0, 0, 1000)),
+        (12, "image", b"\xff\xd8\xff\xe0 jpeg soi", ("image/jpeg", 1, 1, None)),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.decode_features(df).collect()}
+    assert set(out) == {10, 11}  # JPEG (compressed) dropped
+    assert (out[10]["kind"], out[10]["width"], out[10]["height"]) == ("image", 2, 2)
+    assert out[10]["n_bytes"] == 12 and out[10]["mean_byte"] == 7.0
+    assert (out[11]["kind"], out[11]["width"]) == ("audio", 1)
+    assert out[11]["n_bytes"] == 16 and out[11]["mean_byte"] == 0.0
