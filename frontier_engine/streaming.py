@@ -16,6 +16,11 @@ This module gives the engine that surface:
 - ``run_ingest``          foreachBatch loop: extract text (pandas UDF) and
                           append into a SnapshotStore table per micro-batch
                           (atomic commit per batch = epoch semantics)
+- ``politeness_gate``     custom stateful operator (applyInPandasWithState):
+                          per-host token budget per trigger with a bounded
+                          deferred queue carried in state — the streaming
+                          twin of the batch drain (T1) for a continuously
+                          arriving frontier
 
 Tested with trigger(availableNow=True) over the synthetic corpus split into
 multiple files (tests/test_streaming.py).
@@ -23,6 +28,7 @@ multiple files (tests/test_streaming.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -94,6 +100,94 @@ def host_window_counts(
             "host",
             "n_pages",
         )
+    )
+
+
+GATE_OUTPUT_SCHEMA = (
+    "host string, url string, url_hash long, warc_ts timestamp, batch_seq int"
+)
+# pending entries are packed "url\thash\tts_ns" strings: state schemas are
+# flat structs, and one array<string> keeps the encoder trivial
+GATE_STATE_SCHEMA = "pending array<string>, admitted long, dropped long"
+
+
+def politeness_gate(
+    pages: DataFrame,
+    budget_per_trigger: int = 2,
+    max_pending: int = 10_000,
+    idle_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Custom stateful operator: per-host politeness on a streaming frontier.
+
+    ``applyInPandasWithState`` keyed by host. Each trigger a host may emit at
+    most ``budget_per_trigger`` URLs; the overflow is carried in group state
+    as a bounded deferred queue (oldest-first, ``(warc_ts, url)`` order —
+    deterministic) and drains in later triggers. Queue overflow beyond
+    ``max_pending`` is dropped oldest-last and counted in state (the
+    streaming form of the batch drain's budget cut at frontier.py). A host
+    with a backlog arms a processing-time timeout, so the queue keeps
+    draining one budget tranche per ``idle_timeout_ms`` even when the host
+    sends no further traffic (requires a processing-time trigger — under
+    ``availableNow`` only backlog reachable by arriving data drains). State
+    exists ONLY while a backlog does: a fully drained host carries zero
+    state, so state size is O(hosts-with-backlog × max_pending), bounded
+    and watermark-free.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ident = with_identity(pages).select("host", "url", "url_hash", "warc_ts")
+    budget = int(budget_per_trigger)
+
+    def _pack(r) -> str:
+        return f"{r[0]}\t{r[1]}\t{r[2]}"
+
+    def _unpack(s: str):
+        url, hsh, ns = s.split("\t")
+        return (url, int(hsh), int(ns))
+
+    def gate(key, pdfs, state):
+        host = key[0]
+        if state.exists:
+            pending_raw, admitted_total, dropped_total = state.get
+            backlog = [_unpack(s) for s in pending_raw]
+        else:
+            backlog, admitted_total, dropped_total = [], 0, 0
+        arrived = []
+        for pdf in pdfs:  # empty iterator on a timeout invocation
+            for u, hsh, ts in zip(pdf["url"], pdf["url_hash"], pdf["warc_ts"]):
+                arrived.append((u, int(hsh), int(pd.Timestamp(ts).value)))
+        rows = sorted(backlog + arrived, key=lambda r: (r[2], r[0]))
+        admit, defer = rows[:budget], rows[budget:]
+        if len(defer) > max_pending:
+            dropped_total += len(defer) - max_pending
+            defer = defer[:max_pending]
+        admitted_total += len(admit)
+        if defer:
+            # backlog remains: keep state and arm a timeout so it drains on
+            # processing time even if this host never sends data again
+            state.update(([_pack(r) for r in defer], admitted_total, dropped_total))
+            state.setTimeoutDuration(idle_timeout_ms)
+        elif state.exists:
+            # drained: drop state immediately — re-arming here would spin
+            # empty timeout batches forever under trigger(availableNow)
+            state.remove()
+        if admit:
+            yield pd.DataFrame(
+                {
+                    "host": [host] * len(admit),
+                    "url": [r[0] for r in admit],
+                    "url_hash": [r[1] for r in admit],
+                    "warc_ts": [pd.Timestamp(r[2]) for r in admit],
+                    "batch_seq": list(range(len(admit))),
+                }
+            )
+
+    return ident.groupBy("host").applyInPandasWithState(
+        gate,
+        outputStructType=GATE_OUTPUT_SCHEMA,
+        stateStructType=GATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

@@ -87,3 +87,60 @@ def test_host_window_counts_batch_semantics(spark):
     )
     total = agg.agg(F.sum("n_pages")).collect()[0][0]
     assert total == pages.count()
+
+
+def test_politeness_gate_stateful(spark, tmp_path):
+    """applyInPandasWithState token budget: per-host admissions per trigger
+    are capped at the budget, the overflow carries in group state across
+    micro-batches and drains via processing-time timeouts, in deterministic
+    (warc_ts, url) order."""
+    import datetime as dt
+    import time
+
+    import pyarrow as pa
+
+    d = tmp_path / "gate-pages"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [(f"https://a.example/p{i}", base + dt.timedelta(seconds=i)) for i in range(6)]
+    rows.append(("https://b.example/only", base))
+    t = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "html": [b"<html><body>x</body></html>"] * len(rows),
+            "text": ["x"] * len(rows),
+            "lang": ["en"] * len(rows),
+        }
+    )
+    pq.write_table(t, str(d / "c0.parquet"))
+
+    gated = streaming.politeness_gate(
+        streaming.stream_pages(spark, str(d)), budget_per_trigger=2, idle_timeout_ms=500
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gate_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "gate-ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # a.example backlog (4 URLs past the first tranche) drains 2 per
+        # timeout-armed trigger; poll until all 7 admissions landed
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) n from gate_out").first()["n"] >= 7:
+                break
+            time.sleep(0.5)
+        out = spark.sql("select * from gate_out").collect()
+    finally:
+        q.stop()
+
+    a_urls = [r["url"] for r in out if r["host"] == "a.example"]
+    # all 6 admitted across >=3 triggers, in deterministic warc_ts order
+    assert a_urls == [f"https://a.example/p{i}" for i in range(6)]
+    # never more than budget per trigger: batch_seq < budget everywhere
+    assert all(r["batch_seq"] < 2 for r in out)
+    assert [r["url"] for r in out if r["host"] == "b.example"] == ["https://b.example/only"]
