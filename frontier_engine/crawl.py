@@ -280,6 +280,24 @@ def run_crawl(
                 F.min("slot").alias("first_slot"),
                 F.max("slot").alias("last_slot"),
                 F.max("sched_offset").alias("max_sched_offset"),
+                # fetch-latency histogram (north_star): log2 buckets over the
+                # politeness scheduling latency in seconds — [0,1) [1,2)
+                # [2,4) ... [64,inf). Same groupBy, zero extra shuffle.
+                F.array(
+                    *[
+                        F.sum(
+                            F.when(
+                                (F.col("sched_offset") >= lo)
+                                & (F.lit(hi is None) | (F.col("sched_offset") < F.lit(hi or 0))),
+                                1,
+                            ).otherwise(0)
+                        )
+                        for lo, hi in [
+                            (0, 1), (1, 2), (2, 4), (4, 8),
+                            (8, 16), (16, 32), (32, 64), (64, None),
+                        ]
+                    ]
+                ).alias("latency_hist"),
             )
         )
 

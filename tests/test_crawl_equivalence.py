@@ -137,9 +137,14 @@ def test_lineage_written(spark, engine_result):
     assert {c for c in lin.columns} >= {
         "partition_id", "host", "epoch", "urls_drained", "pages_ok",
         "pages_missing", "first_slot", "last_slot", "max_sched_offset",
+        "latency_hist",
     }
     total = sum(r["urls_drained"] for r in rows)
     assert total == summary["total_drained"]
+    # the latency histogram partitions the drained URLs of each row
+    for r in rows:
+        assert len(r["latency_hist"]) == 8
+        assert sum(r["latency_hist"]) == r["urls_drained"]
 
 
 def test_no_url_scheduled_twice_as_fresh(spark, engine_result):
