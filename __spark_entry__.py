@@ -31,7 +31,13 @@ from frontier_engine.seen import SeenConfig, empty_state, filter_unseen, update_
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in ("documents", "embeddings"):
+        # these feed expression/UDF-heavy pipelines (shingling, signatures,
+        # cosine) but ship as one small unsplittable parquet file at test
+        # SFs — spread them across the cluster before the CPU work
+        df = ops.ensure_min_partitions(df)
+    return df
 
 
 def _cents(col):
@@ -335,7 +341,11 @@ def q_minhash_near_dup(spark, sf):
     """MinHash+LSH candidates → exact shingle-Jaccard verify ≥ 0.5."""
     d = _t(spark, sf, "documents")
     cand = TX.minhash_candidate_pairs(d, num_perm=128, bands=32, attach_estimate=False)
-    verified = TX.ngram_jaccard_pairs(d, cand, k=3)
+    # scope_to_pairs: shingle only candidate docs (re-references the lazy
+    # cand DAG, but ReuseExchange dedupes its shuffle — measured faster
+    # than the corpus-wide shingle shuffle even unmaterialized; a real
+    # pipeline would persist cand first, which is faster still)
+    verified = TX.ngram_jaccard_pairs(d, cand, k=3, scope_to_pairs=True)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )

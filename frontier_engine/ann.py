@@ -251,17 +251,26 @@ def embedding_near_dup_pairs(
     """
     if n_bits is None:
         n_bits = auto_bits(corpus.count(), target_bucket)
+    # ids-ONLY through the bucket self-joins and the cross-table dedup: a
+    # candidate pair is 16 bytes instead of 2 x dim doubles (~60x less
+    # shuffle at dim=64), and a pair colliding in several tables is deduped
+    # BEFORE its cosine is computed rather than after
     pairs = None
     for t in range(n_tables):
         b = hyperplane_bucket_udf(dim, n_bits, t, seed)
-        withb = corpus.select(F.col(id_col), F.col(vec_col), b(F.col(vec_col)).alias("bucket"))
-        l = withb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-        r = withb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+        withb = corpus.select(F.col(id_col).alias("id"), b(F.col(vec_col)).alias("bucket"))
+        l = withb.select(F.col("id").alias("id_a"), "bucket")
+        r = withb.select(F.col("id").alias("id_b"), "bucket")
         p = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    # vectors joined back to the surviving deduped candidates only
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
-        pairs.withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

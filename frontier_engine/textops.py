@@ -76,25 +76,43 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    scope_to_pairs: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard for given (id_a, id_b) pairs.
 
     Distinct shingles per doc → explode → count intersections per pair.
-    Used as the verify step after LSH candidate generation; cost is
-    O(sum of candidate-pair shingle sizes), not corpus².
+    Cost is O(corpus shingles) shuffle with ``pairs`` referenced once.
+
+    ``scope_to_pairs=True`` first semi-joins ``df`` to the ids appearing in
+    ``pairs``, making the cost O(candidate shingles) — the right plan at
+    warehouse scale, but it references the ``pairs`` plan two extra times,
+    so ONLY use it when ``pairs`` is materialized (persisted / a table):
+    on a lazy LSH pipeline it re-evaluates the whole candidate DAG per
+    reference (measured 3x slower than the corpus-wide shuffle at sf0.1).
     """
-    # shingle set + its size computed ONCE per doc, then exploded: putting
-    # size(array_distinct(...)) in the same select as the explode places it
-    # in the Project above the Generate, i.e. re-evaluated per exploded
-    # ROW — measured 40x slower on 5k docs
-    shs = df.select(
+    if scope_to_pairs:
+        cand_ids = pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+        ).distinct()
+        docs = df.join(cand_ids, id_col, "left_semi")
+    else:
+        docs = df
+    # the shingle expression must live ONLY inside the generator: any
+    # reference to it in a projection above the Generate (e.g. a size()
+    # alongside the explode, even in a separate select — CollapseProject
+    # merges them) is re-evaluated per exploded ROW, and the higher-order
+    # shingle chain costs ~0.5ms per evaluation — measured 30x slower on
+    # the sf0.1 verify. The per-doc shingle count is recovered AFTER the
+    # explode with a window (one small shuffle, expression evaluated once
+    # per doc).
+    from pyspark.sql import Window
+
+    exploded = docs.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("_shs"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
     )
-    sh = (
-        shs.select("_id", F.size("_shs").alias("_n"), "_shs")
-        .withColumn("sh", F.explode("_shs"))
-        .drop("_shs")
+    sh = exploded.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_id"))
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh"), F.col("_n").alias("n_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("sh"), F.col("_n").alias("n_b"))
