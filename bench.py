@@ -66,13 +66,16 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
     out: dict = {"queries": {}}
 
     # warm the JVM/Arrow paths once so per-query numbers measure the
-    # operator, not first-call class loading
+    # operator, not first-call class loading or python-worker spawn
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(64).select(
+        F.sum(F.length(text_udf(F.lit("<p>w</p>").cast("binary"))))
+    ).collect()
 
-    for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        out["queries"][name] = _time_action(lambda: df.write.format("noop").mode("overwrite").save())
-
+    # ----- crawl microbench FIRST: the north-star throughput numbers are
+    # measured on a session that hasn't accumulated GC/shuffle state from
+    # the heavy dedup queries (the queries are each noop-written and
+    # individually timed, so ordering does not affect their numbers)
     # ----- crawl microbench on the synthetic Common-Crawl-style corpus,
     # replicated via explode (distinct ?r=i URLs) so throughput reflects
     # steady-state work rather than fixed per-stage latency
@@ -147,6 +150,11 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
 
     state.unpersist()
     base.unpersist()
+
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        out["queries"][name] = _time_action(lambda: df.write.format("noop").mode("overwrite").save())
+
     return out
 
 

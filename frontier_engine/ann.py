@@ -92,6 +92,31 @@ def hyperplane_bucket_udf(dim: int, n_bits: int = 12, table: int = 0, seed: int 
     return bucket
 
 
+def hyperplane_buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
+    """pandas UDF: embedding → array of one bucket id per LSH table.
+
+    All tables in ONE matrix multiply per Arrow batch (the planes of every
+    table are stacked), so an n_tables LSH pass costs one UDF evaluation
+    and one shuffle instead of n_tables of each.
+    """
+    planes = np.hstack(
+        [
+            np.random.RandomState(seed + 1000 * t).normal(size=(dim, n_bits))
+            for t in range(n_tables)
+        ]
+    ).astype(np.float64)  # (dim, n_tables*n_bits)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vec: pd.Series) -> pd.Series:
+        mat = np.vstack(vec.to_numpy())
+        signs = ((mat @ planes) > 0).reshape(len(mat), -1, n_bits)
+        out = signs @ weights  # (rows, n_tables)
+        return pd.Series(list(out.astype(np.int64)), index=vec.index)
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -251,19 +276,25 @@ def embedding_near_dup_pairs(
     """
     if n_bits is None:
         n_bits = auto_bits(corpus.count(), target_bucket)
-    # ids-ONLY through the bucket self-joins and the cross-table dedup: a
+    # ids-ONLY through the bucket self-join and the cross-table dedup: a
     # candidate pair is 16 bytes instead of 2 x dim doubles (~60x less
     # shuffle at dim=64), and a pair colliding in several tables is deduped
-    # BEFORE its cosine is computed rather than after
-    pairs = None
-    for t in range(n_tables):
-        b = hyperplane_bucket_udf(dim, n_bits, t, seed)
-        withb = corpus.select(F.col(id_col).alias("id"), b(F.col(vec_col)).alias("bucket"))
-        l = withb.select(F.col("id").alias("id_a"), "bucket")
-        r = withb.select(F.col("id").alias("id_b"), "bucket")
-        p = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    # BEFORE its cosine is computed rather than after. All tables hash in
+    # ONE stacked-planes UDF pass and meet in ONE self-join keyed on
+    # (table, bucket) — not n_tables UDF passes + joins + a union
+    b = hyperplane_buckets_udf(dim, n_bits, n_tables, seed)
+    withb = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(b(F.col(vec_col))).alias("table", "bucket"),
+    )
+    l = withb.select(F.col("id").alias("id_a"), "table", "bucket")
+    r = withb.select(F.col("id").alias("id_b"), "table", "bucket")
+    pairs = (
+        l.join(r, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("table", "bucket")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     # vectors joined back to the surviving deduped candidates only
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
