@@ -130,22 +130,28 @@ def lsh_topk(
     query_vec_col: str = "query_vec",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: union of n_tables hyperplane-bucket joins,
-    exact cosine inside buckets only. Candidate set = docs sharing ≥1
-    bucket with the query in any table. ``n_bits=None`` derives the bucket
-    count from corpus size (:func:`auto_bits`)."""
+    """Approximate cosine top-k via multi-table hyperplane LSH, exact
+    cosine inside buckets only. Candidate set = docs sharing ≥1 bucket
+    with the query in any table. ``n_bits=None`` derives the bucket count
+    from corpus size (:func:`auto_bits`)."""
     if n_bits is None:
         n_bits = auto_bits(corpus.count())
-    cands = None
-    for t in range(n_tables):
-        b = hyperplane_bucket_udf(dim, n_bits, t, seed)
-        c_b = corpus.select(F.col(id_col), F.col(vec_col), b(F.col(vec_col)).alias("bucket"))
-        q_b = queries.select(
-            F.col(query_id_col), F.col(query_vec_col), b(F.col(query_vec_col)).alias("bucket")
-        )
-        got = c_b.join(F.broadcast(q_b), "bucket").drop("bucket")
-        cands = got if cands is None else cands.unionByName(got)
-    cands = cands.dropDuplicates([query_id_col, id_col])
+    # one stacked-planes UDF pass per side and ONE broadcast join keyed on
+    # (table, bucket) — not n_tables UDF passes + joins + a union
+    b = hyperplane_buckets_udf(dim, n_bits, n_tables, seed)
+    c_b = corpus.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(b(F.col(vec_col))).alias("table", "bucket")
+    )
+    q_b = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.posexplode(b(F.col(query_vec_col))).alias("table", "bucket"),
+    )
+    cands = (
+        c_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .drop("table", "bucket")
+        .dropDuplicates([query_id_col, id_col])
+    )
     scored = cands.withColumn("cosine", cosine_col(F.col(vec_col), F.col(query_vec_col)))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
