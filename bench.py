@@ -9,9 +9,10 @@ extractor.
     python bench.py                  # local[$SPARK_GRAFT_CPUS or 32]
     SPARK_GRAFT_CPUS=8 python bench.py
 
-Scaling-efficiency evidence (local[8] vs local[32] per BASELINE.md) is
-produced by tools/scaling_bench.py, which calls run_workload() in separate
-JVMs and writes BENCH/BASELINE.md.
+Scaling-efficiency evidence (N vs 4N cores per BASELINE.md) is produced by
+tools/scaling_bench.py, a self-contained harness that runs the same
+extract/frontier workloads in separate core-pinned JVMs and writes
+BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -48,6 +49,11 @@ def _time_action(fn) -> float:
     t0 = time.time()
     fn()
     return round(time.time() - t0, 3)
+
+
+def _median3(fn) -> float:
+    ts = sorted(_time_action(fn) for _ in range(3))
+    return ts[1]
 
 
 def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
@@ -94,9 +100,10 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
     n_pages = base_n * ext_reps
 
     # pages extracted/sec: pandas-UDF extraction over every page, forced;
-    # second run = steady state (first pays python-worker spawn)
+    # warm run first (worker spawn), then median of 3 timed runs — single
+    # runs swing +/-30% with co-tenant noise on this box
     pages.limit(20000).select(F.sum(F.length(text_udf(F.col("html"))))).collect()
-    t_extract = _time_action(
+    t_extract = _median3(
         lambda: pages.select(F.sum(F.length(text_udf(F.col("html")))).alias("n"))
         .collect()
     )
@@ -140,9 +147,7 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
         return n
 
     n_drained = frontier_epoch()  # warm
-    t0 = time.time()
-    n_drained = frontier_epoch()
-    t_frontier = round(time.time() - t0, 3)
+    t_frontier = _median3(frontier_epoch)
     out["frontier_candidates"] = n_cand
     out["frontier_drained"] = n_drained
     out["frontier_seconds"] = t_frontier
