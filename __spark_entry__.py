@@ -458,6 +458,22 @@ def q_batch_infer(spark, sf):
     )
 
 
+def q_repetition(spark, sf):
+    """Within-doc repetition quality signals: type-token ratio + duplicate
+    bigram fraction (the Gopher-style repetition filters)."""
+    d = _t(spark, sf, "documents")
+    ttr, dup = TX.repetition_stats_col(F.col("text"))
+    return d.select("doc_id", ttr.alias("ttr"), dup.alias("dup_bigram"))
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic k-per-stratum sample over (lang, source) strata."""
+    d = _t(spark, sf, "documents")
+    return ops.stratified_sample(d, ["lang", "source"], k=5, id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -489,6 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "ngram_search": q_ngram_search,
         "batch_infer": q_batch_infer,
+        "repetition": q_repetition,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -749,5 +767,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (CAST(len({_TOKS}) * 7 + len(text) AS BIGINT) % 100) / 100.0 > 0.5
                         THEN 'keep' ELSE 'drop' END AS label
             FROM documents
+        """,
+        "repetition": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), b AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) < 2 THEN [] ELSE
+                         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                       END AS bigrams
+                FROM t
+            )
+            SELECT doc_id,
+                   round(CASE WHEN n <= 0 THEN 1.0 ELSE len(list_distinct(toks)) / n END, 6) AS ttr,
+                   round(CASE WHEN len(bigrams) <= 0 THEN 0.0
+                         ELSE 1 - len(list_distinct(bigrams)) / len(bigrams) END, 6) AS dup_bigram
+            FROM b
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5
         """,
     }

@@ -107,3 +107,27 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     if df.rdd.getNumPartitions() >= min_parts:
         return df
     return df.repartition(min_parts)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each stratum by
+    a multiplicative hash of the id (Knuth's 2654435761 mod 2^32 — cheap,
+    well-mixed, reproducible in any SQL engine) and keep the first ``k``.
+
+    The training-data curation staple ("N docs per language/quality band")
+    as one window over the strata — no driver-side sampling state, stable
+    under any partitioning, and rerunning on a grown corpus keeps a
+    consistent pseudo-random order rather than resampling from scratch.
+    """
+    rank_key = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(4294967296))
+    w = Window.partitionBy(*strata).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -496,3 +496,32 @@ def fingerprint_udf(window: int = 8, k: int = 16, scheme: str = "poly31"):
         return text.map(one)
 
     return fp
+
+
+def repetition_stats_col(text: Column) -> tuple[Column, Column]:
+    """Within-document repetition signals (expression-only):
+
+    - type_token_ratio: distinct tokens / total tokens (low = repetitive)
+    - dup_bigram_ratio: 1 - distinct bigrams / total bigrams (high = the
+      boilerplate/listing pages pre-training filters drop, cf. Gopher's
+      repetition rules)
+
+    Returns the two columns; exact integer-ratio arithmetic so an
+    independent SQL engine reproduces the values bit-for-bit.
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) >= 1)
+    n = F.size(toks)
+    ttr = F.when(n <= 0, F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(toks)) / n
+    )
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    nb = F.size(bigrams)
+    dup = F.when(nb <= 0, F.lit(0.0)).otherwise(
+        1 - F.size(F.array_distinct(bigrams)) / nb
+    )
+    return F.round(ttr, 6), F.round(dup, 6)

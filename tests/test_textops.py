@@ -135,3 +135,35 @@ def test_fingerprint(spark):
     assert rows[1] == rows[2] and len(rows[1]) > 0
     assert rows[1] != rows[3]
     assert rows[4] == []  # shorter than k-gram window
+
+
+def test_repetition_stats(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a a a a"),               # ttr 0.25, bigrams: all "a a" → dup 2/3
+        (2, "w x y z"),               # all distinct
+        (3, ""),                      # empty → ttr 1.0, dup 0.0
+        (4, "one"),                   # single token → no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ttr, dup = TX.repetition_stats_col(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select("doc_id", ttr.alias("t"), dup.alias("d")).collect()}
+    assert got[1]["t"] == 0.25 and abs(got[1]["d"] - (1 - 1 / 3)) < 1e-6
+    assert got[2]["t"] == 1.0 and got[2]["d"] == 0.0
+    assert got[3]["t"] == 1.0 and got[3]["d"] == 0.0
+    assert got[4]["t"] == 1.0 and got[4]["d"] == 0.0
+
+
+def test_stratified_sample_deterministic(spark):
+    from frontier_engine import ops
+
+    rows = [(i, "en" if i % 2 == 0 else "vi", f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    s1 = ops.stratified_sample(df, ["lang", "source"], k=4, id_col="doc_id")
+    got = s1.groupBy("lang", "source").count().collect()
+    assert all(r["count"] == 4 for r in got) and len(got) == 6
+    # deterministic across repartitionings
+    a = sorted(r["doc_id"] for r in s1.collect())
+    s2 = ops.stratified_sample(df.repartition(13), ["lang", "source"], k=4, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in s2.collect()) == a
