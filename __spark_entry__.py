@@ -50,24 +50,34 @@ def _cents(col):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: document-corpus curation pipeline on sf0.001 — exact dedup,
-    language-ID, quality scoring, token accounting, per-source rollup."""
+    language-ID, quality + repetition scoring, a keep/drop gate, token
+    accounting, per-source rollup. The LLM-pretraining data path end-to-end."""
     sf = "/root/testdata/sf0.001"
     docs = _t(spark, sf, "documents")
     deduped = TX.exact_dedup(docs)
+    ttr, dup = TX.repetition_stats_col(F.col("text"))
     enriched = deduped.select(
         "doc_id",
         "source",
         TX.lang_id_col(F.col("text")).alias("lang_guess"),
         TX.quality_score_col(F.col("text")).alias("quality"),
+        ttr.alias("ttr"),
+        dup.alias("dup_bigram"),
         TX.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
         TX.token_count_col(F.col("text"), "bpe").cast("long").alias("n_bpe_tokens"),
     )
+    gated = enriched.withColumn(
+        "keep",
+        (F.col("quality") >= 0.5) & (F.col("dup_bigram") <= 0.5) & (F.col("n_tokens") >= 5),
+    )
     return (
-        enriched.groupBy("source", "lang_guess")
+        gated.groupBy("source", "lang_guess")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
             F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("dup_bigram"), 4).alias("avg_dup_bigram"),
         )
         .orderBy("source", "lang_guess")
     )
