@@ -168,7 +168,10 @@ def orchestrate() -> int:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     any_r = results[LEVELS[0]]
-    md = f"""# BENCH/BASELINE — scaling-efficiency evidence
+    md = f"""# BENCH/sweep_latest — single scaling sweep (raw tool output)
+
+BENCH/BASELINE.md is the curated multi-sweep aggregate; this file is the
+latest single sweep as measured.
 
 North-rule criterion: >= 0.8 throughput scaling efficiency between N and 4N
 executors. No real cluster exists in this sandbox (one 32-core box, single
@@ -216,10 +219,10 @@ Reproduce: `python tools/scaling_bench.py` (env `SCALING_LEVELS`,
 `SCALING_EXTRACT_REPLICAS`, `SCALING_FRONTIER_REPLICAS`). Per-query
 timings: `python bench.py` -> one JSON line.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "sweep_latest.md"), "w") as f:
         f.write(md)
     print(f"\nefficiency ({lo}->{hi}): extract={eff_extract:.3f} frontier={eff_frontier:.3f}")
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/sweep_latest.md")
     return 0
 
 
