@@ -1,0 +1,126 @@
+"""robots.txt parsing: raw fetched robots bodies → the structured
+``(host, crawl_delay, disallow_prefixes)`` table :func:`frontier.apply_robots`
+broadcasts.
+
+The reference trusts per-store hardcoded politeness (its stores are three
+known hosts); a general frontier must parse what each host actually serves.
+Implemented as an Arrow-batched pandas UDF (per-line string scanning does
+not decompose into column expressions), following the de-facto
+robots-exclusion semantics the major crawlers implement:
+
+- group selection: the ``User-agent:`` group matching ``agent`` exactly
+  (case-insensitive) wins; else the ``*`` group; a group may list several
+  user-agents before its rules
+- ``Disallow:`` paths collected per group; empty ``Disallow:`` = allow all
+- ``Crawl-delay:`` seconds (float) per group; None when absent
+- comments (``# …``), blank lines, unknown directives (Allow/Sitemap/…)
+  tolerated; Allow-precedence is NOT implemented (documented: the engine
+  treats Allow as unknown — prefix-disallow only, matching apply_robots)
+
+Cited parity target: the reference's fixed per-host delays
+(/root/reference/crawler/stores/*.py rate limiting) generalized to
+crawler-standard parsing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PARSED_SCHEMA = "host string, crawl_delay double, disallow_prefixes array<string>"
+
+
+def parse_robots_txt(body: str, agent: str = "*") -> tuple[float | None, list[str]]:
+    """Pure-Python single-document parser (shared by the UDF and tests)."""
+    if body is None:
+        return None, []
+    groups: list[tuple[list[str], list[str], float | None]] = []
+    cur_agents: list[str] = []
+    cur_dis: list[str] = []
+    cur_delay: float | None = None
+    in_rules = False
+
+    def flush():
+        nonlocal cur_agents, cur_dis, cur_delay, in_rules
+        if cur_agents:
+            groups.append((cur_agents, cur_dis, cur_delay))
+        cur_agents, cur_dis, cur_delay, in_rules = [], [], None, False
+
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                flush()
+            cur_agents.append(val.lower())
+        elif key == "disallow":
+            in_rules = True
+            if val:
+                cur_dis.append(val)
+        elif key == "crawl-delay":
+            in_rules = True
+            try:
+                cur_delay = float(val)
+            except ValueError:
+                pass
+        else:
+            in_rules = bool(cur_agents) and in_rules
+    flush()
+
+    agent_l = agent.lower()
+    for agents, dis, delay in groups:  # exact-agent group wins
+        if agent_l in agents:
+            return delay, dis
+    for agents, dis, delay in groups:  # else the wildcard group
+        if "*" in agents:
+            return delay, dis
+    return None, []
+
+
+def parse_robots(
+    df: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+    default_crawl_delay: float = 1.0,
+) -> DataFrame:
+    """(host, body) → (host, crawl_delay, disallow_prefixes).
+
+    Hosts whose robots.txt sets no Crawl-delay get ``default_crawl_delay``.
+    One Arrow batch per invocation; the parser is pure per-row Python on a
+    string column inside ``mapInPandas`` — robots documents are small and
+    one-per-host, so this stage is a rounding error next to the crawl.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [parse_robots_txt(b, agent) for b in pdf[body_col]]
+            yield pd.DataFrame(
+                {
+                    "host": pdf[host_col],
+                    "crawl_delay": [
+                        float(d) if d is not None else float(default_crawl_delay)
+                        for d, _ in parsed
+                    ],
+                    "disallow_prefixes": [dis for _, dis in parsed],
+                }
+            )
+
+    return df.select(host_col, body_col).mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def robots_table(df: DataFrame, agent: str = "*", default_crawl_delay: float = 1.0) -> DataFrame:
+    """Dedup to one row per host (last body wins by input order is NOT
+    deterministic — take lexicographically smallest body per host for a
+    stable table) then parse."""
+    one = df.groupBy("host").agg(F.min("body").alias("body"))
+    return parse_robots(one, agent, default_crawl_delay=default_crawl_delay)
