@@ -115,3 +115,52 @@ def test_python_drain_selection_matches_sort(rows, budget):
         got = pdf.iloc[np.concatenate([np.flatnonzero(strictly), tie])]["url_hash"].tolist()
 
     assert sorted(got) == sorted(want)
+
+
+@given(st.text(max_size=400), st.sampled_from(["*", "frontierbot", "GoogleBot", ""]))
+@settings(max_examples=300, deadline=None)
+def test_robots_parser_total(body, agent):
+    """parse_robots_txt is a total function: any text parses to
+    (None|float, list[str]) without raising."""
+    from frontier_engine.robots import parse_robots_txt
+
+    delay, dis = parse_robots_txt(body, agent)
+    assert delay is None or isinstance(delay, float)
+    assert isinstance(dis, list) and all(isinstance(d, str) for d in dis)
+
+
+@given(
+    st.integers(min_value=1, max_value=13),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """BMP encode→decode is lossless for any dims (incl. odd row padding)."""
+    import numpy as np
+
+    from frontier_engine import multimodal as MM
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    kind, ww, hh, body = MM._decode(MM.encode_bmp(px))
+    assert (kind, ww, hh) == ("image", w, h)
+    assert np.array_equal(body.reshape(h, w, 3), px)
+
+
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.sampled_from([1, 2]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, channels, seed):
+    import numpy as np
+
+    from frontier_engine import multimodal as MM
+
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-(2**15), 2**15, size=n * channels, dtype=np.int16)
+    kind, ch, bits, body = MM._decode(MM.encode_wav(samples, 8000, channels))
+    assert (kind, ch, bits) == ("audio", channels, 16)
+    assert np.array_equal(np.frombuffer(body.tobytes(), dtype="<i2"), samples)
