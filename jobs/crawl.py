@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--no-stats", action="store_true")
+    ap.add_argument("--robots-raw", action="store_true",
+                    help="robots input is raw (host, body) robots.txt text; parse it")
     ap.add_argument("--recrawl-epochs", type=int, default=None,
                     help="re-fetch pages every N epochs (T3 freshness)")
     args = ap.parse_args(argv)
@@ -52,9 +54,19 @@ def main(argv=None):
         recrawl_after_epochs=args.recrawl_epochs,
         drain=DrainConfig(epoch_seconds=args.epoch_seconds),
     )
+    robots_path = paths["robots"]
+    if args.robots_raw:
+        # raw (host, body) robots.txt parquet → parse to the structured
+        # broadcast table once, persisted beside the warehouse
+        from frontier_engine.robots import robots_table
+
+        parsed_path = os.path.join(args.warehouse, "robots_parsed")
+        robots_table(spark.read.parquet(robots_path)).write.mode("overwrite").parquet(parsed_path)
+        robots_path = parsed_path
+
     t0 = time.time()
     summary = run_crawl(
-        spark, paths["pages"], paths["seeds"], paths["robots"], args.warehouse, cfg
+        spark, paths["pages"], paths["seeds"], robots_path, args.warehouse, cfg
     )
     summary["wall_seconds"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
