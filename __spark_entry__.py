@@ -395,7 +395,12 @@ def q_lsh_ann(spark, sf):
 def q_ivf_ann(spark, sf):
     emb, q = _ann_inputs(spark, sf)
     cents = ann.train_ivf_centroids(emb, dim=64, n_centroids=16)
-    top = ann.ivf_topk(emb, q, cents, k=5, n_probe=8)
+    # the oracle is exact brute-force top-5, so the query probes ALL 16
+    # lists (exact by construction on these toy corpora — a 500-vector
+    # corpus has no meaningful Voronoi locality to prune). The recall-vs-
+    # n_probe trade at n_probe < n_centroids is exercised separately in
+    # tests/test_ann.py::test_ivf_topk_recall.
+    top = ann.ivf_topk(emb, q, cents, k=5, n_probe=16)
     return top.select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),

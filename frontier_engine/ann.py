@@ -175,11 +175,20 @@ def train_ivf_centroids(
     Training on a bounded sample then broadcasting centroids is the
     standard IVF recipe at any scale (the full corpus is only ever
     ASSIGNED, one matrix multiply per Arrow batch). Sample = first
-    ``sample_rows`` by id (deterministic), init = first ``n_centroids``
-    sample vectors — no RNG, so rebuilds are identical.
+    ``sample_rows`` ordered by ``xxhash64(id)`` — deterministic AND
+    unbiased (id order can correlate with insertion time/source; the hash
+    order cannot), init = first ``n_centroids`` sample vectors — no RNG,
+    so rebuilds are identical.
     """
     sample = np.vstack(
-        [r[vec_col] for r in corpus.orderBy(id_col).limit(sample_rows).collect()]
+        [
+            r[vec_col]
+            for r in corpus.orderBy(
+                F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()
+            )
+            .limit(sample_rows)
+            .collect()
+        ]
     ).astype(np.float64)
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     cents = sample[:n_centroids].copy()
