@@ -407,6 +407,46 @@ def q_ivf_ann(spark, sf):
     )
 
 
+def q_ivf_ann_pruned(spark, sf):
+    """IVF at n_probe=2 of 8 lists — the PRUNING path, oracle-checked.
+
+    The corpus is derived deterministically from the embeddings table's ids
+    and planted on 8 orthogonal cluster axes: row vec_id gets cluster
+    c = vec_id % 8 and vector v[j] = 1.0 at j=c, else t·(j+1)/10 with
+    t = 0.02·(vec_id % 97)/97. Queries are the axes e_0..e_2; centroids are
+    the identity — so every corpus row provably assigns to list c (v[c]=1 ≫
+    t·g), every query provably probes its own axis list, and the true top-5
+    (within-cluster cosine ≥ 0.997 vs cross-cluster ≤ 0.016) provably lies
+    inside the probed lists. The exact brute-force oracle therefore equals
+    the pruned IVF output while 6 of 8 inverted lists are genuinely never
+    scanned. Within-cluster cosine gaps are ≥ 4e-8 (t-grid spacing), far
+    above cross-engine float noise; rows with identical (c, t) have
+    IDENTICAL vectors, so their tie breaks on vec_id in both engines.
+    """
+    import numpy as np
+
+    ids = _t(spark, sf, "embeddings").select("vec_id")
+    c = (F.col("vec_id") % 8).cast("int")
+    t = F.lit(0.02) * (F.col("vec_id") % 97).cast("double") / F.lit(97.0)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.when(j == c, F.lit(1.0)).otherwise(
+            t * (j + F.lit(1)).cast("double") / F.lit(10.0)
+        ),
+    )
+    corpus = ids.select("vec_id", vec.alias("embedding"))
+    qvec = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.when(j.cast("long") == F.col("id"), F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    queries = spark.range(3).select(F.col("id").alias("query_id"), qvec.alias("query_vec"))
+    top = ann.ivf_topk(corpus, queries, np.eye(8), k=5, n_probe=2)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_near_dup(spark, sf):
     # near-uniform random embeddings have no high-cosine pairs, so plant
     # exact duplicates (id+100000) of vec_id<20 — the op must find them all
@@ -519,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "ivf_ann_pruned": q_ivf_ann_pruned,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "ngram_search": q_ngram_search,
@@ -700,6 +741,30 @@ def oracle_sql() -> dict[str, str]:
         # the reranked approximate output equals the brute-force oracle
         "lsh_ann": _BRUTE_TOPK_SQL,
         "ivf_ann": _BRUTE_TOPK_SQL,
+        # exact brute force over the planted clustered corpus; equals the
+        # pruned (n_probe=2 of 8) IVF output by construction — see
+        # q_ivf_ann_pruned's docstring for the containment proof
+        "ivf_ann_pruned": """
+            WITH corpus AS (
+              SELECT vec_id,
+                     list_transform(range(0, 8), j -> CASE WHEN j = vec_id % 8 THEN 1.0
+                        ELSE 0.02 * (vec_id % 97) / 97.0 * (j + 1) / 10.0 END) AS v
+              FROM embeddings
+            ), q AS (
+              SELECT i AS query_id,
+                     list_transform(range(0, 8), j -> CASE WHEN j = i THEN 1.0 ELSE 0.0 END) AS qv
+              FROM range(0, 3) t(i)
+            )
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cosine,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                                                 c.vec_id ASC) AS rank
+              FROM corpus c, q)
+            WHERE rank <= 5
+        """,
         "minhash_near_dup": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             sh AS (
@@ -807,7 +872,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, source,
                        row_number() OVER (
                            PARTITION BY lang, source
-                           ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC
+                           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296 ASC, doc_id ASC
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 5

@@ -122,7 +122,7 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_bits: int | None = 10,
+    n_bits: int | None = None,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -132,8 +132,13 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH, exact
     cosine inside buckets only. Candidate set = docs sharing ≥1 bucket
-    with the query in any table. ``n_bits=None`` derives the bucket count
-    from corpus size (:func:`auto_bits`)."""
+    with the query in any table.
+
+    ``n_bits`` DEFAULTS to None = derive the bucket count from corpus size
+    (:func:`auto_bits` — one count job, amortizable on a cached corpus):
+    a fixed width taken at 100× the corpus quietly turns the per-bucket
+    joins quadratic. Pass an explicit int only when the corpus size is
+    known and pinned (the oracle-checked test queries do)."""
     if n_bits is None:
         n_bits = auto_bits(corpus.count())
     # one stacked-planes UDF pass per side and ONE broadcast join keyed on
@@ -276,7 +281,7 @@ def embedding_near_dup_pairs(
     corpus: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_bits: int | None = 8,
+    n_bits: int | None = None,
     n_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -286,8 +291,10 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup detection: LSH self-join then exact cosine
     ≥ threshold. Output (id_a < id_b, cosine).
 
-    ``n_bits=None`` derives the bucket count from the corpus size via
-    :func:`auto_bits` (one count job — run it on the cached/written corpus).
+    ``n_bits`` DEFAULTS to None = derive the bucket count from the corpus
+    size via :func:`auto_bits` (one count job — run it on the cached or
+    written corpus), keeping the intra-bucket self-join bounded as the
+    corpus grows. Pass an explicit int only for pinned-size corpora.
     """
     if n_bits is None:
         n_bits = auto_bits(corpus.count(), target_bucket)

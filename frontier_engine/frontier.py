@@ -88,22 +88,47 @@ def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
 def apply_robots(frontier: DataFrame, robots: DataFrame, cfg: DrainConfig) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (allowed-with-delay, blocked) via broadcast robots.
 
+    Rule precedence is RFC 9309 §2.2.2 longest-match: a URL is blocked iff
+    the longest matching Disallow prefix is strictly longer than the longest
+    matching Allow prefix (no match = length 0, so a tie — including the
+    no-rules case — allows). Evaluated as pure column expressions over the
+    broadcast robots table; a robots table without an ``allow_prefixes``
+    column (older caches, the reference fixtures) behaves as before.
+
     Unknown hosts get the default crawl_delay and no disallows (the
     reference fetches hosts it has no metadata for; robots here is a cache,
     not an allowlist).
     """
-    r = robots.select("host", "crawl_delay", "disallow_prefixes")
+    cols = ["host", "crawl_delay", "disallow_prefixes"]
+    r = robots.select(*cols) if "allow_prefixes" not in robots.columns else robots.select(
+        *cols, "allow_prefixes"
+    )
+    if "allow_prefixes" not in r.columns:
+        r = r.withColumn("allow_prefixes", F.array().cast("array<string>"))
     joined = frontier.join(F.broadcast(r), "host", "left")
     path = canon.path_col(F.col("url"))
-    blocked_pred = F.coalesce(
-        F.exists(F.col("disallow_prefixes"), lambda p: path.startswith(p)),
-        F.lit(False),
+
+    def longest_match(prefixes: F.Column) -> F.Column:
+        # length of the longest rule prefix matching the path; 0 when none
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    prefixes,
+                    lambda p: F.when(path.startswith(p), F.length(p)).otherwise(F.lit(0)),
+                )
+            ),
+            F.lit(0),
+        )
+
+    blocked_pred = longest_match(F.col("disallow_prefixes")) > longest_match(
+        F.col("allow_prefixes")
     )
     joined = joined.withColumn(
         "crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay))
     )
-    allowed = joined.filter(~blocked_pred).drop("disallow_prefixes")
-    blocked = joined.filter(blocked_pred).drop("disallow_prefixes", "crawl_delay")
+    rule_cols = ["disallow_prefixes", "allow_prefixes"]
+    allowed = joined.filter(~blocked_pred).drop(*rule_cols)
+    blocked = joined.filter(blocked_pred).drop(*rule_cols, "crawl_delay")
     return allowed, blocked
 
 

@@ -91,7 +91,7 @@ def search_terms(
     matching directories are listed or scanned.
     """
     idx = spark.read.parquet(path)
-    shards = sorted({_shard_py(spark, t, n_shards) for t in terms})
+    shards = _shards_py(spark, terms, n_shards)
     hits = idx.filter(F.col("shard").isin(shards) & F.col("ngram").isin(terms))
     return (
         hits.groupBy("doc_id")
@@ -101,11 +101,20 @@ def search_terms(
     )
 
 
-def _shard_py(spark: SparkSession, term: str, n_shards: int) -> int:
-    # one-row local eval of the same expression used at write time; avoids
+def _shards_py(spark: SparkSession, terms: list[str], n_shards: int) -> list[int]:
+    # ONE local job evaluates the write-time shard expression for every
+    # term (a literal one-column DataFrame) — not one spark.range(1) job
+    # per term, which is driver noise on a 100-term query; avoids
     # re-implementing xxhash64 in Python
-    row = spark.range(1).select(shard_col(F.lit(term), n_shards).alias("s")).first()
-    return int(row["s"])
+    if not terms:
+        return []
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select(shard_col(F.col("term"), n_shards).alias("s")).collect()
+    return sorted({int(r["s"]) for r in rows})
+
+
+def _shard_py(spark: SparkSession, term: str, n_shards: int) -> int:
+    return _shards_py(spark, [term], n_shards)[0]
 
 
 def search_postings(postings: DataFrame, terms: list[str]) -> DataFrame:

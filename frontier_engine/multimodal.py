@@ -165,7 +165,19 @@ def _decode_ppm(payload: bytes) -> tuple[str, int, int, np.ndarray]:
 def _decode(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     """Dispatch on magic bytes: real parse for uncompressed containers,
     fixture parse for FEIM/FEAU/FEVI, NotImplementedError for compressed
-    codecs (plug PIL/ffmpeg in here on a real cluster)."""
+    codecs (plug PIL/ffmpeg in here on a real cluster).
+
+    Any malformed container (truncated chunk headers → struct.error /
+    IndexError inside a codec) re-raises as ValueError so the operators'
+    per-row dead-letter handling drops the ROW instead of one bad byte
+    string in untrusted crawl data failing the whole Spark task."""
+    try:
+        return _decode_dispatch(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed media payload: {e}") from e
+
+
+def _decode_dispatch(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     if payload is None or len(payload) < 8:
         raise ValueError("truncated payload")
     if payload[:2] == b"BM":

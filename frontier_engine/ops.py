@@ -119,12 +119,19 @@ def stratified_sample(
     a multiplicative hash of the id (Knuth's 2654435761 mod 2^32 — cheap,
     well-mixed, reproducible in any SQL engine) and keep the first ``k``.
 
+    The id is reduced mod 2^31 BEFORE the multiply so the product stays
+    within int64 for any id (2^31 × 2654435761 < 2^63): without the
+    reduction, ids above ~3.5e9 silently wrap under non-ANSI Spark and
+    throw under ANSI — deterministic on toy data, divergent at scale.
+    Ties from the reduction are broken by the full id.
+
     The training-data curation staple ("N docs per language/quality band")
     as one window over the strata — no driver-side sampling state, stable
     under any partitioning, and rerunning on a grown corpus keeps a
     consistent pseudo-random order rather than resampling from scratch.
     """
-    rank_key = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(4294967296))
+    reduced = F.pmod(F.col(id_col).cast("long"), F.lit(2147483648))
+    rank_key = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
     w = Window.partitionBy(*strata).orderBy(rank_key.asc(), F.col(id_col).asc())
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -78,14 +78,27 @@ def run_oracle(
     }
     seeds_t = pq.read_table(seeds_path)
     robots_t = pq.read_table(robots_path)
+    allow_lists = (
+        robots_t.column("allow_prefixes").to_pylist()
+        if "allow_prefixes" in robots_t.column_names
+        else [()] * robots_t.num_rows
+    )
     robots = {
-        h: (d, tuple(p or []))
-        for h, d, p in zip(
+        h: (d, tuple(p or []), tuple(a or ()))
+        for h, d, p, a in zip(
             robots_t.column("host").to_pylist(),
             robots_t.column("crawl_delay").to_pylist(),
             robots_t.column("disallow_prefixes").to_pylist(),
+            allow_lists,
         )
     }
+
+    def robots_blocked(path: str, dis: tuple, allow: tuple) -> bool:
+        # RFC 9309 longest-match: blocked iff longest matching Disallow is
+        # strictly longer than longest matching Allow (ties allow)
+        d = max((len(p) for p in dis if path.startswith(p)), default=0)
+        a = max((len(p) for p in allow if path.startswith(p)), default=0)
+        return d > a
 
     frontier: dict[str, _Entry] = {}
     for u, p in zip(seeds_t.column("url").to_pylist(), seeds_t.column("priority").to_pylist()):
@@ -103,16 +116,16 @@ def run_oracle(
         by_host: dict[str, list[_Entry]] = {}
         for e in frontier.values():
             host = host_of_py(e.url)
-            delay, prefixes = robots.get(host, (cfg.default_crawl_delay, ()))
+            delay, prefixes, allows = robots.get(host, (cfg.default_crawl_delay, (), ()))
             if delay is None:
                 delay = cfg.default_crawl_delay
-            if any(path_of_py(e.url).startswith(p) for p in prefixes):
+            if robots_blocked(path_of_py(e.url), prefixes, allows):
                 continue  # blocked: dropped from frontier entirely
             by_host.setdefault(host, []).append(e)
 
         drained: list[tuple[str, int, _Entry]] = []  # (host, slot, entry)
         for host, entries in by_host.items():
-            delay, _ = robots.get(host, (cfg.default_crawl_delay, ()))
+            delay = robots.get(host, (cfg.default_crawl_delay, (), ()))[0]
             if delay is None:
                 delay = cfg.default_crawl_delay
             budget = max(1, math.floor(cfg.epoch_seconds / delay))

@@ -1,21 +1,29 @@
 """robots.txt parsing: raw fetched robots bodies → the structured
-``(host, crawl_delay, disallow_prefixes)`` table :func:`frontier.apply_robots`
-broadcasts.
+``(host, crawl_delay, allow_prefixes, disallow_prefixes)`` table
+:func:`frontier.apply_robots` broadcasts.
 
 The reference trusts per-store hardcoded politeness (its stores are three
 known hosts); a general frontier must parse what each host actually serves.
 Implemented as an Arrow-batched pandas UDF (per-line string scanning does
-not decompose into column expressions), following the de-facto
-robots-exclusion semantics the major crawlers implement:
+not decompose into column expressions), following RFC 9309 semantics as the
+major crawlers implement them:
 
 - group selection: the ``User-agent:`` group matching ``agent`` exactly
   (case-insensitive) wins; else the ``*`` group; a group may list several
   user-agents before its rules
-- ``Disallow:`` paths collected per group; empty ``Disallow:`` = allow all
+- ``Disallow:`` / ``Allow:`` path prefixes collected per group; an empty
+  value matches nothing (``Disallow:`` alone = allow all)
+- rule precedence (RFC 9309 §2.2.2): the LONGEST matching prefix wins
+  between Allow and Disallow; on a tie, Allow wins — evaluated in
+  :func:`frontier.apply_robots` as pure column expressions
 - ``Crawl-delay:`` seconds (float) per group; None when absent
-- comments (``# …``), blank lines, unknown directives (Allow/Sitemap/…)
-  tolerated; Allow-precedence is NOT implemented (documented: the engine
-  treats Allow as unknown — prefix-disallow only, matching apply_robots)
+- comments (``# …``), blank lines tolerated; unknown directives
+  (Sitemap/...) are ignored but still terminate a group's user-agent
+  preamble, so a following ``User-agent:`` line starts a NEW group rather
+  than merging into the previous one (a common real-robots.txt shape:
+  an Allow-only or Sitemap-bearing group followed by the ``*`` group)
+- ``*`` / ``$`` wildcards inside paths are NOT expanded (prefix rules
+  only); documented engine limitation
 
 Cited parity target: the reference's fixed per-host delays
 (/root/reference/crawler/stores/*.py rate limiting) generalized to
@@ -30,24 +38,33 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-PARSED_SCHEMA = "host string, crawl_delay double, disallow_prefixes array<string>"
+PARSED_SCHEMA = (
+    "host string, crawl_delay double, "
+    "allow_prefixes array<string>, disallow_prefixes array<string>"
+)
 
 
-def parse_robots_txt(body: str, agent: str = "*") -> tuple[float | None, list[str]]:
-    """Pure-Python single-document parser (shared by the UDF and tests)."""
+def parse_robots_txt(
+    body: str, agent: str = "*"
+) -> tuple[float | None, list[str], list[str]]:
+    """Pure-Python single-document parser (shared by the UDF and tests).
+
+    Returns ``(crawl_delay, allow_prefixes, disallow_prefixes)``.
+    """
     if body is None:
-        return None, []
-    groups: list[tuple[list[str], list[str], float | None]] = []
+        return None, [], []
+    groups: list[tuple[list[str], list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
+    cur_allow: list[str] = []
     cur_dis: list[str] = []
     cur_delay: float | None = None
     in_rules = False
 
     def flush():
-        nonlocal cur_agents, cur_dis, cur_delay, in_rules
+        nonlocal cur_agents, cur_allow, cur_dis, cur_delay, in_rules
         if cur_agents:
-            groups.append((cur_agents, cur_dis, cur_delay))
-        cur_agents, cur_dis, cur_delay, in_rules = [], [], None, False
+            groups.append((cur_agents, cur_allow, cur_dis, cur_delay))
+        cur_agents, cur_allow, cur_dis, cur_delay, in_rules = [], [], [], None, False
 
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -64,6 +81,10 @@ def parse_robots_txt(body: str, agent: str = "*") -> tuple[float | None, list[st
             in_rules = True
             if val:
                 cur_dis.append(val)
+        elif key == "allow":
+            in_rules = True
+            if val:
+                cur_allow.append(val)
         elif key == "crawl-delay":
             in_rules = True
             try:
@@ -71,17 +92,20 @@ def parse_robots_txt(body: str, agent: str = "*") -> tuple[float | None, list[st
             except ValueError:
                 pass
         else:
-            in_rules = bool(cur_agents) and in_rules
+            # unknown directive (Sitemap/...) — ignored, but it ends the
+            # group's user-agent preamble so the next User-agent line
+            # starts a fresh group instead of merging into this one
+            in_rules = bool(cur_agents)
     flush()
 
     agent_l = agent.lower()
-    for agents, dis, delay in groups:  # exact-agent group wins
+    for agents, allow, dis, delay in groups:  # exact-agent group wins
         if agent_l in agents:
-            return delay, dis
-    for agents, dis, delay in groups:  # else the wildcard group
+            return delay, allow, dis
+    for agents, allow, dis, delay in groups:  # else the wildcard group
         if "*" in agents:
-            return delay, dis
-    return None, []
+            return delay, allow, dis
+    return None, [], []
 
 
 def parse_robots(
@@ -91,7 +115,7 @@ def parse_robots(
     body_col: str = "body",
     default_crawl_delay: float = 1.0,
 ) -> DataFrame:
-    """(host, body) → (host, crawl_delay, disallow_prefixes).
+    """(host, body) → (host, crawl_delay, allow_prefixes, disallow_prefixes).
 
     Hosts whose robots.txt sets no Crawl-delay get ``default_crawl_delay``.
     One Arrow batch per invocation; the parser is pure per-row Python on a
@@ -109,9 +133,10 @@ def parse_robots(
                     "host": pdf[host_col],
                     "crawl_delay": [
                         float(d) if d is not None else float(default_crawl_delay)
-                        for d, _ in parsed
+                        for d, _, _ in parsed
                     ],
-                    "disallow_prefixes": [dis for _, dis in parsed],
+                    "allow_prefixes": [allow for _, allow, _ in parsed],
+                    "disallow_prefixes": [dis for _, _, dis in parsed],
                 }
             )
 

@@ -142,7 +142,10 @@ def politeness_gate(
         return f"{r[0]}\t{r[1]}\t{r[2]}"
 
     def _unpack(s: str):
-        url, hsh, ns = s.split("\t")
+        # rsplit: only the two trailing numeric fields are split off, so a
+        # crawled URL containing a raw tab round-trips instead of crashing
+        # the stateful operator on the next trigger
+        url, hsh, ns = s.rsplit("\t", 2)
         return (url, int(hsh), int(ns))
 
     def gate(key, pdfs, state):

@@ -24,6 +24,7 @@ SKETCH_QUERIES = [
     "fingerprint",
     "lsh_ann",
     "ivf_ann",
+    "ivf_ann_pruned",
     "embedding_near_dup",
     "multimodal_decode",
     "ngram_search",

@@ -53,6 +53,18 @@ def test_partitioned_write_prunes(spark, docs, tmp_path):
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard" in plan
 
+    # multi-term lookup: ONE driver job computes every term's shard
+    # (_shards_py takes the whole list), agrees with per-term eval, and the
+    # read plan still prunes on the shard partition column
+    terms = ["table scan", "join merge", "scan join"]
+    assert IX._shards_py(spark, terms, 8) == sorted(
+        {IX._shard_py(spark, t, 8) for t in terms}
+    )
+    assert IX._shards_py(spark, [], 8) == []
+    multi = IX.search_terms(spark, path, terms, n_shards=8)
+    mplan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in mplan and "shard" in mplan
+
 
 def test_batch_infer_matches_local_model(spark, docs):
     out = batch_infer(

@@ -95,3 +95,32 @@ def test_real_formats_through_spark_pipeline(spark):
     assert out[10]["n_bytes"] == 12 and out[10]["mean_byte"] == 7.0
     assert (out[11]["kind"], out[11]["width"]) == ("audio", 1)
     assert out[11]["n_bytes"] == 16 and out[11]["mean_byte"] == 0.0
+
+
+def test_malformed_riff_dropped_not_task_failure(spark):
+    """A RIFF/WAVE payload with a truncated 'fmt ' chunk raises struct.error
+    deep in the codec; the operators must drop the ROW (dead-letter
+    contract) rather than fail the whole Spark task on one malformed byte
+    string in untrusted crawl data (ADVICE r2)."""
+    import struct
+
+    import numpy as np
+
+    good = MM.encode_wav(np.zeros(4, dtype=np.int16))
+    # 'fmt ' chunk claims 16 bytes but the payload ends after 2
+    bad = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    # direct codec behavior: ValueError (catchable), never struct.error
+    try:
+        MM._decode(bad)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    rows = [
+        (1, "audio", good, ("audio/wav", 0, 0, 1000)),
+        (2, "audio", bad, ("audio/wav", 0, 0, 1000)),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    assert [r["media_id"] for r in MM.decode_features(df).collect()] == [1]
+    assert [r["media_id"] for r in MM.resize(df, 2, 2).collect()] == [1]
+    # sample_frames keeps only video rows; the point is it must not crash
+    assert MM.sample_frames(df, 1).collect() == []

@@ -121,12 +121,13 @@ def test_python_drain_selection_matches_sort(rows, budget):
 @settings(max_examples=300, deadline=None)
 def test_robots_parser_total(body, agent):
     """parse_robots_txt is a total function: any text parses to
-    (None|float, list[str]) without raising."""
+    (None|float, list[str], list[str]) without raising."""
     from frontier_engine.robots import parse_robots_txt
 
-    delay, dis = parse_robots_txt(body, agent)
+    delay, allow, dis = parse_robots_txt(body, agent)
     assert delay is None or isinstance(delay, float)
     assert isinstance(dis, list) and all(isinstance(d, str) for d in dis)
+    assert isinstance(allow, list) and all(isinstance(a, str) for a in allow)
 
 
 @given(

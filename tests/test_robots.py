@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from frontier_engine.robots import parse_robots, parse_robots_txt, robots_table
 
@@ -18,6 +19,7 @@ Disallow: /
 User-agent: *
 Disallow: /tmp/
 Disallow: /cgi-bin/
+Allow: /tmp/public/
 Crawl-delay: 5.5
 Sitemap: https://x.example/sitemap.xml
 """
@@ -25,22 +27,35 @@ Sitemap: https://x.example/sitemap.xml
 
 def test_parse_pure_python():
     # wildcard group
-    delay, dis = parse_robots_txt(BODY, "*")
-    assert delay == 5.5 and dis == ["/tmp/", "/cgi-bin/"]
+    delay, allow, dis = parse_robots_txt(BODY, "*")
+    assert delay == 5.5 and dis == ["/tmp/", "/cgi-bin/"] and allow == ["/tmp/public/"]
     # exact agent beats wildcard
-    delay, dis = parse_robots_txt(BODY, "GoogleBot")
-    assert delay == 2.0 and dis == ["/private/"]
+    delay, allow, dis = parse_robots_txt(BODY, "GoogleBot")
+    assert delay == 2.0 and dis == ["/private/"] and allow == []
     # unknown named agent falls back to wildcard
-    delay, dis = parse_robots_txt(BODY, "frontierbot")
+    delay, allow, dis = parse_robots_txt(BODY, "frontierbot")
     assert delay == 5.5 and dis == ["/tmp/", "/cgi-bin/"]
     # blockall group
-    assert parse_robots_txt(BODY, "badbot") == (None, ["/"])
+    assert parse_robots_txt(BODY, "badbot") == (None, [], ["/"])
     # multiple user-agents sharing one group
     multi = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
-    assert parse_robots_txt(multi, "b") == (None, ["/x"])
+    assert parse_robots_txt(multi, "b") == (None, [], ["/x"])
     # empty Disallow = allow all; comments stripped
-    assert parse_robots_txt("User-agent: *\nDisallow:  # nothing\n", "*") == (None, [])
-    assert parse_robots_txt(None, "*") == (None, [])
+    assert parse_robots_txt("User-agent: *\nDisallow:  # nothing\n", "*") == (None, [], [])
+    assert parse_robots_txt(None, "*") == (None, [], [])
+
+
+def test_allow_only_group_does_not_merge_into_next():
+    """A group whose only rule is Allow (or Sitemap) still terminates at the
+    next User-agent line — the very common 'good bot exemption' shape. A
+    parser that merges them blocks the explicitly-allowed bot site-wide."""
+    body = "User-agent: bot\nAllow: /\n\nUser-agent: *\nDisallow: /\n"
+    assert parse_robots_txt(body, "bot") == (None, ["/"], [])
+    assert parse_robots_txt(body, "*") == (None, [], ["/"])
+    # unknown-directive-only group (Sitemap) likewise starts a new group
+    body2 = "User-agent: bot\nSitemap: https://x/s.xml\nUser-agent: *\nDisallow: /\n"
+    assert parse_robots_txt(body2, "bot") == (None, [], [])
+    assert parse_robots_txt(body2, "*") == (None, [], ["/"])
 
 
 def test_parse_robots_dataframe_and_apply(spark):
@@ -54,6 +69,7 @@ def test_parse_robots_dataframe_and_apply(spark):
     got = {r["host"]: r for r in table.collect()}
     assert got["a.example"]["crawl_delay"] == 5.5
     assert got["a.example"]["disallow_prefixes"] == ["/tmp/", "/cgi-bin/"]
+    assert got["a.example"]["allow_prefixes"] == ["/tmp/public/"]
     assert got["b.example"]["crawl_delay"] == 1.0  # no delay → default
     assert got["c.example"]["disallow_prefixes"] == []
 
@@ -68,6 +84,87 @@ def test_parse_robots_dataframe_and_apply(spark):
     allowed, blocked = apply_robots(frontier, table, DrainConfig())
     assert [r["url"] for r in blocked.collect()] == ["https://b.example/blocked/p"]
     assert [r["url"] for r in allowed.collect()] == ["https://b.example/ok"]
+
+
+def test_apply_robots_allow_precedence(spark):
+    """RFC 9309 longest-match: Allow inside a Disallowed subtree wins where
+    it is more specific; equal-length tie allows; robots tables WITHOUT an
+    allow_prefixes column keep the old prefix-disallow behavior."""
+    from frontier_engine.frontier import DrainConfig, apply_robots
+
+    table = spark.createDataFrame(
+        [("h.example", 1.0, ["/search/about"], ["/search"])],
+        "host string, crawl_delay double, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>",
+    )
+    frontier = spark.createDataFrame(
+        [("https://h.example/search/q", "h.example"),       # blocked
+         ("https://h.example/search/about/x", "h.example"),  # allowed (longer Allow)
+         ("https://h.example/other", "h.example")],          # allowed (no rule)
+        ["url", "host"],
+    )
+    allowed, blocked = apply_robots(frontier, table, DrainConfig())
+    assert sorted(r["url"] for r in blocked.collect()) == ["https://h.example/search/q"]
+    assert sorted(r["url"] for r in allowed.collect()) == [
+        "https://h.example/other", "https://h.example/search/about/x",
+    ]
+
+    # equal-length tie → allow
+    tie = spark.createDataFrame(
+        [("h.example", 1.0, ["/p"], ["/p"])],
+        "host string, crawl_delay double, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>",
+    )
+    allowed, blocked = apply_robots(
+        spark.createDataFrame([("https://h.example/p1", "h.example")], ["url", "host"]),
+        tie, DrainConfig(),
+    )
+    assert blocked.count() == 0 and allowed.count() == 1
+
+    # legacy table shape (no allow column) still works
+    legacy = spark.createDataFrame(
+        [("h.example", 1.0, ["/p"])],
+        "host string, crawl_delay double, disallow_prefixes array<string>",
+    )
+    allowed, blocked = apply_robots(
+        spark.createDataFrame([("https://h.example/p1", "h.example")], ["url", "host"]),
+        legacy, DrainConfig(),
+    )
+    assert blocked.count() == 1 and allowed.count() == 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["allow", "disallow"]),
+            st.text(alphabet="/abc", min_size=1, max_size=6).map(lambda s: "/" + s.lstrip("/")),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.text(alphabet="/abc", min_size=1, max_size=8).map(lambda s: "/" + s.lstrip("/")),
+)
+@settings(max_examples=200, deadline=None)
+def test_allow_disallow_longest_match_property(rules, path):
+    """Interleaved Allow/Disallow rules in one group: the parsed lists feed a
+    longest-match decision that agrees with a direct RFC 9309 evaluation."""
+    body = "User-agent: *\n" + "\n".join(
+        f"{'Allow' if kind == 'allow' else 'Disallow'}: {p}" for kind, p in rules
+    )
+    _, allow, dis = parse_robots_txt(body, "*")
+    assert allow == [p for k, p in rules if k == "allow"]
+    assert dis == [p for k, p in rules if k == "disallow"]
+    d = max((len(p) for p in dis if path.startswith(p)), default=0)
+    a = max((len(p) for p in allow if path.startswith(p)), default=0)
+    blocked = d > a
+    # direct evaluation: most specific rule wins, tie → allow
+    best = None  # (len, is_allow)
+    for kind, p in rules:
+        if path.startswith(p):
+            cand = (len(p), kind == "allow")
+            if best is None or cand[0] > best[0] or (cand[0] == best[0] and cand[1]):
+                best = cand
+    assert blocked == (best is not None and not best[1])
 
 
 def test_robots_table_dedups_per_host(spark):

@@ -104,6 +104,13 @@ def test_politeness_gate_stateful(spark, tmp_path):
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     rows = [(f"https://a.example/p{i}", base + dt.timedelta(seconds=i)) for i in range(6)]
     rows.append(("https://b.example/only", base))
+    # adversarial: URLs with raw interior tabs (canonicalization keeps them)
+    # must survive the state pack/unpack round-trip when deferred — a naive
+    # "url\thash\tts" split() crashes the stateful operator on the next
+    # trigger (ADVICE r2)
+    rows += [
+        (f"https://c.example/a\tb{i}", base + dt.timedelta(seconds=i)) for i in range(3)
+    ]
     t = pa.table(
         {
             "url": [r[0] for r in rows],
@@ -131,7 +138,7 @@ def test_politeness_gate_stateful(spark, tmp_path):
         # timeout-armed trigger; poll until all 7 admissions landed
         deadline = time.time() + 60
         while time.time() < deadline:
-            if spark.sql("select count(*) n from gate_out").first()["n"] >= 7:
+            if spark.sql("select count(*) n from gate_out").first()["n"] >= 10:
                 break
             time.sleep(0.5)
         out = spark.sql("select * from gate_out").collect()
@@ -144,3 +151,6 @@ def test_politeness_gate_stateful(spark, tmp_path):
     # never more than budget per trigger: batch_seq < budget everywhere
     assert all(r["batch_seq"] < 2 for r in out)
     assert [r["url"] for r in out if r["host"] == "b.example"] == ["https://b.example/only"]
+    # tab-bearing URLs: one was deferred into state and round-tripped intact
+    c_urls = [r["url"] for r in out if r["host"] == "c.example"]
+    assert c_urls == [f"https://c.example/a\tb{i}" for i in range(3)]
