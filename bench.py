@@ -140,12 +140,21 @@ def run_workload(spark, sf_dir: str, corpus_tier: str = "bench") -> dict:
     state.count()
 
     def frontier_epoch():
-        unseen = filter_unseen(with_bucket(cand, cfg), state, cfg).drop("bucket", "url_hash2")
+        # materialize the deduped frontier before draining, as run_crawl's
+        # snapshot boundary does (the drain's backlog census + branches
+        # re-reference their input, which must be storage-backed)
+        unseen = (
+            filter_unseen(with_bucket(cand, cfg), state, cfg)
+            .drop("bucket", "url_hash2")
+            .persist()
+        )
+        unseen.count()
         res = drain_epoch(
             unseen, robots, DrainConfig(epoch_seconds=3600.0, max_salts=8)
         )
         n = res.drained.count()
         res.unpersist()
+        unseen.unpersist()
         return n
 
     n_drained = frontier_epoch()  # warm

@@ -113,27 +113,48 @@ def run_crawl(
     robots_path: str,
     warehouse: str,
     cfg: CrawlConfig = CrawlConfig(),
+    corpus_location: str | None = None,
 ) -> dict:
-    """Run (or resume) a crawl; returns summary stats."""
-    store = SnapshotStore(warehouse)
+    """Run (or resume) a crawl; returns summary stats.
+
+    ``corpus_location``: a corpus prepared once by
+    :func:`frontier_engine.corpus.prepare_corpus` (bucketed on ``url``).
+    When given, every epoch's fetch join consumes the files' resident
+    HashPartitioning directly — the corpus side carries NO shuffle in any
+    run, ever, instead of one repartition+persist per run. ``records``
+    snapshots are written ``partitionBy(lang)`` so downstream per-language
+    reads prune partitions at the scan.
+    """
+    store = SnapshotStore(warehouse, partition_spec={"records": ["lang"]})
     robots = spark.read.parquet(robots_path)
 
-    # one corpus shuffle up front: hash-distribute by the join key so every
-    # epoch's fetch join reuses this partitioning (only the drained side
-    # moves per epoch); at warehouse scale this is the bucketed-table layout
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pages = (
-        canon.canonical_first(
-            spark.read.parquet(pages_path).select(
-                F.col("url").alias("raw"), "warc_ts", "html", "lang"
-            ),
-            F.col("raw"),
-            "url",
+    if corpus_location is not None:
+        from . import corpus as corpus_layout
+
+        # bucketed-table path: zero corpus shuffle in this (or any) run
+        pages = corpus_layout.corpus_df(spark, corpus_location).select(
+            "url", "warc_ts", "html", "lang"
         )
-        .select("url", "warc_ts", "html", "lang")
-        .repartition(n_shuffle, "url")
-        .persist()
-    )
+        pages_persisted = False
+    else:
+        # one corpus shuffle up front: hash-distribute by the join key so
+        # every epoch's fetch join reuses this partitioning (only the
+        # drained side moves per epoch); prepare_corpus persists this same
+        # layout across jobs
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        pages = (
+            canon.canonical_first(
+                spark.read.parquet(pages_path).select(
+                    F.col("url").alias("raw"), "warc_ts", "html", "lang"
+                ),
+                F.col("raw"),
+                "url",
+            )
+            .select("url", "warc_ts", "html", "lang")
+            .repartition(n_shuffle, "url")
+            .persist()
+        )
+        pages_persisted = True
 
     manifest = store.current_manifest()
     if manifest is not None:
@@ -374,7 +395,8 @@ def run_crawl(
         epoch += 1
         epochs_run += 1
 
-    pages.unpersist()
+    if pages_persisted:
+        pages.unpersist()
     return {
         "epochs_run": epochs_run,
         "last_epoch": epoch - 1,

@@ -62,9 +62,11 @@ def order_cols():
 class DrainConfig:
     epoch_seconds: float = 60.0
     default_crawl_delay: float = 1.0
-    # legacy knob: salting is now unconditional (see drain()); retained so
-    # stored configs keep deserializing
-    skew_threshold: int = 5000
+    # hosts with backlog > skew_threshold take the salted two-phase drain;
+    # the rest drain in ONE window (exact rank = slot straight from phase
+    # 1). None = salt every host unconditionally (no census — for inputs
+    # too expensive to reference more than once un-persisted)
+    skew_threshold: int | None = 5000
     max_salts: int = 8
 
 
@@ -154,6 +156,22 @@ class DrainResult:
             df.unpersist()
 
 
+def _budget_col(cfg: DrainConfig):
+    return F.greatest(
+        F.lit(1),
+        F.floor(F.lit(cfg.epoch_seconds) / F.col("crawl_delay")),
+    ).cast("int")
+
+
+def _finish(df: DataFrame, rank_col: str) -> DataFrame:
+    return (
+        df.filter(F.col(rank_col) <= F.col("budget"))
+        .withColumn("slot", (F.col(rank_col) - 1).cast("int"))
+        .withColumn("sched_offset", (F.col(rank_col) - 1) * F.col("crawl_delay"))
+        .drop(rank_col, "budget", "salt", "_mega")
+    )
+
+
 def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None = None) -> DataFrame:
     """Select the exact per-host politeness-budget top-k of ``allowed``.
 
@@ -161,45 +179,97 @@ def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None =
     rows with ``slot`` (0-based politeness slot) and ``sched_offset``
     (seconds into the epoch = slot × crawl_delay).
 
-    Salting is UNCONDITIONAL (``salt = pmod(url_hash, max_salts)``): every
-    host's backlog is split across ``max_salts`` groups, so a mega-host's
-    rows spread over many shuffle partitions, small hosts just produce
-    small groups, and no backlog-census barrier (aggregate + broadcast) is
-    needed before the drain — one shuffle straight to the top-k. Each
-    (host, salt) group keeps its EXACT top-``budget`` rows, so the union is
-    a superset of the true per-host top-k of size ≤ max_salts × budget, and
-    the phase-2 window is exact.
+    Salting is CONDITIONAL on a backlog census (``skew_threshold``): a tiny
+    ``groupBy(host).count()`` (map-side combined; output = one row per
+    host, broadcast after a ``> threshold`` filter that keeps it bounded by
+    ``n_rows / threshold``) marks the mega-hosts, and ONLY their rows take
+    the salted two-phase path:
 
-    Both phases are JVM ``row_number`` windows (sort-based, spill-safe via
+      mega   phase 1: row_number over (host, salt = pmod(url_hash,
+             max_salts)) keeps the exact top-``budget`` per salt group —
+             the backlog spreads across max_salts sort groups and the
+             union over salts is a superset (≤ max_salts × budget rows
+             per host) of the true per-host top-k;
+             phase 2: a window over that small superset takes the exact
+             top-``budget`` and assigns politeness slots.
+      small  ONE window over (host): with backlog ≤ threshold the group is
+             bounded, and phase 1's rank IS the final per-host rank — rank,
+             budget cut, and slot come from a single sort. (The round-2
+             unconditional design paid a second full sort of every
+             under-budget host's complete backlog — for realistic frontiers
+             that is most rows — purely to recompute ranks phase 1 already
+             knew.)
+
+    The drained set, order, and slots are IDENTICAL either way (both paths
+    are exact); the census only picks the physical plan, so the schedule is
+    byte-identical at any parallelism and any threshold. Set
+    ``cfg.skew_threshold=None`` to salt unconditionally with no census —
+    for callers whose input is too expensive to evaluate more than once
+    un-persisted (the census + two branches reference ``allowed`` up to 3×;
+    run_crawl's frontier is parquet-backed, so re-scans are cheap and
+    column-pruned).
+
+    All phases are JVM ``row_number`` windows (sort-based, spill-safe via
     UnsafeExternalSorter) rather than an applyInPandas heap: measured 23%
     faster end-to-end at every parallelism level — the Arrow round-trip of
     full frontier rows through Python cost more than the O(n log n) vs
     O(n log b) sort difference saved.
     """
-    budget = F.greatest(
-        F.lit(1),
-        F.floor(F.lit(cfg.epoch_seconds) / F.col("crawl_delay")),
-    ).cast("int")
-    fr = allowed.withColumn("budget", budget).withColumn(
-        "salt", F.pmod(F.col("url_hash"), F.lit(cfg.max_salts)).cast("int")
+    if cfg.skew_threshold is None:
+        fr = allowed.withColumn("budget", _budget_col(cfg)).withColumn(
+            "salt", F.pmod(F.col("url_hash"), F.lit(cfg.max_salts)).cast("int")
+        )
+        w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
+        superset = (
+            fr.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= F.col("budget"))
+            .drop("_rn1")
+        )
+        w = Window.partitionBy("host").orderBy(*order_cols())
+        return _finish(
+            superset.withColumn("rn", F.row_number().over(w)).withColumn(
+                "_mega", F.lit(True)
+            ),
+            "rn",
+        )
+
+    mega_hosts = (
+        allowed.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("_backlog"))
+        .filter(F.col("_backlog") > cfg.skew_threshold)
+        .select("host", F.lit(True).alias("_mega"))
+    )
+    fr = (
+        allowed.join(F.broadcast(mega_hosts), "host", "left")
+        .withColumn("_mega", F.coalesce(F.col("_mega"), F.lit(False)))
+        .withColumn("budget", _budget_col(cfg))
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_mega"), F.pmod(F.col("url_hash"), F.lit(cfg.max_salts))
+            ).otherwise(F.lit(0)).cast("int"),
+        )
     )
 
+    # small hosts: one bounded sort; phase-1 rank = final rank = slot
+    w_small = Window.partitionBy("host").orderBy(*order_cols())
+    small = _finish(
+        fr.filter(~F.col("_mega")).withColumn("rn", F.row_number().over(w_small)),
+        "rn",
+    )
+
+    # mega hosts: salted pre-cut, then the exact merge over the superset
     w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
     superset = (
-        fr.withColumn("_rn1", F.row_number().over(w1))
+        fr.filter(F.col("_mega"))
+        .withColumn("_rn1", F.row_number().over(w1))
         .filter(F.col("_rn1") <= F.col("budget"))
         .drop("_rn1")
     )
+    w2 = Window.partitionBy("host").orderBy(*order_cols())
+    mega = _finish(superset.withColumn("rn", F.row_number().over(w2)), "rn")
 
-    w = Window.partitionBy("host").orderBy(*order_cols())
-    drained = (
-        superset.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("budget"))
-        .withColumn("slot", (F.col("rn") - 1).cast("int"))
-        .withColumn("sched_offset", (F.col("rn") - 1) * F.col("crawl_delay"))
-        .drop("rn", "budget", "salt")
-    )
-    return drained
+    return small.unionByName(mega)
 
 
 def drain_epoch(

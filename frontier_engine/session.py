@@ -66,6 +66,14 @@ def get_spark(
     # tight.
     if "SPARK_LOCAL_DIRS" not in os.environ and os.access("/dev/shm", os.W_OK):
         builder = builder.config("spark.local.dir", "/dev/shm/fe-spark-local")
+    # ad-hoc conf overrides for experiments (JSON dict), e.g.
+    # FE_SPARK_EXTRA_CONF='{"spark.sql.adaptive.advisoryPartitionSizeInBytes":"16m"}'
+    env_conf = os.environ.get("FE_SPARK_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

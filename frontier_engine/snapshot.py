@@ -44,8 +44,14 @@ class SnapshotStore:
         "blocked", "stream_records",
     }
 
-    def __init__(self, warehouse: str):
+    def __init__(self, warehouse: str, partition_spec: dict[str, list[str]] | None = None):
+        """``partition_spec``: optional ``{table: [partition columns]}`` —
+        those tables' data directories get a declarative Hive-style
+        ``partitionBy`` layout (e.g. ``records/s3/lang=vi/``), so reads
+        filtering on a partition column prune directories before any IO.
+        Mixed layouts across snapshots read fine (parquet merges by name)."""
         self.warehouse = warehouse
+        self.partition_spec = dict(partition_spec or {})
         self.data_dir = os.path.join(warehouse, "data")
         self.manifest_dir = os.path.join(warehouse, "manifests")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -76,7 +82,28 @@ class SnapshotStore:
         paths = m["tables"].get(table)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        if len(paths) == 1:
+            return spark.read.parquet(paths[0])
+        # multiple append increments: read each root separately and union —
+        # one multi-root read trips Spark's partition discovery when roots
+        # carry Hive-style partition dirs (partition_spec tables), and the
+        # per-root union keeps pruning/pushdown per scan either way. Roots
+        # holding no data files (an epoch's empty increment) are skipped.
+        def has_files(p: str) -> bool:
+            return any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(p)
+                for f in files
+            )
+
+        live = [p for p in paths if has_files(p)]
+        if not live:
+            return spark.read.parquet(*paths)  # preserve old error behavior
+        dfs = [spark.read.parquet(p) for p in live]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def history(self) -> list[dict]:
         """Manifest chain oldest→newest; stops at the expiry horizon (a
@@ -99,7 +126,11 @@ class SnapshotStore:
     def _write_table(self, df: DataFrame, table: str, sid: int) -> str:
         final = os.path.join(self.data_dir, table, f"s{sid}")
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        part_cols = self.partition_spec.get(table)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
         os.makedirs(os.path.dirname(final), exist_ok=True)
         if os.path.exists(final):
             shutil.rmtree(final)

@@ -34,6 +34,12 @@ def main(argv=None):
                     help="robots input is raw (host, body) robots.txt text; parse it")
     ap.add_argument("--recrawl-epochs", type=int, default=None,
                     help="re-fetch pages every N epochs (T3 freshness)")
+    ap.add_argument("--bucketed-corpus", action="store_true",
+                    help="prepare (once) and read the pages corpus as a "
+                         "bucketed-on-url table: zero corpus shuffle per run")
+    ap.add_argument("--corpus-location", default=None,
+                    help="where the bucketed corpus lives (default: "
+                         "<warehouse>/corpus)")
     args = ap.parse_args(argv)
 
     from frontier_engine import fixtures
@@ -64,9 +70,17 @@ def main(argv=None):
         robots_table(spark.read.parquet(robots_path)).write.mode("overwrite").parquet(parsed_path)
         robots_path = parsed_path
 
+    corpus_location = None
+    if args.bucketed_corpus or args.corpus_location:
+        from frontier_engine.corpus import prepare_corpus
+
+        corpus_location = args.corpus_location or os.path.join(args.warehouse, "corpus")
+        prepare_corpus(spark, paths["pages"], corpus_location)
+
     t0 = time.time()
     summary = run_crawl(
-        spark, paths["pages"], paths["seeds"], robots_path, args.warehouse, cfg
+        spark, paths["pages"], paths["seeds"], robots_path, args.warehouse, cfg,
+        corpus_location=corpus_location,
     )
     summary["wall_seconds"] = round(time.time() - t0, 2)
     print(json.dumps(summary))

@@ -98,13 +98,19 @@ def test_salted_drain_equals_unsalted(spark):
     fr = _mk_frontier(spark, rows)
     hosts = ["mega.example"] + [f"small{j}.example" for j in range(3)]
     robots = _mk_robots(spark, hosts, delay=0.5)
+    # three physical paths, one answer: census-salted (mega takes the
+    # two-phase path), census-all-small (one window per host), and the
+    # no-census unconditional salting fallback (skew_threshold=None)
     cfg_salted = DrainConfig(epoch_seconds=20.0, skew_threshold=100, max_salts=8)
     cfg_plain = DrainConfig(epoch_seconds=20.0, skew_threshold=10**9)
+    cfg_uncond = DrainConfig(epoch_seconds=20.0, skew_threshold=None, max_salts=8)
     d1, _, _ = drain_epoch(fr, robots, cfg_salted)
     d2, _, _ = drain_epoch(fr, robots, cfg_plain)
+    d3, _, _ = drain_epoch(fr, robots, cfg_uncond)
     got1 = sorted((r["url"], r["slot"]) for r in d1.collect())
     got2 = sorted((r["url"], r["slot"]) for r in d2.collect())
-    assert got1 == got2
+    got3 = sorted((r["url"], r["slot"]) for r in d3.collect())
+    assert got1 == got2 == got3
     # mega host drained exactly its budget
     assert sum(1 for u, _ in got1 if u.startswith("https://mega")) == 40
 

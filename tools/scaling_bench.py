@@ -24,6 +24,7 @@ sys.path.insert(0, REPO)
 EXTRACT_REPLICAS = int(os.environ.get("SCALING_EXTRACT_REPLICAS", "64"))
 FRONTIER_REPLICAS = int(os.environ.get("SCALING_FRONTIER_REPLICAS", "128"))
 LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(","))
+SKIP_EXTRACT = os.environ.get("SCALING_SKIP_EXTRACT", "") == "1"  # frontier-only A/B mode
 
 
 def worker(cpus: int) -> None:
@@ -65,10 +66,12 @@ def worker(cpus: int) -> None:
     pages = replicated(EXTRACT_REPLICAS, ["html"])
     n_pages = base_n * EXTRACT_REPLICAS
     t_extract = float("inf")
-    for _ in range(2):
+    for _ in range(0 if SKIP_EXTRACT else 2):
         t0 = time.time()
         pages.select(F.sum(F.length(text_udf(F.col("html")))).alias("n")).collect()
         t_extract = min(t_extract, time.time() - t0)
+    if SKIP_EXTRACT:
+        t_extract, n_pages = 1.0, 0
 
     # --- frontier throughput: candidates → canonicalize+hash → two-tier
     # dedup → politeness drain (one epoch)
@@ -102,12 +105,21 @@ def worker(cpus: int) -> None:
         if drained is not None:
             drained.unpersist()
         t0 = time.time()
-        unseen = filter_unseen(with_bucket(cand, cfg), state, cfg).drop("bucket", "url_hash2")
+        # materialize the deduped frontier before draining — run_crawl's
+        # snapshot boundary does exactly this (the drain's backlog census +
+        # branches re-reference their input, which must be storage-backed)
+        unseen = (
+            filter_unseen(with_bucket(cand, cfg), state, cfg)
+            .drop("bucket", "url_hash2")
+            .persist()
+        )
+        unseen.count()
         res = drain_epoch(unseen, robots, DrainConfig(epoch_seconds=7200.0, max_salts=8))
         drained = res.drained.persist()
         n_drained = drained.count()
         t_frontier = min(t_frontier, time.time() - t0)
         res.unpersist()
+        unseen.unpersist()
 
     # determinism fingerprint: schedule must be identical at any parallelism
     rows = drained.select("host", "slot", "url").orderBy("host", "slot", "url").collect()
@@ -130,7 +142,16 @@ def worker(cpus: int) -> None:
 def orchestrate() -> int:
     results = {}
     mem_per_core = float(os.environ.get("SCALING_MEM_PER_CORE_GB", "1.5"))
-    for cpus in LEVELS:
+    # SCALING_REPS > 1 runs each level's worker multiple times in
+    # ALTERNATING order (2,8,2,8,...) and keeps the best throughput per
+    # level: co-tenant interference on this shared box is strictly
+    # one-sided (it only slows a run), so max-over-reps estimates the
+    # uncontended rate, and alternation stops one load storm from landing
+    # entirely on one level's block (which is what single-rep sweeps
+    # measured as 0.68-0.94 efficiency swings for identical code)
+    reps = int(os.environ.get("SCALING_REPS", "1"))
+
+    def run_level(cpus: int) -> dict:
         env = dict(os.environ)
         # memory scales WITH cores, like a real cluster where 4N executors
         # bring 4N heaps: a fixed 48g at every level gives the 2-core run
@@ -145,12 +166,38 @@ def orchestrate() -> int:
             "taskset", "-c", f"0-{cpus - 1}",
             sys.executable, os.path.abspath(__file__), "--worker", str(cpus),
         ]
+        with open("/proc/loadavg") as f:
+            load = f.read().split()[0]
         out = subprocess.run(
             cmd, capture_output=True, text=True, env=env, cwd=REPO, check=False,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(f"local[{cpus}] (pinned to {cpus} cores): {line}")
+        r = json.loads(line)
+        r["loadavg_at_start"] = float(load)
+        print(f"local[{cpus}] (pinned to {cpus} cores, load {load}): {line}")
+        return r
+
+    for rep in range(reps):
+        for cpus in LEVELS:
+            r = run_level(cpus)
+            best = results.get(cpus)
+            if best is None or r["frontier_throughput"] > best["frontier_throughput"]:
+                # keep the least-contended run per level (throughput fields
+                # move together; frontier is the north-rule metric)
+                r["extract_throughput"] = max(
+                    r["extract_throughput"],
+                    best["extract_throughput"] if best else 0.0,
+                )
+                r["extract_seconds"] = min(
+                    r["extract_seconds"],
+                    best["extract_seconds"] if best else float("inf"),
+                )
+                results[cpus] = r
+            else:
+                best["extract_throughput"] = max(
+                    best["extract_throughput"], r["extract_throughput"]
+                )
+                best["extract_seconds"] = min(best["extract_seconds"], r["extract_seconds"])
 
     shas = {r["schedule_sha256"] for r in results.values()}
     assert len(shas) == 1, "schedule differs across parallelism!"
