@@ -267,8 +267,9 @@ def q_haversine(spark, sf):
 
 
 def q_politeness_drain(spark, sf):
-    """T1: the engine's real politeness drain (applyInPandas) on a frontier
-    synthesized from events; budget = floor(30s / 10s delay) = 3 per host."""
+    """T1: the engine's real politeness drain (histogram pre-cut + census-
+    salted JVM windows) on a frontier synthesized from events; budget =
+    floor(30s / 10s delay) = 3 per host."""
     e = _t(spark, sf, "events")
     url = F.concat(
         F.lit("https://h"), (F.col("user_id") % 20).cast("string"),

@@ -68,6 +68,11 @@ class DrainConfig:
     # too expensive to reference more than once un-persisted)
     skew_threshold: int | None = 5000
     max_salts: int = 8
+    # before any window sort, cut each host's backlog to ~budget rows via an
+    # exact priority histogram (see _histogram_precut): the full backlog is
+    # only ever AGGREGATED (map-side combined, tiny shuffle), never sorted.
+    # None disables (sort the whole backlog, the round-2 behavior)
+    precut_bins: int | None = 4096
 
 
 def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
@@ -172,6 +177,99 @@ def _finish(df: DataFrame, rank_col: str) -> DataFrame:
     )
 
 
+def _precut_bin_col(nb: int):
+    """Histogram bin of ``priority``, monotone in the drain order's leading
+    key: engine priorities live in (0, 1] (seeds 1.0, decayed multiplicatively
+    — crawl.py), so ``floor(priority*nb)`` clamped into [0, nb-1]; values
+    outside [0, 1] land in the edge bins (coarser cut, never wrong) and a
+    NULL priority (sorts last under ``priority DESC``) gets bin -1."""
+    clamped = F.least(
+        F.lit(nb - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.floor(F.col("priority") * nb)),
+    )
+    return F.when(F.col("priority").isNull(), F.lit(-1).cast("long")).otherwise(clamped)
+
+
+def _route_table(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
+    """ONE aggregate pass over the backlog → a tiny per-host routing table
+    ``(host, _tb, _mega)`` driving both the histogram pre-cut and the
+    skew-salting census.
+
+    Pre-cut (``_tb``): the drain must sort ~budget rows per host (they get
+    slots); the round-2 design sorted the whole backlog to find them. At
+    100 TB the backlog is ~1000× the budget — a full sort of the frontier
+    per epoch is the single largest avoidable cost in the crawl loop. So
+    aggregate instead: exact ``groupBy(host, bin(priority))`` counts
+    (map-side combined, shuffle ≤ hosts × (bins+1) tiny rows, NO row
+    movement), then per host walk bins top-down; the threshold bin ``_tb``
+    is the largest bin whose top-down cumulative count reaches the budget
+    (NULL when the backlog is under budget — keep everything). Dropping
+    ``bin < _tb`` is EXACT, not approximate: ≥ budget rows survive by
+    construction, and every dropped row has strictly smaller priority — the
+    leading key of the drain order — than every survivor, so its final rank
+    is > budget. Survivors ≤ budget + one tie bin; only degenerate priority
+    distributions (a whole backlog in one bin) defeat the cut, which no
+    priority-based cut can avoid. Integer counts make the threshold — and
+    therefore the schedule — identical at any parallelism.
+
+    Census (``_mega``): the same cumulative walk yields the SURVIVOR count
+    per host (the cumulative count at ``_tb``), so skew routing needs no
+    second scan: ``_mega`` = survivors-after-cut > ``skew_threshold``.
+
+    Rows are emitted only for hosts that need routing (a real cut or a mega
+    flag), bounding the broadcast by ~n_rows / min(budget, threshold) —
+    over-budget hosts only, the same shape at 100 TB as a mega-host list.
+    """
+    nb = cfg.precut_bins
+    bin_expr = _precut_bin_col(nb) if nb else F.lit(0).cast("long")
+    w_host = Window.partitionBy("host")
+    w_cum = w_host.orderBy(F.col("_bin").desc())
+    return (
+        allowed.groupBy(F.col("host"), bin_expr.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("crawl_delay").alias("_delay"))
+        .withColumn("_cum", F.sum("_cnt").over(w_cum))
+        .withColumn(
+            "_b",
+            F.greatest(
+                F.lit(1.0),
+                F.floor(F.lit(cfg.epoch_seconds) / F.min("_delay").over(w_host)),
+            ).cast("long"),
+        )
+        .withColumn("_total", F.sum("_cnt").over(w_host))
+        .groupBy("host")
+        .agg(
+            F.max(F.when(F.col("_cum") >= F.col("_b"), F.col("_bin"))).alias("_tb"),
+            F.min(F.when(F.col("_cum") >= F.col("_b"), F.col("_cum"))).alias("_surv"),
+            F.max("_total").alias("_bl"),
+            F.max("_b").alias("_bb"),
+        )
+        # cut only when the backlog exceeds the budget; survivors = the
+        # first top-down cumulative ≥ budget (= backlog when under budget)
+        .withColumn("_tb", F.when(F.col("_bl") > F.col("_bb"), F.col("_tb")))
+        .withColumn(
+            "_mega",
+            F.coalesce(
+                F.when(F.col("_tb").isNotNull(), F.col("_surv")), F.col("_bl")
+            ) > F.lit(cfg.skew_threshold),
+        )
+        .filter(F.col("_mega") | F.col("_tb").isNotNull())
+        .select("host", "_tb", "_mega")
+    )
+
+
+def _histogram_precut(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
+    """The pre-cut alone (see :func:`_route_table`): drop rows that provably
+    cannot make their host's politeness budget, before any sort sees them."""
+    thr = _route_table(allowed, cfg).filter(F.col("_tb").isNotNull()).select("host", "_tb")
+    nb = cfg.precut_bins
+    bin_expr = _precut_bin_col(nb) if nb else F.lit(0).cast("long")
+    return (
+        allowed.join(F.broadcast(thr), "host", "left")
+        .filter(F.col("_tb").isNull() | (bin_expr >= F.col("_tb")))
+        .drop("_tb")
+    )
+
+
 def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None = None) -> DataFrame:
     """Select the exact per-host politeness-budget top-k of ``allowed``.
 
@@ -179,35 +277,32 @@ def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None =
     rows with ``slot`` (0-based politeness slot) and ``sched_offset``
     (seconds into the epoch = slot × crawl_delay).
 
-    Salting is CONDITIONAL on a backlog census (``skew_threshold``): a tiny
-    ``groupBy(host).count()`` (map-side combined; output = one row per
-    host, broadcast after a ``> threshold`` filter that keeps it bounded by
-    ``n_rows / threshold``) marks the mega-hosts, and ONLY their rows take
-    the salted two-phase path:
+    The default path does exactly TWO passes over the backlog and never
+    sorts it:
 
-      mega   phase 1: row_number over (host, salt = pmod(url_hash,
-             max_salts)) keeps the exact top-``budget`` per salt group —
-             the backlog spreads across max_salts sort groups and the
-             union over salts is a superset (≤ max_salts × budget rows
-             per host) of the true per-host top-k;
-             phase 2: a window over that small superset takes the exact
-             top-``budget`` and assigns politeness slots.
-      small  ONE window over (host): with backlog ≤ threshold the group is
-             bounded, and phase 1's rank IS the final per-host rank — rank,
-             budget cut, and slot come from a single sort. (The round-2
-             unconditional design paid a second full sort of every
-             under-budget host's complete backlog — for realistic frontiers
-             that is most rows — purely to recompute ranks phase 1 already
-             knew.)
+    1. :func:`_route_table` — one aggregate pass → broadcast ``(host, _tb,
+       _mega)``: the exact priority-histogram cut threshold (``_tb``) and
+       the survivor-count skew census (``_mega``), from the same histogram.
+    2. rank — join the routing table, drop rows that provably cannot make
+       their host's budget (``bin < _tb``; proof in ``_route_table``), and
+       ``row_number`` over ``(host, salt)`` where ``salt`` is 0 for small
+       hosts and ``pmod(url_hash, max_salts)`` for mega hosts. For small
+       hosts this rank IS the final per-host rank (their whole survivor set
+       is one sort group). For mega hosts the per-salt top-``budget`` union
+       is a superset (≤ max_salts × budget rows) of the true per-host
+       top-k, and a phase-2 window over that small superset assigns the
+       exact final ranks. Both branches hang off the SAME ``(host, salt)``
+       Exchange, so Spark's ReuseExchange evaluates the scan+join+filter
+       once; only the ~budget-per-host survivors are ever shuffled/sorted.
 
-    The drained set, order, and slots are IDENTICAL either way (both paths
-    are exact); the census only picks the physical plan, so the schedule is
-    byte-identical at any parallelism and any threshold. Set
-    ``cfg.skew_threshold=None`` to salt unconditionally with no census —
-    for callers whose input is too expensive to evaluate more than once
-    un-persisted (the census + two branches reference ``allowed`` up to 3×;
-    run_crawl's frontier is parquet-backed, so re-scans are cheap and
-    column-pruned).
+    The drained set, order, and slots are IDENTICAL on every path (all
+    exact); the routing table only picks the physical plan, so the schedule
+    is byte-identical at any parallelism, threshold, or bin count.
+    ``cfg.skew_threshold=None`` = salt unconditionally with no routing pass
+    — for callers whose input is too expensive to reference twice
+    un-persisted (run_crawl's frontier is parquet-backed, so the routing
+    scan is cheap and column-pruned). ``cfg.precut_bins=None`` keeps the
+    census but disables the cut (the histogram degenerates to one bin).
 
     All phases are JVM ``row_number`` windows (sort-based, spill-safe via
     UnsafeExternalSorter) rather than an applyInPandas heap: measured 23%
@@ -233,14 +328,12 @@ def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None =
             "rn",
         )
 
-    mega_hosts = (
-        allowed.groupBy("host")
-        .agg(F.count(F.lit(1)).alias("_backlog"))
-        .filter(F.col("_backlog") > cfg.skew_threshold)
-        .select("host", F.lit(True).alias("_mega"))
-    )
+    route = _route_table(allowed, cfg)
+    nb = cfg.precut_bins
+    bin_expr = _precut_bin_col(nb) if nb else F.lit(0).cast("long")
     fr = (
-        allowed.join(F.broadcast(mega_hosts), "host", "left")
+        allowed.join(F.broadcast(route), "host", "left")
+        .filter(F.col("_tb").isNull() | (bin_expr >= F.col("_tb")))
         .withColumn("_mega", F.coalesce(F.col("_mega"), F.lit(False)))
         .withColumn("budget", _budget_col(cfg))
         .withColumn(
@@ -249,16 +342,31 @@ def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None =
                 F.col("_mega"), F.pmod(F.col("url_hash"), F.lit(cfg.max_salts))
             ).otherwise(F.lit(0)).cast("int"),
         )
+        .drop("_tb")
     )
+    w2 = Window.partitionBy("host").orderBy(*order_cols())
 
-    # small hosts: one bounded sort; phase-1 rank = final rank = slot
+    if nb:
+        # one shuffle+sort of the ~budget-per-host survivors; both branches
+        # hang off the SAME (host, salt) Exchange (ReuseExchange), so the
+        # scan+join+filter runs once and only survivors move
+        w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
+        ranked = fr.withColumn("_rn1", F.row_number().over(w1))
+        # small hosts: salt = 0, so _rn1 is the final per-host rank = slot
+        small = _finish(ranked.filter(~F.col("_mega")), "_rn1")
+        # mega hosts: per-salt top-budget superset, then the exact merge
+        superset = ranked.filter(
+            F.col("_mega") & (F.col("_rn1") <= F.col("budget"))
+        ).drop("_rn1")
+        return small.unionByName(_finish(superset.withColumn("rn", F.row_number().over(w2)), "rn"))
+
+    # no pre-cut: the windows sort FULL backlogs, so filter each branch
+    # BELOW its window (separate Exchanges beat sorting everything twice)
     w_small = Window.partitionBy("host").orderBy(*order_cols())
     small = _finish(
         fr.filter(~F.col("_mega")).withColumn("rn", F.row_number().over(w_small)),
         "rn",
     )
-
-    # mega hosts: salted pre-cut, then the exact merge over the superset
     w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
     superset = (
         fr.filter(F.col("_mega"))
@@ -266,10 +374,7 @@ def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None =
         .filter(F.col("_rn1") <= F.col("budget"))
         .drop("_rn1")
     )
-    w2 = Window.partitionBy("host").orderBy(*order_cols())
-    mega = _finish(superset.withColumn("rn", F.row_number().over(w2)), "rn")
-
-    return small.unionByName(mega)
+    return small.unionByName(_finish(superset.withColumn("rn", F.row_number().over(w2)), "rn"))
 
 
 def drain_epoch(

@@ -115,6 +115,56 @@ def test_salted_drain_equals_unsalted(spark):
     assert sum(1 for u, _ in got1 if u.startswith("https://mega")) == 40
 
 
+def test_histogram_precut_exact_and_tight(spark):
+    """The priority-histogram pre-cut (DrainConfig.precut_bins) must never
+    change the drained schedule — at any bin count, under degenerate ties
+    (whole backlog in one bin), and with NULL priorities — while keeping
+    only ~budget rows per host when priorities do discriminate."""
+    rng = random.Random(11)
+    rows = (
+        # a: continuous priorities — tight cut expected
+        [(f"https://a.example/p{i}", rng.random(), 0, 0) for i in range(2000)]
+        # b: ALL priorities tied — one fat bin, cut impossible, keep all
+        + [(f"https://b.example/p{i}", 0.5, 0, 0) for i in range(500)]
+        # c: budget crossed inside the spread tail after a tied head
+        + [(f"https://c.example/hi{i}", 0.9, 0, 0) for i in range(30)]
+        + [(f"https://c.example/lo{i}", rng.random() * 0.5, 0, 0) for i in range(470)]
+        # d: under budget, NULLs included (NULL sorts last; bin -1)
+        + [(f"https://d.example/p{i}", None if i % 2 else 0.7, 0, 0) for i in range(6)]
+    )
+    fr = _mk_frontier(spark, rows)
+    hosts = [f"{h}.example" for h in "abcd"]
+    robots = _mk_robots(spark, hosts, delay=0.5)  # budget = 20/0.5 = 40
+
+    base = None
+    for bins in (4096, 7, None):
+        cfg = DrainConfig(epoch_seconds=20.0, precut_bins=bins)
+        d, _, _ = drain_epoch(fr, robots, cfg)
+        got = sorted((r["url"], r["slot"]) for r in d.collect())
+        if base is None:
+            base = got
+        assert got == base, f"precut_bins={bins} changed the schedule"
+    assert sum(1 for u, _ in base if "://a." in u) == 40
+    assert sum(1 for u, _ in base if "://d." in u) == 6
+
+    # mechanism: survivors per host = budget + at most one tie bin
+    from frontier_engine.frontier import _histogram_precut, apply_robots
+
+    allowed, _ = apply_robots(fr, robots, DrainConfig(epoch_seconds=20.0))
+    surv = dict(
+        _histogram_precut(allowed, DrainConfig(epoch_seconds=20.0))
+        .groupBy("host").count().collect()
+    )
+    assert 40 <= surv["a.example"] <= 60      # ~2000/4096 rows per bin
+    assert surv["b.example"] == 500           # degenerate: nothing provably out
+    assert 40 <= surv["c.example"] <= 60
+    assert surv["d.example"] == 6             # under budget: keep all
+    # survivors ⊇ drained (the cut only removes provably-unranked rows)
+    kept = {r["url"] for r in _histogram_precut(
+        allowed, DrainConfig(epoch_seconds=20.0)).select("url").collect()}
+    assert {u for u, _ in base} <= kept
+
+
 def test_unknown_host_gets_default_delay(spark):
     fr = _mk_frontier(spark, [("https://x.example/a", 1.0, 0, 0)])
     robots = _mk_robots(spark, ["other.example"])

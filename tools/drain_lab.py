@@ -180,6 +180,9 @@ def worker(cpus: int) -> None:
         "p1_fine16m": fine(lambda: _phase1(allowed, cfg, hashlead=False), "16m"),
         "p1_fine32m": fine(lambda: _phase1(allowed, cfg, hashlead=False), "32m"),
         "base": lambda: drain(allowed, cfg),
+        "nocut": lambda: drain(
+            allowed, DrainConfig(epoch_seconds=7200.0, max_salts=8, precut_bins=None)
+        ),
         "base_fine8m": fine(lambda: drain(allowed, cfg), "8m"),
         "ep600": lambda: drain(allowed, DrainConfig(epoch_seconds=600.0, max_salts=8)),
     }
@@ -194,7 +197,7 @@ def worker(cpus: int) -> None:
         restore()
         out["walls"][name] = round(best, 3)
         out["counts"][name] = cnt
-    for name in ("base", "base_fine8m"):
+    for name in ("base", "nocut", "base_fine8m"):
         rows = (
             variants[name]()
             .select("host", "slot", "url")

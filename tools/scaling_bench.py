@@ -114,7 +114,12 @@ def worker(cpus: int) -> None:
             .persist()
         )
         unseen.count()
-        res = drain_epoch(unseen, robots, DrainConfig(epoch_seconds=7200.0, max_salts=8))
+        # SCALING_PRECUT=0 disables the histogram pre-cut (A/B attribution)
+        precut = None if os.environ.get("SCALING_PRECUT", "1") == "0" else 4096
+        res = drain_epoch(
+            unseen, robots,
+            DrainConfig(epoch_seconds=7200.0, max_salts=8, precut_bins=precut),
+        )
         drained = res.drained.persist()
         n_drained = drained.count()
         t_frontier = min(t_frontier, time.time() - t0)
