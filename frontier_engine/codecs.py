@@ -1,0 +1,884 @@
+"""Pure-Python/numpy compressed-media codecs: PNG, baseline JPEG, MP4.
+
+Round 2 shipped real codecs only for UNCOMPRESSED containers (BMP/WAV/PPM)
+and documented JPEG/PNG/MP4 as environment-blocked ("no PIL/ffmpeg in this
+container").  That was too pessimistic: everything these three formats need
+is in the stdlib + numpy —
+
+- **PNG**   : DEFLATE is stdlib ``zlib``; the five scanline filters
+  (None/Sub/Up/Average/Paeth) are numpy arithmetic.  Full decode for 8-bit
+  greyscale / RGB / RGBA, non-interlaced (Adam7 → ``NotImplementedError``),
+  with chunk-CRC verification on untrusted input.
+- **JPEG**  : baseline sequential DCT (SOF0).  Huffman tables are read from
+  the file's own DHT segments (canonical bits/values form), dequantization
+  from DQT, IDCT is an orthonormal 8×8 DCT matrix product over all blocks
+  at once (numpy einsum), chroma subsampling up to 2×2 handled by pixel
+  replication.  Progressive (SOF2) / arithmetic coding / 12-bit raise
+  ``NotImplementedError``.
+- **MP4**   : ISO-BMFF container demux — walk ``moov/trak/mdia/minf/stbl``,
+  resolve the sample tables (stsz × stsc × stco/co64, stss sync samples,
+  stts durations) into per-sample byte ranges, and slice frames straight
+  out of ``mdat``.  This is container-level frame *sampling* (what a
+  training-data pipeline needs to shard video); decoding the H.26x payload
+  inside each sample is a genuine plug-point for a real decoder.
+
+Encoders (``encode_png`` / ``encode_jpeg`` / ``mux_mp4``) exist so tests can
+synthesise deterministic media offline and round-trip it; they write
+spec-conformant output (PNG filter types selectable per row to exercise
+every unfilter path; JPEG 4:4:4 or 4:2:0 with restart intervals).
+
+These are deliberately *baseline-speed* implementations: entropy decode is a
+Python bit loop, fine for test corpora and correct on real files, and the
+natural place to swap in PIL/ffmpeg on a cluster where those exist.  The
+reference scraper shells media handling out entirely (it stores URLs only,
+``/root/reference/crawler/stores/bhx.py`` keeps ``image`` as a string
+column), so this whole module is additive capability.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, verifying CRCs (untrusted input)."""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PNG → ``(width, height, channels, uint8 body)``.
+
+    body is the reconstructed pixel bytes, row-major, ``h*w*channels`` long.
+    8-bit depth, color types 0/2/4/6, interlace 0.  Raises ``ValueError``
+    on malformed input, ``NotImplementedError`` on valid-but-unsupported.
+    """
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    w = h = channels = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if color == 3:
+                raise NotImplementedError("PNG palette images")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"PNG color type {color}")
+            if comp != 0 or filt != 0:
+                raise ValueError("PNG bad compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("PNG Adam7 interlace")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if w == 0 or h == 0:
+        raise ValueError("PNG zero dimension")
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG decompressed size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        f, cur = int(filters[y]), data[y]
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: prefix sum along the pixel axis, per byte lane
+            rec = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = cur + prev
+        elif f in (3, 4):  # Average / Paeth: sequential in x, vector over lanes
+            rec2 = np.zeros((w, bpp), dtype=np.int32)
+            cur2, prev2 = cur.reshape(w, bpp), (prev % 256).reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                up = prev2[x]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = _paeth(left, up, upleft)
+                left = (cur2[x] + pred) % 256
+                rec2[x] = left
+                upleft = up
+            rec = rec2.reshape(stride)
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        rec = rec % 256
+        out[y] = rec
+        prev = rec
+    return w, h, channels, out.astype(np.uint8).reshape(-1)
+
+
+def encode_png(pixels: np.ndarray, filters=0) -> bytes:
+    """Encode uint8 pixels of shape (h, w) or (h, w, channels) as PNG.
+
+    ``filters``: a single filter type (0-4) or a per-row list — selectable
+    so tests can exercise every unfilter path in :func:`decode_png`.
+    """
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, channels = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if isinstance(filters, int):
+        filters = [filters] * h
+    px = pixels.astype(np.int32).reshape(h, w * channels)
+    bpp = channels
+    lines = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        f, cur = filters[y], px[y]
+        cur2 = cur.reshape(w, bpp)
+        left = np.zeros((w, bpp), dtype=np.int32)
+        left[1:] = cur2[:-1]
+        up = prev.reshape(w, bpp)
+        upleft = np.zeros((w, bpp), dtype=np.int32)
+        upleft[1:] = up[:-1]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur2 - left).reshape(-1)
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = (cur2 - ((left + up) >> 1)).reshape(-1)
+        elif f == 4:
+            filt = (cur2 - _paeth(left, up, upleft)).reshape(-1)
+        else:
+            raise ValueError(f"filter {f}")
+        lines.append(f)
+        lines += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines), 6)) + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, SOF0)
+# ---------------------------------------------------------------------------
+
+def _zigzag_order() -> np.ndarray:
+    """The 8×8 zigzag scan as flat indices, generated (not hardcoded):
+    anti-diagonals in order, odd diagonals top-down, even bottom-up."""
+    order = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        order += ij if s % 2 == 1 else ij[::-1]
+    return np.array([i * 8 + j for i, j in order], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()          # natural ← zigzag position k
+_UNZIGZAG = np.argsort(_ZIGZAG)    # zigzag position ← natural
+
+# orthonormal 8-point DCT-II matrix (matches JPEG Annex A's FDCT scaling)
+_DCT = np.array([
+    [(np.sqrt(1 / 8) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)] for u in range(8)])
+
+
+class _BitReader:
+    """MSB-first bit reader over the unstuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (DHT bits/values form) → {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    return {sym: (ln, code) for (ln, code), sym in _huff_decode_table(bits, vals).items()}
+
+
+def _read_huff_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DECODE_EXTEND: map t raw bits to a signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline JFIF/JPEG → ``(width, height, RGB uint8 body)``.
+
+    Quant + Huffman tables come from the stream's own DQT/DHT segments;
+    restart markers reset DC predictors; chroma h/v sampling factors up to
+    2 are upsampled by replication.  ``ValueError`` on malformed input,
+    ``NotImplementedError`` on progressive/arithmetic/12-bit.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD8:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                if len(tbl) != 64:
+                    raise ValueError("short DQT")
+                nat = np.zeros(64, dtype=np.int32)
+                nat[_ZIGZAG] = tbl  # DQT is in zigzag order
+                qt[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = seg[p + 17 : p + 17 + n]
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("short DHT")
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({**comp, "dc": tt >> 4, "ac": tt & 0xF})
+            data_start = pos + 2 + seglen
+            return _decode_scan(payload, data_start, frame, scan, qt, huff,
+                                restart_interval)
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS")
+
+
+def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
+    # unstuff entropy bytes: FF00→FF; drop RSTn markers (the encoder pads to
+    # a byte boundary before each, so the decoder just realigns); stop at any
+    # other marker (EOI / next segment).
+    data = bytearray()
+    p = start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                p += 2
+                continue
+            break
+        data.append(b)
+        p += 1
+
+    w, h, comps = frame["w"], frame["h"], scan
+    if w == 0 or h == 0:
+        raise ValueError("JPEG zero dimension")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or any(c["h"] == 0 or c["v"] == 0 for c in comps):
+        raise NotImplementedError("sampling factors beyond 2×2")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient block grids
+    blocks = {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+              for c in comps}
+    br = _BitReader(bytes(data))
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # realign to the byte boundary recorded at the RST marker
+                if br.bit:
+                    br.pos += 1
+                    br.bit = 0
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_tbl = huff.get((0, c["dc"]))
+                ac_tbl = huff.get((1, c["ac"]))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int32)
+                        t = _read_huff_symbol(br, dc_tbl)
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff_symbol(br, ac_tbl)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            coef[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        blocks[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = coef
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references missing DQT")
+        grid = blocks[c["id"]]
+        ny, nx = grid.shape[:2]
+        # reorder coefficients zigzag → natural, THEN dequantize (q is stored
+        # in natural order), then IDCT every block at once.  Orthonormal DCT
+        # matrix: inverse is C^T·A·C, computed as Σ_k Σ_l C[k,i]·A[k,l]·C[l,j].
+        nat = (grid[:, :, _UNZIGZAG] * q[None, None, :]).astype(np.float64)
+        nat = nat.reshape(ny, nx, 8, 8)
+        spat = np.einsum("ki,yxkl,lj->yxij", _DCT, nat, _DCT, optimize=True)
+        plane = (spat.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8) + 128.0)
+        # upsample by replication to full-res grid
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+    elif len(planes) == 1:
+        rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
+    else:
+        raise NotImplementedError(f"{len(planes)}-component JPEG")
+    body = np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1)
+    return w, h, body
+
+
+# ----- encoder (tests / deterministic corpora) -----------------------------
+
+# libjpeg-compatible quality scaling over the Annex-K-style base tables; the
+# exact base values matter less than being written verbatim into DQT (the
+# decoder always reads tables from the stream).
+_QBASE_Y = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+_QBASE_C = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Simple VALID canonical Huffman tables for the encoder (written into DHT;
+# the decoder reads whatever the stream declares, so these need only be
+# well-formed): 12 DC categories at 4 bits, the 162 baseline AC symbols at
+# 8 bits + the remainder spillover at 9 — generated, not transcribed.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = bytes(range(12))
+_AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_BITS = [0] * 7 + [162] + [0] * 8
+assert sum(_AC_BITS) == len(_AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            self.write(0x7F >> (7 - ((8 - self.nbits) % 8)), (8 - self.nbits) % 8)
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qy = np.clip((_QBASE_Y * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QBASE_C * scale + 50) // 100, 1, 255)
+    return qy.astype(np.int32), qc.astype(np.int32)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int,
+                  dc_tab, ac_tab) -> int:
+    coef = _DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T
+    qz = np.round(coef.reshape(-1) / q).astype(np.int32)[_ZIGZAG]
+    # baseline AC magnitudes cap at 1023 (size category ≤ 10); reachable
+    # only with q=1 + a full-amplitude single-frequency block
+    qz[1:] = np.clip(qz[1:], -1023, 1023)
+    dc = int(qz[0])
+    diff = dc - pred
+    t = int(abs(diff)).bit_length()
+    ln, code = dc_tab[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max(np.nonzero(qz)[0]) if np.any(qz) else 0
+    for k in range(1, 64):
+        v = int(qz[k])
+        if v == 0:
+            if k > last_nz:
+                ln, code = ac_tab[0x00]  # EOB
+                bw.write(code, ln)
+                break
+            run += 1
+            if run == 16:
+                ln, code = ac_tab[0xF0]  # ZRL
+                bw.write(code, ln)
+                run = 0
+            continue
+        s = int(abs(v)).bit_length()
+        ln, code = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return dc
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JPEG encoder for tests: uint8 (h, w, 3) RGB → JFIF bytes.
+
+    ``subsample=True`` writes 4:2:0 (2×2 luma sampling); ``restart_interval``
+    emits DRI + RSTn markers so the decoder's restart path is testable.
+    """
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.float64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qy, qc = _quant_tables(quality)
+    qy_nat, qc_nat = qy.reshape(8, 8), qc.reshape(8, 8)
+    dc_tab = _huff_encode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _huff_encode_table(_AC_BITS, _AC_SYMBOLS)
+
+    hs, vs = (2, 2) if subsample else (1, 1)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+
+    def pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        return np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                      mode="edge")
+
+    ypl = pad_to(y, mcuy * 8 * vs, mcux * 8 * hs)
+    if subsample:  # 2×2 box average
+        cbs = pad_to(cb, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crs = pad_to(cr, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbs, crs = pad_to(cb, mcuy * 8, mcux * 8), pad_to(cr, mcuy * 8, mcux * 8)
+
+    bw = _BitWriter()
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    out = bytearray()
+    mcu_count = 0
+    next_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                out += bw.out + bytes([0xFF, 0xD0 + (next_rst & 7)])
+                bw = _BitWriter()
+                next_rst += 1
+                preds = {"y": 0, "cb": 0, "cr": 0}
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = ypl[(my * vs + by) * 8:(my * vs + by) * 8 + 8,
+                              (mx * hs + bx) * 8:(mx * hs + bx) * 8 + 8]
+                    preds["y"] = _encode_block(bw, blk, qy_nat.reshape(-1), preds["y"], dc_tab, ac_tab)
+            for name, plane in (("cb", cbs), ("cr", crs)):
+                blk = plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                preds[name] = _encode_block(bw, blk, qc_nat.reshape(-1), preds[name], dc_tab, ac_tab)
+            mcu_count += 1
+    bw.flush()
+    out += bw.out
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + qy[_ZIGZAG].astype(np.uint8).tobytes())
+    head += seg(0xDB, bytes([0x01]) + qc[_ZIGZAG].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hs << 4) | vs, 0])  # Y
+    sof += bytes([2, 0x11, 1])            # Cb
+    sof += bytes([3, 0x11, 1])            # Cr
+    head += seg(0xC0, sof)
+    head += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS)
+    head += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_SYMBOLS)
+    head += seg(0xC4, bytes([0x01]) + bytes(_DC_BITS) + _DC_VALS)
+    head += seg(0xC4, bytes([0x11]) + bytes(_AC_BITS) + _AC_SYMBOLS)
+    if restart_interval:
+        head += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    head += seg(0xDA, sos)
+    return bytes(head) + bytes(out) + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO base media file format) — container demux
+# ---------------------------------------------------------------------------
+
+def _boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,), btype = struct.unpack_from(">I", data, pos), data[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+            hdr = 8
+        else:
+            hdr = 8
+        if size < hdr or pos + size > end:
+            raise ValueError(f"MP4 box {btype!r} size out of range")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, path: list[bytes]):
+    """First box matching the type path; (body_start, body_end) or None."""
+    for btype, bstart, bend in _boxes(data, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return bstart, bend
+            return _find_box(data, bstart, bend, path[1:])
+    return None
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Demux an ISO-BMFF file: video track dims + per-sample byte ranges.
+
+    Returns ``{"width", "height", "duration_ms", "samples": [(off, size)],
+    "sync": [1-based sample numbers]}``.  Resolves stsz (sizes) × stsc
+    (samples-per-chunk runs) × stco/co64 (chunk offsets); stss lists sync
+    samples (absent ⇒ all samples are sync, per spec).
+    """
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp)")
+    moov = _find_box(payload, 0, len(payload), [b"moov"])
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    # mvhd: timescale + duration
+    mvhd = _find_box(payload, moov[0], moov[1], [b"mvhd"])
+    duration_ms = 0
+    if mvhd is not None:
+        ver = payload[mvhd[0]]
+        if ver == 1:
+            timescale, dur = struct.unpack_from(">IQ", payload, mvhd[0] + 20)
+        else:
+            timescale, dur = struct.unpack_from(">II", payload, mvhd[0] + 12)
+        duration_ms = int(dur * 1000 // timescale) if timescale else 0
+    # first video trak (hdlr type 'vide'); fall back to the first trak
+    chosen = None
+    for btype, bstart, bend in _boxes(payload, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        hdlr = _find_box(payload, bstart, bend, [b"mdia", b"hdlr"])
+        if chosen is None:
+            chosen = (bstart, bend)
+        if hdlr is not None and payload[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+            chosen = (bstart, bend)
+            break
+    if chosen is None:
+        raise ValueError("MP4 has no trak")
+    tkhd = _find_box(payload, chosen[0], chosen[1], [b"tkhd"])
+    width = height = 0
+    if tkhd is not None:
+        # v0 body: ver/flags 4 + times/ids 20 + reserved 8 + layer etc 8 +
+        # matrix 36 = 76 bytes before the 16.16 fixed-point width/height
+        # (v1's 64-bit times add 12)
+        ver = payload[tkhd[0]]
+        off = tkhd[0] + (76 if ver == 0 else 88)
+        w_fix, h_fix = struct.unpack_from(">II", payload, off)
+        width, height = w_fix >> 16, h_fix >> 16
+    stbl = _find_box(payload, chosen[0], chosen[1], [b"mdia", b"minf", b"stbl"])
+    if stbl is None:
+        raise ValueError("MP4 trak missing stbl")
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for btype, bstart, bend in _boxes(payload, stbl[0], stbl[1]):
+        tables[btype] = (bstart, bend)
+
+    def full(btype: bytes):
+        if btype not in tables:
+            return None
+        s, e = tables[btype]
+        return s + 4, e  # skip version/flags
+
+    stsz = full(b"stsz")
+    if stsz is None:
+        raise ValueError("MP4 missing stsz")
+    sample_size, count = struct.unpack_from(">II", payload, stsz[0])
+    if sample_size:
+        sizes = [sample_size] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", payload, stsz[0] + 8))
+
+    co = full(b"stco")
+    if co is not None:
+        (n_chunks,) = struct.unpack_from(">I", payload, co[0])
+        offsets = list(struct.unpack_from(f">{n_chunks}I", payload, co[0] + 4))
+    else:
+        co = full(b"co64")
+        if co is None:
+            raise ValueError("MP4 missing stco/co64")
+        (n_chunks,) = struct.unpack_from(">I", payload, co[0])
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, co[0] + 4))
+
+    stsc = full(b"stsc")
+    if stsc is None:
+        raise ValueError("MP4 missing stsc")
+    (n_runs,) = struct.unpack_from(">I", payload, stsc[0])
+    runs = [struct.unpack_from(">III", payload, stsc[0] + 4 + 12 * i)
+            for i in range(n_runs)]  # (first_chunk, samples_per_chunk, desc_id)
+
+    # expand stsc runs → samples per chunk, then walk chunks accumulating
+    # in-chunk offsets (samples are contiguous within a chunk)
+    samples: list[tuple[int, int]] = []
+    si = 0
+    for ci in range(n_chunks):
+        spc = 0
+        for first, cnt, _desc in runs:
+            if ci + 1 >= first:
+                spc = cnt
+        off = offsets[ci]
+        for _ in range(spc):
+            if si >= count:
+                break
+            samples.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    if si != count:
+        raise ValueError("MP4 stsc/stsz sample count mismatch")
+    for off, size in samples:
+        if off + size > len(payload):
+            raise ValueError("MP4 sample range beyond file end")
+
+    stss = full(b"stss")
+    if stss is None:
+        sync = list(range(1, count + 1))
+    else:
+        (n_sync,) = struct.unpack_from(">I", payload, stss[0])
+        sync = list(struct.unpack_from(f">{n_sync}I", payload, stss[0] + 4))
+
+    return {"width": width, "height": height, "duration_ms": duration_ms,
+            "samples": samples, "sync": sync}
+
+
+def mp4_sample_frames(payload: bytes, n_frames: int,
+                      keyframes_only: bool = False) -> list[tuple[int, bytes]]:
+    """n evenly-spaced samples sliced straight out of mdat.
+
+    ``keyframes_only`` restricts the candidate set to stss sync samples (what
+    a real pipeline does — only keyframes decode standalone).  Returns
+    ``[(sample_number_1based, sample_bytes)]``.
+    """
+    info = parse_mp4(payload)
+    candidates = info["sync"] if keyframes_only else list(range(1, len(info["samples"]) + 1))
+    if not candidates:
+        return []
+    n = min(n_frames, len(candidates))
+    picks = sorted({candidates[int(i * (len(candidates) - 1) / max(1, n - 1))]
+                    for i in range(n)})
+    out = []
+    for sn in picks:
+        off, size = info["samples"][sn - 1]
+        out.append((sn, payload[off : off + size]))
+    return out
+
+
+def mux_mp4(samples: list[bytes], width: int, height: int,
+            sync_samples: list[int] | None = None, timescale: int = 1000,
+            sample_duration: int = 40, samples_per_chunk: int = 2) -> bytes:
+    """Minimal ISO-BMFF muxer for tests: one video track, mdat before moov.
+
+    ``sync_samples``: 1-based keyframe numbers for stss (None ⇒ no stss box,
+    i.e. every sample is sync).  Chunking is uniform ``samples_per_chunk``
+    so stsc/stco resolution is genuinely exercised.
+    """
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_body = b"".join(samples)
+    mdat = box(b"mdat", mdat_body)
+    mdat_start = len(ftyp) + 8  # payload offset of first sample
+
+    n = len(samples)
+    durations = n * sample_duration
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, durations)
+               + struct.pack(">IH2x", 0x00010000, 0x0100) + b"\x00" * 8
+               + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+               + b"\x00" * 24 + struct.pack(">I", 2))
+    # tkhd v0 body: ver/flags, ctime, mtime, track_id, reserved, duration,
+    # reserved[8], layer/alt_group/volume/reserved (8), matrix[36], w/h 16.16
+    tkhd = box(b"tkhd", struct.pack(">B3xIIIII", 0, 0, 0, 1, 0, durations)
+               + b"\x00" * 16
+               + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+               + struct.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, timescale, durations, 0x55C4, 0))
+    hdlr = box(b"hdlr", struct.pack(">B3xI", 0, 0) + b"vide" + b"\x00" * 12 + b"video\x00")
+    vmhd = box(b"vmhd", struct.pack(">BBHHHHH", 0, 0, 1, 0, 0, 0, 0))
+    dref = box(b"dref", struct.pack(">B3xI", 0, 1)
+               + box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)))
+    dinf = box(b"dinf", dref)
+    # stsd with an opaque sample entry (raw payload; no codec config needed)
+    entry = box(b"raw ", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                + struct.pack(">HH", width, height) + b"\x00" * 50)
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = box(b"stts", struct.pack(">B3xIII", 0, 1, n, sample_duration))
+    n_chunks = -(-n // samples_per_chunk)
+    stsc = box(b"stsc", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">III", 1, samples_per_chunk, 1))
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n)
+               + b"".join(struct.pack(">I", len(s)) for s in samples))
+    offs = []
+    pos = mdat_start
+    for ci in range(n_chunks):
+        offs.append(pos)
+        for s in samples[ci * samples_per_chunk:(ci + 1) * samples_per_chunk]:
+            pos += len(s)
+    stco = box(b"stco", struct.pack(">B3xI", 0, n_chunks)
+               + b"".join(struct.pack(">I", o) for o in offs))
+    stbl_children = stsd + stts + stsc + stsz + stco
+    if sync_samples is not None:
+        stbl_children += box(b"stss", struct.pack(">B3xI", 0, len(sync_samples))
+                             + b"".join(struct.pack(">I", s) for s in sync_samples))
+    stbl = box(b"stbl", stbl_children)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -3,18 +3,26 @@ metadata; decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` operators.
 
 The Spark-side plumbing (schemas, batch iteration, partitioning-neutral
-signatures) is REAL and tested, and so is the codec for every UNCOMPRESSED
-container this module can parse with struct+numpy alone:
+signatures) is REAL and tested, and so are the codecs — both uncompressed
+containers AND (since round 3) the three compressed formats, implemented in
+:mod:`frontier_engine.codecs` with stdlib+numpy alone:
 
 - BMP  (24-bit uncompressed, ``BI_RGB``) → pixel bytes, row padding stripped
 - WAV  (RIFF/WAVE PCM)                   → raw sample bytes + channel/width
 - PPM  (binary ``P6``)                   → RGB bytes
+- PNG  (8-bit gray/RGB/RGBA, all 5 scanline filters, chunk CRCs verified)
+- JPEG (baseline SOF0; DQT/DHT read from the stream, 4:2:0 upsample,
+  restart markers)
+- MP4  (ISO-BMFF demux: stsz×stsc×stco sample ranges, stss keyframes;
+  frame *sampling* slices real samples out of mdat — decoding the H.26x
+  payload inside a sample stays a plug-point for a real cluster decoder)
 - FEIM/FEAU/FEVI                         → the deterministic fixture format
   (closed-form body so an independent SQL oracle can recompute features)
 
-COMPRESSED codecs (JPEG/PNG/MP4/…) raise ``NotImplementedError`` — no
-image/audio library ships in this container; plug PIL/ffmpeg into
-``_decode`` on a real cluster and nothing else changes.
+Genuinely-unsupported variants (progressive JPEG, Adam7 PNG, 16-bit depth)
+raise ``NotImplementedError`` and are dropped per-row, same as malformed
+payloads (``ValueError``) — one bad byte string in untrusted crawl data
+never fails a Spark task.
 """
 
 from __future__ import annotations
@@ -27,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from frontier_engine import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -163,9 +173,8 @@ def _decode_ppm(payload: bytes) -> tuple[str, int, int, np.ndarray]:
 
 
 def _decode(payload: bytes) -> tuple[str, int, int, np.ndarray]:
-    """Dispatch on magic bytes: real parse for uncompressed containers,
-    fixture parse for FEIM/FEAU/FEVI, NotImplementedError for compressed
-    codecs (plug PIL/ffmpeg in here on a real cluster).
+    """Dispatch on magic bytes: real codecs for BMP/WAV/PPM/PNG/JPEG/MP4,
+    fixture parse for FEIM/FEAU/FEVI.
 
     Any malformed container (truncated chunk headers → struct.error /
     IndexError inside a codec) re-raises as ValueError so the operators'
@@ -186,11 +195,24 @@ def _decode_dispatch(payload: bytes) -> tuple[str, int, int, np.ndarray]:
         return _decode_wav(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == codecs.PNG_MAGIC:
+        w, h, _channels, body = codecs.decode_png(payload)
+        return "image", w, h, body
+    if payload[:2] == b"\xff\xd8":
+        w, h, body = codecs.decode_jpeg(payload)
+        return "image", w, h, body
+    if payload[4:8] == b"ftyp":
+        info = codecs.parse_mp4(payload)
+        # body = the track's sample bytes, concatenated in sample order
+        body = np.frombuffer(
+            b"".join(payload[o : o + s] for o, s in info["samples"]), dtype=np.uint8
+        )
+        return "video", info["width"], info["height"], body
     magic, rest = payload[:4], payload[4:]
     if magic not in _MAGIC:
         raise NotImplementedError(
-            "compressed media codecs (JPEG/PNG/MP4/...) unavailable in this "
-            "container — plug a PIL/ffmpeg decoder in here on a real cluster"
+            "unrecognized media container — extend frontier_engine.codecs or "
+            "plug a PIL/ffmpeg decoder in here on a real cluster"
         )
     w, h = struct.unpack("<HH", rest[:4])
     body = np.frombuffer(rest[4:], dtype=np.uint8)
@@ -272,9 +294,16 @@ def resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 FRAMES_SCHEMA = "media_id long, frame_no int, frame binary"
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """mapInPandas frame sampling for video payloads: deterministic equal
-    strides over the body (a real impl would seek keyframes)."""
+def sample_frames(df: DataFrame, n_frames: int = 4,
+                  keyframes_only: bool = False) -> DataFrame:
+    """mapInPandas frame sampling for video payloads.
+
+    MP4 payloads are demuxed for real: frames are the container's own
+    samples (evenly spaced; ``keyframes_only`` restricts to stss sync
+    samples, since only keyframes decode standalone) with ``frame_no`` =
+    the 1-based sample number.  Fixture-format payloads fall back to
+    deterministic equal strides over the body with 0-based ``frame_no``.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -282,8 +311,19 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
+                raw = bytes(payload)
+                if len(raw) >= 8 and raw[4:8] == b"ftyp":
+                    try:
+                        frames = codecs.mp4_sample_frames(raw, n_frames, keyframes_only)
+                    except (NotImplementedError, ValueError, struct.error):
+                        continue
+                    for sn, fb in frames:
+                        rows["media_id"].append(mid)
+                        rows["frame_no"].append(sn)
+                        rows["frame"].append(fb)
+                    continue
                 try:
-                    kind, w, h, body = _decode(bytes(payload))
+                    kind, w, h, body = _decode(raw)
                 except (NotImplementedError, ValueError):
                     continue
                 if kind != "video" or len(body) == 0:

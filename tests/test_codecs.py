@@ -1,0 +1,264 @@
+"""Compressed-media codecs (frontier_engine.codecs): PNG / baseline JPEG /
+MP4 demux — pure stdlib+numpy, deterministic, round-tripped against the
+module's own spec-conformant encoders, plus malformed-input behavior
+(ValueError, never a crash) and Spark-pipeline integration.
+
+The reference stores media as URL strings only (bhx.py keeps ``image`` as a
+text column) — this whole family is additive training-data capability.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frontier_engine import codecs as C
+from frontier_engine import multimodal as MM
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+class TestPNG:
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    @pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+    def test_round_trip_every_filter(self, channels, filt):
+        rng = np.random.RandomState(channels * 10 + filt)
+        px = rng.randint(0, 256, size=(11, 7, channels), dtype=np.uint8)
+        w, h, c, body = C.decode_png(C.encode_png(px, filters=filt))
+        assert (w, h, c) == (7, 11, channels)
+        assert np.array_equal(body.reshape(11, 7, channels), px)
+
+    def test_mixed_per_row_filters(self):
+        rng = np.random.RandomState(99)
+        px = rng.randint(0, 256, size=(20, 13, 3), dtype=np.uint8)
+        filters = [rng.randint(0, 5) for _ in range(20)]
+        _, _, _, body = C.decode_png(C.encode_png(px, filters=filters))
+        assert np.array_equal(body.reshape(20, 13, 3), px)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 24),
+        channels=st.sampled_from([1, 3, 4]), seed=st.integers(0, 2**31 - 1),
+    )
+    def test_round_trip_property(self, w, h, channels, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+        filters = [int(x) for x in rng.randint(0, 5, size=h)]
+        got_w, got_h, got_c, body = C.decode_png(C.encode_png(px, filters=filters))
+        assert (got_w, got_h, got_c) == (w, h, channels)
+        assert np.array_equal(body.reshape(h, w, channels), px)
+
+    def test_grayscale_2d_input(self):
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        w, h, c, body = C.decode_png(C.encode_png(px))
+        assert (w, h, c) == (8, 8, 1)
+        assert np.array_equal(body.reshape(8, 8), px)
+
+    def test_crc_corruption_raises_valueerror(self):
+        png = bytearray(C.encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+        png[40] ^= 0xFF  # flip a byte inside IDAT
+        with pytest.raises(ValueError, match="CRC"):
+            C.decode_png(bytes(png))
+
+    def test_truncation_raises_valueerror(self):
+        png = C.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            C.decode_png(png[: len(png) // 2])
+
+    def test_interlace_raises_notimplemented(self):
+        import zlib
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # Adam7
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        png = C.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError, match="Adam7"):
+            C.decode_png(png)
+
+    def test_decodes_through_multimodal_dispatch(self):
+        px = np.full((5, 6, 3), 42, dtype=np.uint8)
+        kind, w, h, body = MM._decode(C.encode_png(px))
+        assert (kind, w, h) == ("image", 6, 5)
+        assert np.array_equal(body.reshape(5, 6, 3), px)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline)
+# ---------------------------------------------------------------------------
+
+class TestJPEG:
+    def test_flat_blocks_decode_near_exact(self):
+        """Constant 8×8 blocks are DC-only after DCT — quantization error
+        stays within rounding of a single coefficient."""
+        px = np.zeros((16, 16, 3), dtype=np.uint8)
+        px[:8, :8] = [200, 30, 90]
+        px[:8, 8:] = [10, 220, 40]
+        px[8:, :8] = [60, 60, 200]
+        px[8:, 8:] = [128, 128, 128]
+        w, h, body = C.decode_jpeg(C.encode_jpeg(px, quality=95))
+        assert (w, h) == (16, 16)
+        err = np.abs(body.reshape(16, 16, 3).astype(int) - px.astype(int)).max()
+        assert err <= 4, err
+
+    @pytest.mark.parametrize("kw", [
+        {}, {"subsample": True}, {"restart_interval": 2},
+        {"subsample": True, "restart_interval": 1},
+    ])
+    def test_gradient_tolerance_444_420_restarts(self, kw):
+        g = np.arange(21 * 33 * 3, dtype=np.uint8).reshape(21, 33, 3)
+        w, h, body = C.decode_jpeg(C.encode_jpeg(g, quality=90, **kw))
+        assert (w, h) == (33, 21)  # odd dims: encoder pads, decoder crops
+        mae = np.abs(body.reshape(21, 33, 3).astype(int) - g.astype(int)).mean()
+        assert mae < (15 if kw.get("subsample") else 6), (kw, mae)
+
+    @settings(max_examples=10, deadline=None)
+    @given(w=st.integers(4, 40), h=st.integers(4, 40), seed=st.integers(0, 10**6))
+    def test_smooth_image_bounded_error_property(self, w, h, seed):
+        """Low-frequency images survive quality-90 round trips with small
+        mean error at arbitrary (non-multiple-of-8) dimensions."""
+        rng = np.random.RandomState(seed)
+        base = rng.randint(40, 216, size=3)
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.clip(
+            base[None, None, :] + (yy[:, :, None] * 2 + xx[:, :, None]) % 32 - 16,
+            0, 255).astype(np.uint8)
+        got_w, got_h, body = C.decode_jpeg(C.encode_jpeg(px, quality=90))
+        assert (got_w, got_h) == (w, h)
+        mae = np.abs(body.reshape(h, w, 3).astype(int) - px.astype(int)).mean()
+        assert mae < 8, mae
+
+    def test_determinism(self):
+        px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        assert C.encode_jpeg(px, 85) == C.encode_jpeg(px, 85)
+        a = C.decode_jpeg(C.encode_jpeg(px, 85))
+        b = C.decode_jpeg(C.encode_jpeg(px, 85))
+        assert np.array_equal(a[2], b[2])
+
+    def test_truncated_raises_valueerror(self):
+        jpg = C.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 90)
+        with pytest.raises(ValueError):
+            C.decode_jpeg(jpg[:20])
+        with pytest.raises(ValueError):
+            C.decode_jpeg(b"\xff\xd8\xff\xe0 jpeg soi")
+
+    def test_progressive_raises_notimplemented(self):
+        jpg = bytearray(C.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 90))
+        # rewrite the SOF0 marker (FFC0) as SOF2 (progressive)
+        i = bytes(jpg).find(b"\xff\xc0")
+        assert i > 0
+        jpg[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+            C.decode_jpeg(bytes(jpg))
+
+    def test_decodes_through_multimodal_dispatch(self):
+        px = np.full((8, 8, 3), 77, dtype=np.uint8)
+        kind, w, h, body = MM._decode(C.encode_jpeg(px, 95))
+        assert (kind, w, h) == ("image", 8, 8)
+        assert np.abs(body.astype(int) - 77).max() <= 4
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO-BMFF demux)
+# ---------------------------------------------------------------------------
+
+def _samples(n=9, scale=3):
+    return [bytes([i]) * (10 + scale * i) for i in range(n)]
+
+
+class TestMP4:
+    def test_mux_demux_round_trip(self):
+        samples = _samples()
+        mp4 = C.mux_mp4(samples, 320, 240, sync_samples=[1, 4, 7], samples_per_chunk=2)
+        info = C.parse_mp4(mp4)
+        assert (info["width"], info["height"]) == (320, 240)
+        assert info["sync"] == [1, 4, 7]
+        assert info["duration_ms"] == 9 * 40
+        got = [mp4[o : o + s] for o, s in info["samples"]]
+        assert got == samples  # stsz×stsc×stco resolved byte-exact
+
+    @pytest.mark.parametrize("spc", [1, 2, 3, 5, 100])
+    def test_chunking_variants(self, spc):
+        samples = _samples(n=11)
+        mp4 = C.mux_mp4(samples, 64, 64, samples_per_chunk=spc)
+        info = C.parse_mp4(mp4)
+        assert [mp4[o : o + s] for o, s in info["samples"]] == samples
+
+    def test_no_stss_means_all_sync(self):
+        mp4 = C.mux_mp4(_samples(n=4), 64, 64, sync_samples=None)
+        assert C.parse_mp4(mp4)["sync"] == [1, 2, 3, 4]
+
+    def test_sample_frames_even_spacing(self):
+        samples = _samples(n=10)
+        mp4 = C.mux_mp4(samples, 64, 64)
+        frames = C.mp4_sample_frames(mp4, 4)
+        assert [n for n, _ in frames] == [1, 4, 7, 10]
+        assert all(fb == samples[n - 1] for n, fb in frames)
+
+    def test_sample_frames_keyframes_only(self):
+        samples = _samples(n=10)
+        mp4 = C.mux_mp4(samples, 64, 64, sync_samples=[2, 5, 9])
+        frames = C.mp4_sample_frames(mp4, 2, keyframes_only=True)
+        assert [n for n, _ in frames] == [2, 9]
+        assert all(fb == samples[n - 1] for n, fb in frames)
+
+    def test_malformed_raises_valueerror(self):
+        mp4 = C.mux_mp4(_samples(n=3), 64, 64)
+        with pytest.raises(ValueError):
+            C.parse_mp4(b"\x00\x00\x00\x08free" + mp4[8:])  # no ftyp
+        with pytest.raises(ValueError):
+            C.parse_mp4(mp4[:40])  # truncated: moov gone
+        # sample range pointing past EOF
+        bad = bytearray(mp4)
+        i = bytes(mp4).rfind(b"stco")
+        struct.pack_into(">I", bad, i + 4 + 4 + 4, len(mp4) + 1000)
+        with pytest.raises(ValueError):
+            C.parse_mp4(bytes(bad))
+
+    def test_decodes_through_multimodal_dispatch(self):
+        samples = _samples(n=4)
+        mp4 = C.mux_mp4(samples, 128, 96)
+        kind, w, h, body = MM._decode(mp4)
+        assert (kind, w, h) == ("video", 128, 96)
+        assert body.tobytes() == b"".join(samples)
+
+
+# ---------------------------------------------------------------------------
+# Spark pipeline integration: one mixed-format corpus, one mapInPandas pass
+# ---------------------------------------------------------------------------
+
+def test_compressed_formats_through_spark_pipeline(spark):
+    png = C.encode_png(np.full((6, 4, 3), 9, dtype=np.uint8))
+    jpg = C.encode_jpeg(np.full((8, 8, 3), 200, dtype=np.uint8), quality=95)
+    mp4 = C.mux_mp4([b"frameA--", b"frameBB-", b"frameCCC"], 32, 24)
+    corrupt_png = png[:-10]  # malformed → dead-lettered, not a task failure
+    rows = [
+        (20, "image", png, ("image/png", 4, 6, None)),
+        (21, "image", jpg, ("image/jpeg", 8, 8, None)),
+        (22, "video", mp4, ("video/mp4", 32, 24, 120)),
+        (23, "image", corrupt_png, ("image/png", 4, 6, None)),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    out = {r["media_id"]: r for r in MM.decode_features(df).collect()}
+    assert set(out) == {20, 21, 22}
+    assert (out[20]["kind"], out[20]["width"], out[20]["height"]) == ("image", 4, 6)
+    assert out[20]["n_bytes"] == 6 * 4 * 3 and out[20]["mean_byte"] == 9.0
+    assert (out[21]["kind"], out[21]["width"], out[21]["height"]) == ("image", 8, 8)
+    assert abs(out[21]["mean_byte"] - 200.0) <= 4
+    assert (out[22]["kind"], out[22]["width"], out[22]["height"]) == ("video", 32, 24)
+    assert out[22]["n_bytes"] == 24  # 8+8+8 sample bytes out of mdat
+
+    frames = MM.sample_frames(df, n_frames=2).collect()
+    got = {(r["media_id"], r["frame_no"]): bytes(r["frame"]) for r in frames}
+    assert got == {(22, 1): b"frameA--", (22, 3): b"frameCCC"}
+
+    resized = {r["media_id"]: r for r in MM.resize(df, 2, 2).collect()}
+    assert set(resized) == {20, 21, 22}
+    assert resized[20]["width"] == 2 and resized[20]["height"] == 2

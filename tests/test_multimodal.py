@@ -1,5 +1,7 @@
 """Multimodal plumbing: schemas, mapInPandas batching, real uncompressed
-codecs (BMP/WAV/PPM) + fixture format; compressed codecs stay stubbed."""
+codecs (BMP/WAV/PPM) + fixture format.  Compressed codecs (PNG/JPEG/MP4)
+are real too since round 3 — see tests/test_codecs.py; the payloads here
+with PNG/JPEG magic are MALFORMED, so they exercise the drop path."""
 
 from __future__ import annotations
 
@@ -14,7 +16,7 @@ def media(spark):
         (1, "image", MM.fake_media_bytes("image", 64, 48, seed=1), ("image/x-fake", 64, 48, None)),
         (2, "audio", MM.fake_media_bytes("audio", 0, 0, seed=2, n=512), ("audio/x-fake", 0, 0, 3000)),
         (3, "video", MM.fake_media_bytes("video", 32, 32, seed=3, n=1024), ("video/x-fake", 32, 32, 9000)),
-        (4, "image", b"\x89PNG\r\n\x1a\n not really", ("image/png", 1, 1, None)),  # real codec → stub skips
+        (4, "image", b"\x89PNG\r\n\x1a\n not really", ("image/png", 1, 1, None)),  # malformed PNG → dropped
         (5, "image", None, ("image/x-fake", 0, 0, None)),
     ]
     return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
@@ -22,7 +24,7 @@ def media(spark):
 
 def test_decode_features(spark, media):
     out = {r["media_id"]: r for r in MM.decode_features(media).collect()}
-    assert set(out) == {1, 2, 3}  # PNG + null payloads dropped by the stub
+    assert set(out) == {1, 2, 3}  # malformed-PNG + null payloads dropped
     img = out[1]
     assert (img["kind"], img["width"], img["height"], img["n_bytes"]) == ("image", 64, 48, 256)
     assert sum(img["byte_hist"]) == 256
@@ -90,7 +92,7 @@ def test_real_formats_through_spark_pipeline(spark):
     ]
     df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in MM.decode_features(df).collect()}
-    assert set(out) == {10, 11}  # JPEG (compressed) dropped
+    assert set(out) == {10, 11}  # truncated JPEG dropped
     assert (out[10]["kind"], out[10]["width"], out[10]["height"]) == ("image", 2, 2)
     assert out[10]["n_bytes"] == 12 and out[10]["mean_byte"] == 7.0
     assert (out[11]["kind"], out[11]["width"]) == ("audio", 1)
