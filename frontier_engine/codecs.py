@@ -882,3 +882,207 @@ def mux_mp4(samples: list[bytes], width: int, height: int,
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — LZW decode, palette mapping, Adam-style interlace
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW → palette indices.  Codes are packed LSB-first;
+    CLEAR resets the table, EOI terminates; code width grows to 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code_size + 1, clear + 2
+
+    table, width, next_code = reset()
+    out: list[int] = []
+    acc = nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return np.array(out[:n_pixels], dtype=np.uint8)
+            if code < next_code and code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError("GIF LZW code out of range")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return np.array(out[:n_pixels], dtype=np.uint8)
+    raise ValueError("GIF LZW data exhausted before EOI")
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """First image frame of a GIF → ``(width, height, RGB uint8 body)``.
+
+    Global/local color tables, LZW decompression, interlaced row order,
+    89a extensions skipped (incl. GCE transparency — rendered opaque).
+    ``ValueError`` on malformed input.
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                     offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF unknown block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = global_table
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                  offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        if w == 0 or h == 0:
+            raise ValueError("GIF zero dimension")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"GIF LZW min code size {min_code_size}")
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(min_code_size, bytes(lzw), w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short")
+        if idx.max(initial=0) >= len(table):
+            raise ValueError("GIF palette index out of range")
+        grid = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            deinterlaced = np.empty_like(grid)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, h, step)
+                for r in rows:
+                    deinterlaced[r] = grid[src]
+                    src += 1
+            grid = deinterlaced
+        rgb = table[grid.reshape(-1)]
+        return w, h, rgb.astype(np.uint8).reshape(-1)
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """GIF89a encoder for tests: uint8 (h, w, 3) RGB → GIF bytes.
+
+    Builds an exact palette from the distinct colors (≤256 required), real
+    LZW compression (table growth to 4096 + CLEAR on overflow), optional
+    interlaced row order so the decoder's deinterlace path is exercised.
+    """
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    size_bits = max(1, int(len(palette) - 1).bit_length())
+    n_table = 1 << size_bits
+    table_bytes = np.zeros((n_table, 3), dtype=np.uint8)
+    table_bytes[: len(palette)] = palette
+
+    grid = idx.reshape(h, w)
+    if interlace:
+        order = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
+        grid = grid[order]
+    indices = grid.reshape(-1).tolist()
+
+    min_code_size = max(2, size_bits)
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    codes: list[tuple[int, int]] = []  # (code, width)
+    table = {(i,): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = clear + 2
+    codes.append((clear, width))
+    prev: tuple[int, ...] = ()
+    for px in indices:
+        cand = prev + (px,)
+        if cand in table:
+            prev = cand
+            continue
+        codes.append((table[prev], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            # GIF increments width when next_code EXCEEDS the current range
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            codes.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = clear + 2
+        prev = (px,)
+    if prev:
+        codes.append((table[prev], width))
+    codes.append((eoi, width))
+
+    acc = nbits = 0
+    packed = bytearray()
+    for code, cwidth in codes:
+        acc |= code << nbits
+        nbits += cwidth
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    out += table_bytes.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code_size)
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

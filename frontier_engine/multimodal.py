@@ -13,6 +13,7 @@ containers AND (since round 3) the three compressed formats, implemented in
 - PNG  (8-bit gray/RGB/RGBA, all 5 scanline filters, chunk CRCs verified)
 - JPEG (baseline SOF0; DQT/DHT read from the stream, 4:2:0 upsample,
   restart markers)
+- GIF  (87a/89a LZW, global/local palettes, interlace; first frame)
 - MP4  (ISO-BMFF demux: stsz×stsc×stco sample ranges, stss keyframes;
   frame *sampling* slices real samples out of mdat — decoding the H.26x
   payload inside a sample stays a plug-point for a real cluster decoder)
@@ -200,6 +201,9 @@ def _decode_dispatch(payload: bytes) -> tuple[str, int, int, np.ndarray]:
         return "image", w, h, body
     if payload[:2] == b"\xff\xd8":
         w, h, body = codecs.decode_jpeg(payload)
+        return "image", w, h, body
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, body = codecs.decode_gif(payload)
         return "image", w, h, body
     if payload[4:8] == b"ftyp":
         info = codecs.parse_mp4(payload)

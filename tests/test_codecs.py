@@ -262,3 +262,73 @@ def test_compressed_formats_through_spark_pipeline(spark):
     resized = {r["media_id"]: r for r in MM.resize(df, 2, 2).collect()}
     assert set(resized) == {20, 21, 22}
     assert resized[20]["width"] == 2 and resized[20]["height"] == 2
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+class TestGIF:
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_round_trip(self, interlace):
+        rng = np.random.RandomState(5)
+        # 7 distinct colors over a 19x23 canvas
+        palette = rng.randint(0, 256, size=(7, 3), dtype=np.uint8)
+        px = palette[rng.randint(0, 7, size=(23, 19))]
+        w, h, body = C.decode_gif(C.encode_gif(px, interlace=interlace))
+        assert (w, h) == (19, 23)
+        assert np.array_equal(body.reshape(23, 19, 3), px)
+
+    def test_many_colors_forces_table_growth(self):
+        """>2^(min_code_size+1) table entries force LZW code-width growth on
+        both sides (the classic off-by-one spot)."""
+        rng = np.random.RandomState(11)
+        palette = np.array(
+            [[i, 255 - i, (i * 7) % 256] for i in range(256)], dtype=np.uint8)
+        px = palette[rng.randint(0, 256, size=(40, 40))]
+        w, h, body = C.decode_gif(C.encode_gif(px))
+        assert np.array_equal(body.reshape(40, 40, 3), px)
+
+    def test_low_entropy_compresses_and_round_trips(self):
+        px = np.zeros((64, 64, 3), dtype=np.uint8)
+        px[::2] = [200, 10, 10]
+        gif = C.encode_gif(px)
+        assert len(gif) < 64 * 64  # LZW actually compressed the runs
+        _, _, body = C.decode_gif(gif)
+        assert np.array_equal(body.reshape(64, 64, 3), px)
+
+    @settings(max_examples=15, deadline=None)
+    @given(w=st.integers(1, 20), h=st.integers(1, 20),
+           n_colors=st.integers(1, 17), seed=st.integers(0, 2**31 - 1),
+           interlace=st.booleans())
+    def test_round_trip_property(self, w, h, n_colors, seed, interlace):
+        rng = np.random.RandomState(seed)
+        palette = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        px = palette[rng.randint(0, n_colors, size=(h, w))]
+        got_w, got_h, body = C.decode_gif(C.encode_gif(px, interlace=interlace))
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(body.reshape(h, w, 3), px)
+
+    def test_extensions_skipped(self):
+        px = np.full((4, 4, 3), 33, dtype=np.uint8)
+        gif = bytearray(C.encode_gif(px))
+        # splice a Graphic Control Extension right before the image block
+        i = bytes(gif).find(b"\x2c")
+        gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        spliced = bytes(gif[:i]) + gce + bytes(gif[i:])
+        _, _, body = C.decode_gif(spliced)
+        assert np.array_equal(body.reshape(4, 4, 3), px)
+
+    def test_malformed_raises_valueerror(self):
+        px = np.full((4, 4, 3), 1, dtype=np.uint8)
+        gif = C.encode_gif(px)
+        with pytest.raises(ValueError):
+            C.decode_gif(b"GIF89a")  # truncated header
+        with pytest.raises(ValueError):
+            C.decode_gif(gif[: len(gif) - 6])  # LZW data cut short
+
+    def test_decodes_through_multimodal_dispatch(self):
+        px = np.full((3, 5, 3), 66, dtype=np.uint8)
+        kind, w, h, body = MM._decode(C.encode_gif(px))
+        assert (kind, w, h) == ("image", 5, 3)
+        assert np.array_equal(body.reshape(3, 5, 3), px)
