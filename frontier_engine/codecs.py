@@ -7,8 +7,8 @@ is in the stdlib + numpy —
 
 - **PNG**   : DEFLATE is stdlib ``zlib``; the five scanline filters
   (None/Sub/Up/Average/Paeth) are numpy arithmetic.  Full decode for 8-bit
-  greyscale / RGB / RGBA, non-interlaced (Adam7 → ``NotImplementedError``),
-  with chunk-CRC verification on untrusted input.
+  greyscale / RGB / RGBA / indexed-PLTE, non-interlaced (Adam7 →
+  ``NotImplementedError``), with chunk-CRC verification on untrusted input.
 - **JPEG**  : baseline sequential DCT (SOF0).  Huffman tables are read from
   the file's own DHT segments (canonical bits/values form), dequantization
   from DQT, IDCT is an orthonormal 8×8 DCT matrix product over all blocks
@@ -80,31 +80,38 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a PNG → ``(width, height, channels, uint8 body)``.
 
     body is the reconstructed pixel bytes, row-major, ``h*w*channels`` long.
-    8-bit depth, color types 0/2/4/6, interlace 0.  Raises ``ValueError``
-    on malformed input, ``NotImplementedError`` on valid-but-unsupported.
+    8-bit depth, color types 0/2/3/4/6 (indexed images come back as RGB via
+    PLTE), interlace 0.  Raises ``ValueError`` on malformed input,
+    ``NotImplementedError`` on valid-but-unsupported.
     """
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     w = h = channels = None
+    color = -1
+    palette = None
     idat = bytearray()
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth}")
-            if color == 3:
-                raise NotImplementedError("PNG palette images")
-            if color not in _PNG_CHANNELS:
+            if color != 3 and color not in _PNG_CHANNELS:
                 raise ValueError(f"PNG color type {color}")
             if comp != 0 or filt != 0:
                 raise ValueError("PNG bad compression/filter method")
             if interlace != 0:
                 raise NotImplementedError("PNG Adam7 interlace")
-            channels = _PNG_CHANNELS[color]
+            channels = 1 if color == 3 else _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PNG PLTE size not a multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if color == 3 and palette is None:
+        raise ValueError("PNG palette image missing PLTE")
     if w == 0 or h == 0:
         raise ValueError("PNG zero dimension")
     try:
@@ -147,7 +154,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         rec = rec % 256
         out[y] = rec
         prev = rec
-    return w, h, channels, out.astype(np.uint8).reshape(-1)
+    body = out.astype(np.uint8).reshape(-1)
+    if color == 3:  # indexed: map through PLTE → RGB (tRNS rendered opaque)
+        if int(body.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return w, h, 3, palette[body].reshape(-1)
+    return w, h, channels, body
 
 
 def encode_png(pixels: np.ndarray, filters=0) -> bytes:

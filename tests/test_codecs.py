@@ -332,3 +332,48 @@ class TestGIF:
         kind, w, h, body = MM._decode(C.encode_gif(px))
         assert (kind, w, h) == ("image", 5, 3)
         assert np.array_equal(body.reshape(3, 5, 3), px)
+
+
+class TestPNGPalette:
+    @staticmethod
+    def _palette_png(idx: np.ndarray, palette: np.ndarray, with_plte=True) -> bytes:
+        """Hand-built color-type-3 PNG (filter-0 rows of 8-bit indices)."""
+        import zlib
+        h, w = idx.shape
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + idx[y].astype(np.uint8).tobytes() for y in range(h))
+        out = C.PNG_MAGIC + chunk(b"IHDR", ihdr)
+        if with_plte:
+            out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    def test_indexed_decodes_to_rgb(self):
+        palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                           dtype=np.uint8)
+        rng = np.random.RandomState(21)
+        idx = rng.randint(0, 4, size=(6, 10))
+        w, h, c, body = C.decode_png(self._palette_png(idx, palette))
+        assert (w, h, c) == (10, 6, 3)
+        assert np.array_equal(body.reshape(6, 10, 3), palette[idx])
+
+    def test_missing_plte_raises(self):
+        idx = np.zeros((2, 2), dtype=np.uint8)
+        png = self._palette_png(idx, np.zeros((1, 3)), with_plte=False)
+        with pytest.raises(ValueError, match="PLTE"):
+            C.decode_png(png)
+
+    def test_index_out_of_palette_range_raises(self):
+        palette = np.array([[1, 2, 3]], dtype=np.uint8)  # 1 entry
+        idx = np.full((2, 2), 5)  # index 5 out of range
+        with pytest.raises(ValueError, match="index out of range"):
+            C.decode_png(self._palette_png(idx, palette))
+
+    def test_through_multimodal_dispatch(self):
+        palette = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+        idx = np.array([[0, 1], [1, 0]])
+        kind, w, h, body = MM._decode(self._palette_png(idx, palette))
+        assert (kind, w, h) == ("image", 2, 2)
+        assert np.array_equal(body.reshape(2, 2, 3), palette[idx])
