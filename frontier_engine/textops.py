@@ -318,6 +318,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_chunks: int | None = None,
     token_hash: str = "xxhash64",
+    cached: list[DataFrame] | None = None,
 ) -> DataFrame:
     """SimHash near-dups via chunk LSH: split the 64-bit simhash into
     ``n_chunks`` bit-chunks; any pair within Hamming ≤ n_chunks-1 must share
@@ -325,8 +326,21 @@ def simhash_near_dup_pairs(
     ``n_chunks = max_hamming + 1`` recall is EXACT, not probabilistic.
     Candidates are verified with ``bit_count`` so precision is always exact.
 
+    SKEW SAFETY: candidate generation runs over DISTINCT simhashes, not
+    docs.  Web corpora concentrate mass on identical hashes (boilerplate
+    pages, empty docs); a doc-level chunk self-join would inflate such a
+    K-doc group to K²·n_chunks intermediate candidates.  Here the chunk
+    join sees each hash once; id pairs are produced afterwards by
+    membership joins that cost exactly the output cardinality — identical-
+    hash groups pay only for the (hamming 0) pairs they genuinely emit.
+
     ``token_hash``: 'xxhash64' (default, fastest) or 'md5_60'
     (cross-engine-verifiable — see :func:`md5_hash60_col`).
+    ``cached``: the (id, simhash) table — 2 longs/doc — is referenced by
+    the distinct, expansion, and intra-group branches; pass a list to
+    persist it for the duration (caller owns the lifetime, same contract
+    as :func:`minhash_candidate_pairs`).  Without it each branch re-runs
+    the tokenize+simhash chain.
     """
     if n_chunks is None:
         n_chunks = max_hamming + 1
@@ -341,6 +355,18 @@ def simhash_near_dup_pairs(
     hash_fn = {"xxhash64": F.xxhash64, "md5_60": md5_hash60_col}[token_hash]
     tok_hashes = F.transform(toks, lambda t: hash_fn(t))
     sims = df.select(F.col(id_col).alias("id"), simhash_udf()(tok_hashes).alias("simhash"))
+    # ONE shuffle keyed by simhash; every downstream branch (distinct
+    # hashes, membership expansion, intra-group pairs) hangs off this same
+    # aggregate, so their canonical Exchanges are identical and Spark's
+    # ReuseExchange computes the tokenize+simhash chain ONCE per job even
+    # unmaterialized.  ``ids`` is one array per DISTINCT hash — bounded by
+    # the duplicate-group size, whose pair OUTPUT is quadratic anyway long
+    # before the array is a memory problem.
+    groups = sims.groupBy("simhash").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    if cached is not None:
+        groups = groups.persist()
+        cached.append(groups)
+    distinct = groups.select("simhash")
     # chunk i covers bits [bounds[i], bounds[i+1]); widths differ by ≤1 bit
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
 
@@ -351,8 +377,7 @@ def simhash_near_dup_pairs(
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
-    chunks = sims.select(
-        "id",
+    chunks = distinct.select(
         "simhash",
         F.explode(
             F.array(
@@ -362,17 +387,55 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
-    l = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "val")
-    r = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "val")
-    pairs = (
+    ).select("simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    l = chunks.select(F.col("simhash").alias("sh_a"), "chunk", "val")
+    r = chunks.select(F.col("simhash").alias("sh_b"), "chunk", "val")
+    sh_pairs = (
         l.join(r, ["chunk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b")
+        .dropDuplicates(["sh_a", "sh_b"])
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.select("id_a", "id_b", "hamming")
+    # expand surviving distinct-hash pairs to id pairs (sh_a < sh_b, so each
+    # unordered id pair appears exactly once; least/greatest restores the
+    # id_a < id_b output convention)
+    member = groups.select("simhash", F.explode("ids").alias("id"))
+    a = member.select(F.col("simhash").alias("sh_a"), F.col("id").alias("ia"))
+    b = member.select(F.col("simhash").alias("sh_b"), F.col("id").alias("ib"))
+    cross = (
+        sh_pairs.join(a, "sh_a")
+        .join(b, "sh_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    # identical-simhash docs are Hamming-0 near-dups by definition: emit
+    # in-group combinations from the sorted ids array (same pattern as
+    # minhash's in-bucket pair gen) — costs exactly the emitted pairs
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    intra = (
+        groups.filter(n >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # --------------------------------------------------- language ID / quality
