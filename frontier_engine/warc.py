@@ -1,0 +1,284 @@
+"""WARC source + sink: Common-Crawl-compatible ``.warc.gz`` shards.
+
+The web-data ecosystem's interchange format is WARC (ISO 28500): Common
+Crawl publishes it, every major text-pipeline ingests it.  This module
+makes the engine a first-class citizen of that ecosystem with stdlib
+``gzip`` + Spark plumbing only:
+
+- :func:`write_warc` — a distributed sink: each partition writes one
+  ``.warc.gz`` shard (executor-side, the same file-per-task layout a
+  Hadoop committer produces), every record in its OWN gzip member per the
+  WARC-recommended layout (readers can seek to member offsets), preceded
+  by a ``warcinfo`` record.  Deterministic output: record IDs are UUIDv5
+  of (url, payload sha1), gzip headers pin ``mtime=0``, WARC-Date comes
+  from the row's ``warc_ts`` column — byte-identical shards for identical
+  partitions.  A driver-side ``manifest.json`` (path, records, bytes,
+  sha256 per shard) is the commit marker, written only after the job
+  completes — half-written shards from failed tasks are simply absent
+  from it.
+- :func:`read_warc` — a distributed source: parallelizes shard paths
+  (the file is the split unit, as in Common Crawl processing) and parses
+  records by exact ``Content-Length`` framing — payload bytes are never
+  scanned for delimiters, so binary bodies round-trip byte-identically.
+  Response records get their HTTP envelope stripped (status + mime
+  surfaced as columns); malformed framing dead-letters the REMAINDER of
+  that shard (resync inside a corrupt stream is guesswork) without
+  failing the task.
+
+Reference parity note: the reference scraper keeps pages only as JSON
+rows in MySQL (``/root/reference/db/init.sql``); WARC interop is additive
+capability for the 100 TB webtext use-case.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_VERSION = b"WARC/1.0"
+_SOFTWARE = "frontier-engine/0.3"
+
+READ_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, record_id string, "
+    "warc_type string, http_status int, mime string, shard string"
+)
+
+MANIFEST_SCHEMA = "shard string, n_records long, n_bytes long, sha256 string"
+
+
+def _record_id(url: str, payload: bytes) -> str:
+    digest = hashlib.sha1(payload).hexdigest()
+    return f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, f'{url}|{digest}')}>"
+
+
+def _warc_date(ts) -> str:
+    # WARC-Date is UTC ISO-8601 with trailing Z; warc_ts is tz-naive UTC in
+    # this engine (session pins spark.sql.session.timeZone=UTC)
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def build_record(
+    record_type: str,
+    payload: bytes,
+    headers: dict[str, str],
+) -> bytes:
+    """One uncompressed WARC record: version line, named headers,
+    Content-Length framing, payload, blank-line terminator."""
+    lines = [WARC_VERSION]
+    lines.append(f"WARC-Type: {record_type}".encode())
+    for k, v in headers.items():
+        lines.append(f"{k}: {v}".encode())
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    head = b"\r\n".join(lines) + b"\r\n\r\n"
+    return head + payload + b"\r\n\r\n"
+
+
+def _http_envelope(body: bytes, status: int, mime: str) -> bytes:
+    head = (
+        f"HTTP/1.1 {status} {'OK' if status == 200 else 'X'}\r\n"
+        f"Content-Type: {mime}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body
+
+
+def _gzip_member(data: bytes) -> bytes:
+    buf = io.BytesIO()
+    # mtime pinned for determinism: identical records → identical bytes
+    with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
+        gz.write(data)
+    return buf.getvalue()
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    prefix: str = "crawl",
+    status_col: str | None = None,
+    mime: str = "text/html",
+) -> list[dict]:
+    """Distributed WARC sink (eager — runs the job, like ``.write.save``).
+
+    ``df`` needs columns ``url`` (string), ``warc_ts`` (timestamp),
+    ``html`` (binary).  One ``.warc.gz`` shard per partition, each record
+    a standalone gzip member; a ``warcinfo`` record opens every shard.
+    Returns the shard manifest (also persisted as ``manifest.json`` — the
+    commit marker: written after the job succeeds, so readers that trust
+    the manifest never see partial output).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["url", "warc_ts", "html"] + ([status_col] if status_col else [])
+    src = df.select(*cols)
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        shard = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.gz")
+        n = 0
+        sha = hashlib.sha256()
+        with open(shard, "wb") as f:
+            info_payload = (
+                f"software: {_SOFTWARE}\r\nformat: WARC File Format 1.0\r\n"
+            ).encode()
+            info = build_record(
+                "warcinfo",
+                info_payload,
+                {
+                    "WARC-Record-ID": _record_id(f"warcinfo:{prefix}-{pid}", info_payload),
+                    "WARC-Date": "1970-01-01T00:00:00Z",
+                    "WARC-Filename": os.path.basename(shard),
+                    "Content-Type": "application/warc-fields",
+                },
+            )
+            member = _gzip_member(info)
+            f.write(member)
+            sha.update(member)
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    body = bytes(row.html) if row.html is not None else b""
+                    status = int(getattr(row, status_col)) if status_col else 200
+                    payload = _http_envelope(body, status, mime)
+                    rec = build_record(
+                        "response",
+                        payload,
+                        {
+                            "WARC-Record-ID": _record_id(row.url, payload),
+                            "WARC-Date": _warc_date(row.warc_ts),
+                            "WARC-Target-URI": row.url,
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                    )
+                    member = _gzip_member(rec)
+                    f.write(member)
+                    sha.update(member)
+                    n += 1
+        yield pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_records": [n],
+                "n_bytes": [os.path.getsize(shard)],
+                "sha256": [sha.hexdigest()],
+            }
+        )
+
+    manifest = [r.asDict() for r in src.mapInPandas(write_partition, MANIFEST_SCHEMA).collect()]
+    manifest.sort(key=lambda m: m["shard"])
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({"format": "warc.gz", "shards": manifest}, f, indent=1)
+    return manifest
+
+
+def _parse_warc_stream(raw: bytes, shard: str):
+    """Yield dict rows from one uncompressed WARC stream.  Exact
+    Content-Length framing; a framing violation stops THIS shard's parse
+    (remainder dead-lettered) instead of failing the task."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # tolerate trailing blank lines between records
+        while pos < n and raw[pos : pos + 2] in (b"\r\n",):
+            pos += 2
+        if pos >= n:
+            return
+        head_end = raw.find(b"\r\n\r\n", pos)
+        if head_end < 0 or not raw.startswith(b"WARC/", pos):
+            return  # framing lost — dead-letter the remainder
+        headers: dict[str, str] = {}
+        for line in raw[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            return
+        body_start = head_end + 4
+        if body_start + length > n:
+            return  # truncated record
+        payload = raw[body_start : body_start + length]
+        pos = body_start + length
+        rtype = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri")
+        ts = headers.get("warc-date")
+        status = None
+        mime_val = None
+        html = payload
+        if rtype == "response" and payload[:5] == b"HTTP/":
+            env_end = payload.find(b"\r\n\r\n")
+            if env_end >= 0:
+                env_lines = payload[:env_end].split(b"\r\n")
+                try:
+                    status = int(env_lines[0].split(b" ")[1])
+                except (IndexError, ValueError):
+                    status = None
+                for line in env_lines[1:]:
+                    k, _, v = line.partition(b":")
+                    if k.strip().lower() == b"content-type":
+                        mime_val = v.strip().decode("latin-1")
+                html = payload[env_end + 4 :]
+        yield {
+            "url": url,
+            "warc_ts": pd.Timestamp(ts.rstrip("Z")) if ts else None,
+            "html": html,
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": rtype,
+            "http_status": status,
+            "mime": mime_val,
+            "shard": shard,
+        }
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    include_warcinfo: bool = False,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed WARC source: ``path`` is a directory (all ``*.warc.gz``
+    inside, manifest-ordered when ``manifest.json`` exists) or one file.
+    The shard is the split unit — standard for Common Crawl processing.
+    """
+    if os.path.isdir(path):
+        mf = os.path.join(path, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                shards = [s["shard"] for s in json.load(f)["shards"]]
+        else:
+            shards = sorted(
+                os.path.join(path, p) for p in os.listdir(path) if p.endswith(".warc.gz")
+            )
+    else:
+        shards = [path]
+    if not shards:
+        raise ValueError(f"no .warc.gz shards under {path}")
+    paths_df = spark.createDataFrame([(s,) for s in shards], "shard string")
+    if n_partitions:
+        paths_df = paths_df.repartition(n_partitions)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard in pdf["shard"]:
+                try:
+                    with gzip.open(shard, "rb") as gz:  # reads all members
+                        raw = gz.read()
+                except (OSError, EOFError):
+                    continue  # unreadable shard → dead-lettered whole
+                rows.extend(_parse_warc_stream(raw, shard))
+            if rows:
+                out = pd.DataFrame(rows)
+                if not include_warcinfo:
+                    out = out[out["warc_type"] != "warcinfo"]
+                if len(out):
+                    yield out
+
+    return paths_df.mapInPandas(parse, READ_SCHEMA)

@@ -1,0 +1,122 @@
+"""WARC sink/source round trips: Common-Crawl-compatible .warc.gz shards
+written per-partition, one gzip member per record, read back by exact
+Content-Length framing — byte-identical bodies, deterministic output.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import warc
+
+
+@pytest.fixture()
+def pages(spark):
+    from datetime import datetime
+
+    rows = [
+        ("https://a.example/x", datetime(2026, 1, 2, 3, 4, 5), b"<html>alpha</html>"),
+        ("https://a.example/y", datetime(2026, 1, 2, 3, 4, 6), b"\x00\xff binary body \r\n\r\n tricky"),
+        ("https://b.example/z", datetime(2026, 1, 3), b""),
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+
+
+def test_round_trip_byte_identical(spark, pages, tmp_path):
+    out = str(tmp_path / "warc")
+    manifest = warc.write_warc(pages.repartition(2), out)
+    assert sum(m["n_records"] for m in manifest) == 3
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+
+    back = warc.read_warc(spark, out).collect()
+    got = {r["url"]: r for r in back}
+    src = {r["url"]: r for r in pages.collect()}
+    assert set(got) == set(src)
+    for url, r in got.items():
+        # bodies byte-identical even when they contain \r\n\r\n (framing is
+        # Content-Length, never delimiter scanning)
+        assert bytes(r["html"]) == bytes(src[url]["html"])
+        assert r["warc_ts"] == src[url]["warc_ts"]
+        assert r["http_status"] == 200
+        assert r["mime"] == "text/html"
+        assert r["warc_type"] == "response"
+        assert r["record_id"].startswith("<urn:uuid:")
+
+
+def test_each_record_own_gzip_member(pages, tmp_path):
+    out = str(tmp_path / "warc")
+    manifest = warc.write_warc(pages.coalesce(1), out)
+    shard = manifest[0]["shard"]
+    raw = open(shard, "rb").read()
+    # gzip magic at byte 0 and one magic per member: warcinfo + 3 records
+    assert raw[:2] == b"\x1f\x8b"
+    assert raw.count(b"\x1f\x8b\x08") == 4
+    # stdlib reads concatenated members transparently
+    stream = gzip.decompress(raw)
+    assert stream.count(b"WARC/1.0\r\n") == 4
+
+
+def test_deterministic_output(spark, pages, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sha_a = {os.path.basename(m["shard"]): m["sha256"] for m in warc.write_warc(pages.coalesce(1), a)}
+    sha_b = {os.path.basename(m["shard"]): m["sha256"] for m in warc.write_warc(pages.coalesce(1), b)}
+    assert sha_a == sha_b  # identical partitions → byte-identical shards
+
+
+def test_warcinfo_excluded_by_default(spark, pages, tmp_path):
+    out = str(tmp_path / "warc")
+    warc.write_warc(pages.coalesce(1), out)
+    assert warc.read_warc(spark, out).count() == 3
+    with_info = warc.read_warc(spark, out, include_warcinfo=True)
+    assert with_info.count() == 4
+    assert with_info.filter(F.col("warc_type") == "warcinfo").count() == 1
+
+
+def test_truncated_shard_dead_letters_remainder(spark, pages, tmp_path):
+    out = str(tmp_path / "warc")
+    manifest = warc.write_warc(pages.coalesce(1), out)
+    shard = manifest[0]["shard"]
+    # re-gzip a truncated stream: first two records survive, the rest is cut
+    stream = gzip.decompress(open(shard, "rb").read())
+    third = stream.find(b"WARC/1.0", stream.find(b"WARC/1.0", 10) + 10)
+    cut = stream[: third + 40]  # into the 3rd record's headers
+    open(shard, "wb").write(gzip.compress(cut, mtime=0))
+    back = warc.read_warc(spark, out).collect()
+    assert len(back) == 1  # warcinfo skipped + first response survives
+    # a wholly unreadable shard is dead-lettered, not a task failure
+    open(shard, "wb").write(b"not gzip at all")
+    assert warc.read_warc(spark, out).count() == 0
+
+
+def test_fixture_corpus_round_trip(spark, tmp_path):
+    """The engine's own crawl corpus (pages table) through the sink and
+    back: counts + per-url body hashes match."""
+    from frontier_engine import fixtures
+
+    paths = fixtures.corpus("mini")
+    pages = spark.read.parquet(paths["pages"]).select("url", "warc_ts", "html").limit(500)
+    out = str(tmp_path / "warc")
+    manifest = warc.write_warc(pages.repartition(4), out)
+    assert sum(m["n_records"] for m in manifest) == 500
+    back = warc.read_warc(spark, out, n_partitions=4)
+    src_hash = pages.select("url", F.sha2(F.col("html"), 256).alias("h"))
+    back_hash = back.select("url", F.sha2(F.col("html"), 256).alias("h"))
+    assert src_hash.subtract(back_hash).count() == 0
+    assert back_hash.subtract(src_hash).count() == 0
+
+
+def test_manifest_is_commit_marker(spark, pages, tmp_path):
+    out = str(tmp_path / "warc")
+    warc.write_warc(pages.repartition(2), out)
+    with open(os.path.join(out, "manifest.json")) as f:
+        mf = json.load(f)
+    assert mf["format"] == "warc.gz"
+    # a stray uncommitted shard is ignored when the manifest exists
+    stray = os.path.join(out, "stray-99999.warc.gz")
+    open(stray, "wb").write(gzip.compress(b"garbage", mtime=0))
+    assert warc.read_warc(spark, out).count() == 3
