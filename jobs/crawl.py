@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--corpus-location", default=None,
                     help="where the bucketed corpus lives (default: "
                          "<warehouse>/corpus)")
+    ap.add_argument("--warc-out", default=None,
+                    help="after the crawl, archive every fetched page as "
+                         "Common-Crawl-compatible .warc.gz shards in this dir")
     args = ap.parse_args(argv)
 
     from frontier_engine import fixtures
@@ -83,6 +86,24 @@ def main(argv=None):
         corpus_location=corpus_location,
     )
     summary["wall_seconds"] = round(time.time() - t0, 2)
+
+    if args.warc_out:
+        # archive the raw fetched pages (records keeps extracted text only;
+        # html comes from the corpus joined on the crawled URL set)
+        from pyspark.sql import functions as F
+
+        from frontier_engine.snapshot import SnapshotStore
+        from frontier_engine.warc import write_warc
+
+        store = SnapshotStore(args.warehouse)
+        crawled = store.read(spark, "records").select("url", "warc_ts").dropDuplicates(["url"])
+        raw = spark.read.parquet(paths["pages"]).select("url", "html")
+        manifest = write_warc(
+            crawled.join(raw, "url").select("url", "warc_ts", "html"), args.warc_out
+        )
+        summary["warc_shards"] = len(manifest)
+        summary["warc_records"] = sum(m["n_records"] for m in manifest)
+
     print(json.dumps(summary))
     spark.stop()
     return 0
