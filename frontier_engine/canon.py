@@ -144,6 +144,18 @@ def path_col(canonical_url: Column) -> Column:
     return F.when(rest.contains("?"), F.substring_index(rest, "?", 1)).otherwise(rest)
 
 
+def pathq_of_py(canonical_url: str) -> str:
+    """Path INCLUDING the query string — the robots match target per
+    RFC 9309 §2.2.2 (rules like ``Disallow: /*?sessionid=`` must see it)."""
+    m = _URL_RE.match(canonical_url)
+    return m.group(3) if m else ""
+
+
+def pathq_col(canonical_url: Column) -> Column:
+    """Column twin of :func:`pathq_of_py`."""
+    return F.regexp_extract(canonical_url, _URL_PATTERN, 3)
+
+
 def url_hash_col(canonical_url: Column) -> Column:
     """64-bit identity of a canonical URL — Spark built-in xxhash64 (seed 42).
 

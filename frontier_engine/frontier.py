@@ -96,11 +96,17 @@ def apply_robots(frontier: DataFrame, robots: DataFrame, cfg: DrainConfig) -> tu
     """Split frontier into (allowed-with-delay, blocked) via broadcast robots.
 
     Rule precedence is RFC 9309 §2.2.2 longest-match: a URL is blocked iff
-    the longest matching Disallow prefix is strictly longer than the longest
-    matching Allow prefix (no match = length 0, so a tie — including the
-    no-rules case — allows). Evaluated as pure column expressions over the
-    broadcast robots table; a robots table without an ``allow_prefixes``
-    column (older caches, the reference fixtures) behaves as before.
+    the longest matching Disallow rule is strictly longer than the longest
+    matching Allow rule (no match = length 0, so a tie — including the
+    no-rules case — allows). Rules support §2.2.3 wildcards: ``*`` (any
+    chars) and trailing ``$`` (end anchor); plain rules keep the
+    whole-stage-codegen ``startswith`` fast path, wildcard rules take a
+    lazily-evaluated regexp branch (``frontier_engine.robots
+    .rule_matches_py`` is the Python twin, property-tested for parity).
+    The match target is the URL path INCLUDING the query string, per the
+    RFC. Evaluated as pure column expressions over the broadcast robots
+    table; a robots table without an ``allow_prefixes`` column (older
+    caches, the reference fixtures) behaves as before.
 
     Unknown hosts get the default crawl_delay and no disallows (the
     reference fetches hosts it has no metadata for; robots here is a cache,
@@ -113,15 +119,35 @@ def apply_robots(frontier: DataFrame, robots: DataFrame, cfg: DrainConfig) -> tu
     if "allow_prefixes" not in r.columns:
         r = r.withColumn("allow_prefixes", F.array().cast("array<string>"))
     joined = frontier.join(F.broadcast(r), "host", "left")
-    path = canon.path_col(F.col("url"))
+    path = canon.pathq_col(F.col("url"))  # path + query: the RFC match target
 
-    def longest_match(prefixes: F.Column) -> F.Column:
-        # length of the longest rule prefix matching the path; 0 when none
+    def rule_pattern(p: F.Column) -> F.Column:
+        # rule → Java regex: trailing $ = end anchor, * = any run, all
+        # other regex metachars escaped (mirrors robots.rule_matches_py)
+        anchored = p.endswith("$")
+        body = F.when(anchored, F.substring(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+        esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|*\\])", r"\\$1")
+        star = F.regexp_replace(esc, r"\\\*", ".*")
+        return F.concat(
+            F.lit("^"), star, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+        )
+
+    def rule_matches(p: F.Column) -> F.Column:
+        plain = ~p.contains("*") & ~p.endswith("$")
+        # CaseWhen is lazy per row: the regexp branch only evaluates for
+        # wildcard rules, so plain-prefix tables never pay regex cost
+        return F.when(plain, path.startswith(p)).otherwise(
+            F.regexp_like(path, rule_pattern(p))
+        )
+
+    def longest_match(rules: F.Column) -> F.Column:
+        # length of the longest matching rule (octet length of the rule
+        # itself, wildcards included — reference-implementation precedence)
         return F.coalesce(
             F.array_max(
                 F.transform(
-                    prefixes,
-                    lambda p: F.when(path.startswith(p), F.length(p)).otherwise(F.lit(0)),
+                    rules,
+                    lambda p: F.when(rule_matches(p), F.length(p)).otherwise(F.lit(0)),
                 )
             ),
             F.lit(0),

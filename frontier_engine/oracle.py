@@ -20,7 +20,8 @@ from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
 
-from .canon import canonicalize_py, host_of_py, path_of_py
+from .canon import canonicalize_py, host_of_py, path_of_py, pathq_of_py
+from .robots import rule_matches_py
 from .extract import extract_links_py, extract_text_py
 
 
@@ -95,9 +96,10 @@ def run_oracle(
 
     def robots_blocked(path: str, dis: tuple, allow: tuple) -> bool:
         # RFC 9309 longest-match: blocked iff longest matching Disallow is
-        # strictly longer than longest matching Allow (ties allow)
-        d = max((len(p) for p in dis if path.startswith(p)), default=0)
-        a = max((len(p) for p in allow if path.startswith(p)), default=0)
+        # strictly longer than longest matching Allow (ties allow);
+        # rule_matches_py handles §2.2.3 * and trailing-$ wildcards
+        d = max((len(p) for p in dis if rule_matches_py(p, path)), default=0)
+        a = max((len(p) for p in allow if rule_matches_py(p, path)), default=0)
         return d > a
 
     frontier: dict[str, _Entry] = {}
@@ -119,7 +121,7 @@ def run_oracle(
             delay, prefixes, allows = robots.get(host, (cfg.default_crawl_delay, (), ()))
             if delay is None:
                 delay = cfg.default_crawl_delay
-            if robots_blocked(path_of_py(e.url), prefixes, allows):
+            if robots_blocked(pathq_of_py(e.url), prefixes, allows):
                 continue  # blocked: dropped from frontier entirely
             by_host.setdefault(host, []).append(e)
 

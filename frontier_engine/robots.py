@@ -17,13 +17,19 @@ major crawlers implement them:
   between Allow and Disallow; on a tie, Allow wins — evaluated in
   :func:`frontier.apply_robots` as pure column expressions
 - ``Crawl-delay:`` seconds (float) per group; None when absent
-- comments (``# …``), blank lines tolerated; unknown directives
-  (Sitemap/...) are ignored but still terminate a group's user-agent
-  preamble, so a following ``User-agent:`` line starts a NEW group rather
-  than merging into the previous one (a common real-robots.txt shape:
-  an Allow-only or Sitemap-bearing group followed by the ``*`` group)
-- ``*`` / ``$`` wildcards inside paths are NOT expanded (prefix rules
-  only); documented engine limitation
+- comments (``# …``), blank lines tolerated; unknown directives are
+  ignored but still terminate a group's user-agent preamble, so a
+  following ``User-agent:`` line starts a NEW group rather than merging
+  into the previous one (a common real-robots.txt shape: an Allow-only
+  group followed by the ``*`` group); ``Sitemap:`` lines are extracted
+  separately by :mod:`frontier_engine.sitemap` (global directive)
+- ``*`` (any chars) and trailing ``$`` (end anchor) wildcards in rule
+  paths are honored per RFC 9309 §2.2.3 (:func:`rule_matches_py` is the
+  single semantic source, shared by the oracle crawler and property-
+  tested against the Spark expression in ``frontier.apply_robots``);
+  precedence for wildcard rules uses the rule's octet length, matching
+  the reference implementations.  The match target is the URL's path
+  INCLUDING the query string (§2.2.2)
 
 Cited parity target: the reference's fixed per-host delays
 (/root/reference/crawler/stores/*.py rate limiting) generalized to
@@ -42,6 +48,23 @@ PARSED_SCHEMA = (
     "host string, crawl_delay double, "
     "allow_prefixes array<string>, disallow_prefixes array<string>"
 )
+
+
+def rule_matches_py(rule: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 rule matching: plain rules are path prefixes; ``*``
+    matches any character run; a TRAILING ``$`` anchors the rule to the
+    path end (``$`` elsewhere is literal).  ``path`` is the URL path
+    including any query string."""
+    if "*" not in rule and not rule.endswith("$"):
+        return path.startswith(rule)
+    import re as _re
+
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    pattern = "^" + ".*".join(_re.escape(part) for part in body.split("*"))
+    if anchored:
+        pattern += "$"
+    return _re.search(pattern, path) is not None
 
 
 def parse_robots_txt(

@@ -173,3 +173,88 @@ def test_robots_table_dedups_per_host(spark):
     df = spark.createDataFrame(rows, ["host", "body"])
     out = robots_table(df).collect()
     assert len(out) == 1 and out[0]["crawl_delay"] == 3.0  # min body, stable
+
+
+def test_rule_matches_py_wildcards():
+    from frontier_engine.robots import rule_matches_py as m
+
+    # * matches any run; trailing $ anchors; plain rules stay prefixes
+    assert m("/*.pdf$", "/docs/report.pdf")
+    assert not m("/*.pdf$", "/docs/report.pdf?download=1")  # $ means END
+    assert m("/*.pdf", "/docs/report.pdf?download=1")       # unanchored ok
+    assert m("/private*", "/private-files/x")
+    assert m("/a/*/c", "/a/b/c")
+    assert not m("/a/*/c$", "/a/b/c/d")
+    assert m("/fish*.php", "/fishheads/catfish.php?parameters")
+    # $ elsewhere is literal; regex metachars in rules are literal
+    assert m("/a$b", "/a$b/c")
+    assert not m("/a.b", "/aXb")  # '.' is NOT a regex dot
+    assert m("/*?sessionid=", "/cart?sessionid=abc")
+    # * alone matches everything
+    assert m("*", "/anything")
+
+
+def test_apply_robots_wildcards(spark):
+    """§2.2.3 wildcards through the Spark expression, matched against the
+    path INCLUDING the query string (§2.2.2)."""
+    from frontier_engine.frontier import DrainConfig, apply_robots
+
+    table = spark.createDataFrame(
+        [("h.example", 1.0, ["/shop/*.html$"], ["/*.pdf$", "/*?sessionid="])],
+        "host string, crawl_delay double, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("https://h.example/docs/x.pdf", "h.example"),          # blocked: /*.pdf$
+            ("https://h.example/docs/x.pdf?v=2", "h.example"),      # allowed: $ anchors
+            ("https://h.example/cart?sessionid=99", "h.example"),   # blocked: query matched
+            ("https://h.example/shop/item.html", "h.example"),      # allowed: longer Allow
+            ("https://h.example/plain", "h.example"),               # allowed: no rule
+        ],
+        ["url", "host"],
+    )
+    allowed, blocked = apply_robots(frontier, table, DrainConfig())
+    assert sorted(r["url"] for r in blocked.collect()) == [
+        "https://h.example/cart?sessionid=99",
+        "https://h.example/docs/x.pdf",
+    ]
+    assert sorted(r["url"] for r in allowed.collect()) == [
+        "https://h.example/docs/x.pdf?v=2",
+        "https://h.example/plain",
+        "https://h.example/shop/item.html",
+    ]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rules=st.lists(
+        st.text(alphabet="/abc*$.?x", min_size=1, max_size=8), min_size=1, max_size=4
+    ),
+    paths=st.lists(
+        st.text(alphabet="/abc$.?x", min_size=1, max_size=10), min_size=1, max_size=4
+    ),
+)
+def test_wildcard_spark_python_parity(spark, rules, paths):
+    """The Spark regexp expression and rule_matches_py agree on arbitrary
+    wildcard rules — one shared semantic, two implementations."""
+    from frontier_engine.frontier import DrainConfig, apply_robots
+    from frontier_engine.robots import rule_matches_py
+
+    urls = sorted(
+        {f"https://w.example{p if p.startswith('/') else '/' + p}" for p in paths}
+    )
+    table = spark.createDataFrame(
+        [("w.example", 1.0, [], rules)],
+        "host string, crawl_delay double, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>",
+    )
+    frontier = spark.createDataFrame([(u, "w.example") for u in urls], ["url", "host"])
+    _, blocked = apply_robots(frontier, table, DrainConfig())
+    got = sorted(r["url"] for r in blocked.collect())
+    from frontier_engine.canon import pathq_of_py
+
+    expect = sorted(
+        u for u in set(urls) if any(rule_matches_py(r, pathq_of_py(u)) for r in rules)
+    )
+    assert got == expect
