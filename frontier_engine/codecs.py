@@ -42,6 +42,21 @@ import zlib
 
 import numpy as np
 
+# Untrusted-input allocation guard: header-declared dimensions/counts are
+# bounded BEFORE any pixel/sample buffer is allocated.  Without this, a
+# ~100-byte crafted payload (SOF claiming 65535×65535, or an stsz count of
+# 2^32) makes the decoder allocate tens of GB and OOM the executor — and
+# because the OOM kills the task rather than raising, Spark retries the same
+# row and fails the job, defeating the per-row dead-letter posture the
+# multimodal operators promise.  A ``ValueError`` here dead-letters the row.
+MAX_PIXELS = 1 << 26  # 67.1 Mpx (≈ 8192×8192) → ≤ 192 MiB as RGB uint8
+
+
+def _check_pixels(w: int, h: int, fmt: str, max_pixels: int | None = None) -> None:
+    cap = MAX_PIXELS if max_pixels is None else max_pixels
+    if w * h > cap:
+        raise ValueError(f"{fmt} dimensions {w}x{h} exceed pixel cap {cap}")
+
 # ---------------------------------------------------------------------------
 # PNG
 # ---------------------------------------------------------------------------
@@ -101,6 +116,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise ValueError("PNG bad compression/filter method")
             if interlace != 0:
                 raise NotImplementedError("PNG Adam7 interlace")
+            _check_pixels(w, h, "PNG")
             channels = 1 if color == 3 else _PNG_CHANNELS[color]
         elif ctype == b"PLTE":
             if len(data) % 3 or not data:
@@ -114,12 +130,19 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("PNG palette image missing PLTE")
     if w == 0 or h == 0:
         raise ValueError("PNG zero dimension")
+    stride = w * channels
+    expected = h * (stride + 1)
     try:
-        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+        # bounded inflate: ask for at most expected+1 bytes so a DEFLATE
+        # bomb inside a small-dimension header can't allocate past the cap
+        # (an overlong stream yields expected+1 bytes → size mismatch below)
+        raw = np.frombuffer(
+            zlib.decompressobj().decompress(bytes(idat), expected + 1),
+            dtype=np.uint8,
+        )
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         raise ValueError("PNG decompressed size mismatch")
     rows = raw.reshape(h, stride + 1)
     filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
@@ -342,6 +365,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
+            _check_pixels(w, h, "JPEG")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
@@ -753,26 +777,40 @@ def parse_mp4(payload: bytes) -> dict:
     if stsz is None:
         raise ValueError("MP4 missing stsz")
     sample_size, count = struct.unpack_from(">II", payload, stsz[0])
+    # allocation guards: every table's declared count must fit inside its
+    # own box (the entries are IN the box) — validated BEFORE any list of
+    # `count` elements is built, so a crafted 100-byte file claiming 2^32
+    # samples raises (dead-letters the row) instead of OOM-killing the task
     if sample_size:
+        if sample_size * count > len(payload):
+            raise ValueError("MP4 stsz total sample bytes exceed file size")
         sizes = [sample_size] * count
     else:
+        if stsz[0] + 8 + 4 * count > stsz[1]:
+            raise ValueError("MP4 stsz count exceeds box size")
         sizes = list(struct.unpack_from(f">{count}I", payload, stsz[0] + 8))
 
     co = full(b"stco")
     if co is not None:
         (n_chunks,) = struct.unpack_from(">I", payload, co[0])
+        if co[0] + 4 + 4 * n_chunks > co[1]:
+            raise ValueError("MP4 stco count exceeds box size")
         offsets = list(struct.unpack_from(f">{n_chunks}I", payload, co[0] + 4))
     else:
         co = full(b"co64")
         if co is None:
             raise ValueError("MP4 missing stco/co64")
         (n_chunks,) = struct.unpack_from(">I", payload, co[0])
+        if co[0] + 4 + 8 * n_chunks > co[1]:
+            raise ValueError("MP4 co64 count exceeds box size")
         offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, co[0] + 4))
 
     stsc = full(b"stsc")
     if stsc is None:
         raise ValueError("MP4 missing stsc")
     (n_runs,) = struct.unpack_from(">I", payload, stsc[0])
+    if stsc[0] + 4 + 12 * n_runs > stsc[1]:
+        raise ValueError("MP4 stsc count exceeds box size")
     runs = [struct.unpack_from(">III", payload, stsc[0] + 4 + 12 * i)
             for i in range(n_runs)]  # (first_chunk, samples_per_chunk, desc_id)
 
@@ -800,9 +838,11 @@ def parse_mp4(payload: bytes) -> dict:
 
     stss = full(b"stss")
     if stss is None:
-        sync = list(range(1, count + 1))
+        sync = list(range(1, count + 1))  # count bounded by the stsz guard
     else:
         (n_sync,) = struct.unpack_from(">I", payload, stss[0])
+        if stss[0] + 4 + 4 * n_sync > stss[1]:
+            raise ValueError("MP4 stss count exceeds box size")
         sync = list(struct.unpack_from(f">{n_sync}I", payload, stss[0] + 4))
 
     return {"width": width, "height": height, "duration_ms": duration_ms,
@@ -991,6 +1031,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("GIF image with no color table")
         if w == 0 or h == 0:
             raise ValueError("GIF zero dimension")
+        _check_pixels(w, h, "GIF")
         min_code_size = payload[pos]
         pos += 1
         if not 2 <= min_code_size <= 11:

@@ -377,3 +377,116 @@ class TestPNGPalette:
         kind, w, h, body = MM._decode(self._palette_png(idx, palette))
         assert (kind, w, h) == ("image", 2, 2)
         assert np.array_equal(body.reshape(2, 2, 3), palette[idx])
+
+
+# ---------------------------------------------------------------------------
+# Allocation guards: header-declared sizes are bounded BEFORE any buffer is
+# allocated.  Each payload here is ~100 bytes but declares GB-scale output;
+# the decoder must raise ValueError (→ per-row dead-letter) instead of
+# allocating.  All asserts must complete instantly — an OOM or a minutes-long
+# LZW loop means the guard regressed.
+# ---------------------------------------------------------------------------
+
+def _patch_be32(buf: bytes, tag: bytes, field_off: int, value: int) -> bytes:
+    """Overwrite the big-endian u32 at <first occurrence of tag> + field_off."""
+    i = buf.find(tag)
+    assert i >= 0
+    out = bytearray(buf)
+    struct.pack_into(">I", out, i + field_off, value)
+    return bytes(out)
+
+
+class TestAllocationGuards:
+    def test_mp4_stsz_constant_size_bomb(self):
+        mp4 = C.mux_mp4(_samples(n=3), 64, 64)
+        # stsz layout: 'stsz' + ver/flags(4) + sample_size(4) + count(4)
+        bomb = _patch_be32(mp4, b"stsz", 4 + 4, 1 << 16)        # sample_size
+        bomb = _patch_be32(bomb, b"stsz", 4 + 8, 1 << 16)       # count → 2^32 B
+        with pytest.raises(ValueError, match="stsz"):
+            C.parse_mp4(bomb)
+
+    def test_mp4_stsz_table_count_bomb(self):
+        mp4 = C.mux_mp4(_samples(n=3), 64, 64)
+        bomb = _patch_be32(mp4, b"stsz", 4 + 4, 0)              # table form
+        bomb = _patch_be32(bomb, b"stsz", 4 + 8, 1 << 30)
+        with pytest.raises(ValueError, match="stsz count exceeds box"):
+            C.parse_mp4(bomb)
+
+    def test_mp4_stss_count_bomb(self):
+        mp4 = C.mux_mp4(_samples(n=3), 64, 64, sync_samples=[1])
+        bomb = _patch_be32(mp4, b"stss", 4 + 4, 1 << 30)
+        with pytest.raises(ValueError, match="stss count exceeds box"):
+            C.parse_mp4(bomb)
+
+    def test_mp4_stco_count_bomb(self):
+        mp4 = C.mux_mp4(_samples(n=3), 64, 64)
+        bomb = _patch_be32(mp4, b"stco", 4 + 4, 1 << 30)
+        with pytest.raises(ValueError, match="stco count exceeds box"):
+            C.parse_mp4(bomb)
+
+    def test_mp4_stsc_count_bomb(self):
+        mp4 = C.mux_mp4(_samples(n=3), 64, 64)
+        bomb = _patch_be32(mp4, b"stsc", 4 + 4, 1 << 30)
+        with pytest.raises(ValueError, match="stsc count exceeds box"):
+            C.parse_mp4(bomb)
+
+    def test_jpeg_sof_dimension_bomb(self):
+        jpg = C.encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8))
+        i = jpg.find(b"\xff\xc0")
+        assert i >= 0
+        out = bytearray(jpg)
+        # SOF0: FF C0 <len:2> <prec:1> <h:2> <w:2> ...
+        struct.pack_into(">HH", out, i + 5, 65535, 65535)
+        with pytest.raises(ValueError, match="pixel cap"):
+            C.decode_jpeg(bytes(out))
+
+    def test_gif_dimension_bomb(self):
+        gif = C.encode_gif(np.full((4, 4, 3), 30, dtype=np.uint8))
+        i = gif.find(b"\x2c")  # image descriptor
+        assert i >= 0
+        out = bytearray(gif)
+        struct.pack_into("<HH", out, i + 5, 65535, 65535)  # w, h
+        with pytest.raises(ValueError, match="pixel cap"):
+            C.decode_gif(bytes(out))
+
+    def test_png_ihdr_dimension_bomb(self):
+        import zlib as _z
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+        png = (C.PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", _z.compress(b"\x00")) + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="pixel cap"):
+            C.decode_png(png)
+
+    def test_png_deflate_bomb_is_bounded(self):
+        # tiny declared dims, IDAT inflating to 64 MB: the bounded inflate
+        # reads at most expected+1 bytes and reports a size mismatch
+        import zlib as _z
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        bomb = _z.compress(b"\x00" * (64 << 20))
+        png = (C.PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="size mismatch"):
+            C.decode_png(png)
+
+    def test_mp4_bomb_dead_letters_in_spark_decode(self, spark):
+        # the ADVICE scenario end-to-end: a crafted bomb row inside a Spark
+        # decode pass is dropped per-row, the good rows survive
+        good = C.mux_mp4(_samples(n=3), 64, 64)
+        bomb = _patch_be32(good, b"stsz", 4 + 4, 1 << 16)
+        bomb = _patch_be32(bomb, b"stsz", 4 + 8, 1 << 16)
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(bomb))],
+            "media_id long, payload binary",
+        )
+        rows = MM.decode_features(df).select("media_id").collect()
+        assert [r.media_id for r in rows] == [1]
