@@ -66,17 +66,36 @@ def _warc_date(ts) -> str:
     return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def _sanitize_header_value(v: str) -> str:
+    """Percent-encode CR/LF and other control characters in a header value.
+
+    WARC header values are CRLF-framed; a crawled href can carry embedded
+    ``\\r\\n`` all the way through html-unescape + canonicalization, and
+    writing it verbatim into ``WARC-Target-URI`` would let an attacker page
+    inject arbitrary header lines (or an early CRLFCRLF terminator) into its
+    own record — forging archive metadata and desyncing readers, which
+    dead-letters the remainder of the shard.  Percent-encoding keeps the
+    value a valid URI (control octets are never legal in one anyway).
+    """
+    if not any(ord(c) < 0x20 or ord(c) == 0x7F for c in v):
+        return v
+    return "".join(
+        f"%{ord(c):02X}" if (ord(c) < 0x20 or ord(c) == 0x7F) else c for c in v
+    )
+
+
 def build_record(
     record_type: str,
     payload: bytes,
     headers: dict[str, str],
 ) -> bytes:
     """One uncompressed WARC record: version line, named headers,
-    Content-Length framing, payload, blank-line terminator."""
+    Content-Length framing, payload, blank-line terminator.  Header values
+    are control-character-sanitized (see :func:`_sanitize_header_value`)."""
     lines = [WARC_VERSION]
     lines.append(f"WARC-Type: {record_type}".encode())
     for k, v in headers.items():
-        lines.append(f"{k}: {v}".encode())
+        lines.append(f"{k}: {_sanitize_header_value(str(v))}".encode())
     lines.append(f"Content-Length: {len(payload)}".encode())
     head = b"\r\n".join(lines) + b"\r\n\r\n"
     return head + payload + b"\r\n\r\n"
@@ -225,9 +244,17 @@ def _parse_warc_stream(raw: bytes, shard: str):
                     if k.strip().lower() == b"content-type":
                         mime_val = v.strip().decode("latin-1")
                 html = payload[env_end + 4 :]
+        # tolerate malformed dates in foreign (e.g. Common Crawl) shards:
+        # a bad WARC-Date nulls the column instead of failing the task
+        warc_ts = None
+        if ts:
+            try:
+                warc_ts = pd.Timestamp(ts.rstrip("Z"))
+            except (ValueError, TypeError):
+                warc_ts = None
         yield {
             "url": url,
-            "warc_ts": pd.Timestamp(ts.rstrip("Z")) if ts else None,
+            "warc_ts": warc_ts,
             "html": html,
             "record_id": headers.get("warc-record-id"),
             "warc_type": rtype,

@@ -120,3 +120,62 @@ def test_manifest_is_commit_marker(spark, pages, tmp_path):
     stray = os.path.join(out, "stray-99999.warc.gz")
     open(stray, "wb").write(gzip.compress(b"garbage", mtime=0))
     assert warc.read_warc(spark, out).count() == 3
+
+
+def test_header_injection_crlf_url_is_neutralized(spark, tmp_path):
+    """A crawled URL with embedded CRLF (survives html-unescape + canon)
+    must not inject header lines or an early record terminator: the value
+    is percent-encoded at write time and the shard parses fully."""
+    from datetime import datetime
+
+    evil = "https://a.example/x\r\nWARC-Evil: injected\r\n\r\nHTTP/1.1 200 OK"
+    rows = [
+        (evil, datetime(2026, 1, 2), b"<html>evil</html>"),
+        ("https://a.example/clean", datetime(2026, 1, 2), b"<html>ok</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "warc")
+    warc.write_warc(df.coalesce(1), out)
+
+    back = warc.read_warc(spark, out).collect()
+    # BOTH records survive (no desync dead-lettering the shard remainder)
+    assert len(back) == 2
+    by_url = {r["url"]: r for r in back}
+    assert "https://a.example/clean" in by_url
+    enc = "https://a.example/x%0D%0AWARC-Evil: injected%0D%0A%0D%0AHTTP/1.1 200 OK"
+    assert enc in by_url
+    # the injected header name never appears as a parsed header
+    assert all(r["warc_type"] == "response" for r in back)
+
+
+def test_malformed_warc_date_nulls_timestamp_not_task(spark, tmp_path):
+    """A foreign shard with a garbage WARC-Date parses with warc_ts=None and
+    the following records still come through."""
+    rec_bad = warc.build_record(
+        "response",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: 2\r\n\r\nhi",
+        {
+            "WARC-Record-ID": "<urn:uuid:x>",
+            "WARC-Date": "not-a-date-at-all",
+            "WARC-Target-URI": "https://bad.example/",
+            "Content-Type": "application/http;msgtype=response",
+        },
+    )
+    rec_good = warc.build_record(
+        "response",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: 2\r\n\r\nok",
+        {
+            "WARC-Record-ID": "<urn:uuid:y>",
+            "WARC-Date": "2026-01-02T03:04:05Z",
+            "WARC-Target-URI": "https://good.example/",
+            "Content-Type": "application/http;msgtype=response",
+        },
+    )
+    shard_dir = tmp_path / "foreign"
+    shard_dir.mkdir()
+    with open(shard_dir / "cc-00000.warc.gz", "wb") as f:
+        f.write(gzip.compress(rec_bad + rec_good, mtime=0))
+    back = {r["url"]: r for r in warc.read_warc(spark, str(shard_dir)).collect()}
+    assert set(back) == {"https://bad.example/", "https://good.example/"}
+    assert back["https://bad.example/"]["warc_ts"] is None
+    assert back["https://good.example/"]["warc_ts"] is not None
