@@ -49,12 +49,13 @@ _LOC = re.compile(rb"<loc\s*>\s*(.*?)\s*</loc\s*>", re.DOTALL | re.IGNORECASE)
 _LASTMOD = re.compile(rb"<lastmod\s*>\s*(.*?)\s*</lastmod\s*>", re.DOTALL | re.IGNORECASE)
 
 _ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
+_ENTITY_RE = re.compile(r"&(?:amp|lt|gt|quot|apos);")
 
 
 def _unescape(s: str) -> str:
-    for k, v in _ENTITIES.items():
-        s = s.replace(k, v)
-    return s
+    # single-pass: sequential str.replace double-decodes nested escapes
+    # ('&amp;lt;' must yield the literal '&lt;', not '<')
+    return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
 
 
 def extract_sitemap_urls(body: str) -> list[str]:
@@ -171,16 +172,43 @@ def parse_sitemaps(
     return df.select(url_col, body_col).mapInPandas(run, schema=PARSED_SCHEMA)
 
 
-def seeds_from_sitemaps(parsed: DataFrame, priority: float = 0.5) -> DataFrame:
+def seeds_from_sitemaps(
+    parsed: DataFrame,
+    priority: float = 0.5,
+    as_of: str | None = None,
+    half_life_days: float = 30.0,
+) -> DataFrame:
     """Page entries → frontier-ready ``(url, priority)`` seeds:
     canonicalized, garbage dropped, deduped — identical treatment to any
     other discovered link (:func:`frontier.frontier_from_seeds` consumes
-    this directly)."""
+    this directly).
+
+    ``as_of`` (a logical-clock timestamp string — never wall clock, the
+    determinism contract) turns ``lastmod`` into freshness-weighted
+    priority: ``priority × 0.5^(age_days / half_life_days)``, so a page
+    modified yesterday outranks one modified a year ago in the drain order
+    (the reference's re-run cadence intent,
+    /root/reference/crawler/json_fetch.py:29, generalized).  Entries with
+    no/unparseable lastmod (``try_to_timestamp``) keep the base priority;
+    future lastmods clamp to age 0.  A URL listed in several sitemaps keeps
+    its BEST priority (max — deterministic, unlike a dropDuplicates pick).
+    """
     locs = parsed.filter(F.col("kind") == "url").select(
-        canon.canonicalize_col(F.col("loc")).alias("url")
-    )
-    return (
-        locs.filter(F.col("url").rlike("^https?://"))  # garbage locs drop
-        .dropDuplicates(["url"])
-        .withColumn("priority", F.lit(float(priority)))
+        canon.canonicalize_col(F.col("loc")).alias("url"), "lastmod"
+    ).filter(F.col("url").rlike("^https?://"))  # garbage locs drop
+    if as_of is None:
+        pri = F.lit(float(priority))
+    else:
+        lm = F.try_to_timestamp(F.col("lastmod"))
+        age_days = F.greatest(
+            F.lit(0.0),
+            (F.unix_timestamp(F.lit(as_of).cast("timestamp")) - F.unix_timestamp(lm))
+            / F.lit(86400.0),
+        )
+        pri = F.when(
+            lm.isNotNull(),
+            F.lit(float(priority)) * F.pow(F.lit(0.5), age_days / F.lit(half_life_days)),
+        ).otherwise(F.lit(float(priority)))
+    return locs.withColumn("priority", pri).groupBy("url").agg(
+        F.max("priority").alias("priority")
     )

@@ -143,3 +143,101 @@ class TestSpark:
         fr = FR.frontier_from_seeds(seeds)
         assert fr.count() == 2
         assert "host" in fr.columns
+
+
+class TestUnescapeOrder:
+    def test_nested_escapes_decode_once(self):
+        # '&amp;lt;' is the LITERAL text '&lt;' — a sequential-replace
+        # implementation double-decodes it to '<'
+        assert sitemap._unescape("&amp;lt;") == "&lt;"
+        assert sitemap._unescape("&amp;amp;") == "&amp;"
+        assert sitemap._unescape("a&amp;b&lt;c&gt;d&quot;e&apos;f") == "a&b<c>d\"e'f"
+
+    def test_loc_with_nested_escape_survives(self):
+        body = (b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                b"<url><loc>https://x.example/?q=&amp;lt;tag&amp;gt;</loc></url>"
+                b"</urlset>")
+        entries = sitemap.parse_sitemap_body(body)
+        assert entries == [("https://x.example/?q=&lt;tag&gt;", None, "url")]
+
+
+LASTMOD_URLSET = b"""<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://s.example/fresh</loc><lastmod>2026-06-13T00:00:00Z</lastmod></url>
+  <url><loc>https://s.example/stale</loc><lastmod>2025-06-14</lastmod></url>
+  <url><loc>https://s.example/nodate</loc></url>
+  <url><loc>https://s.example/baddate</loc><lastmod>soonish</lastmod></url>
+  <url><loc>https://s.example/future</loc><lastmod>2027-01-01</lastmod></url>
+</urlset>
+"""
+
+
+class TestLastmodPriority:
+    AS_OF = "2026-06-14 00:00:00"
+
+    def _seeds(self, spark, **kw):
+        df = spark.createDataFrame(
+            [("https://s.example/sitemap.xml", LASTMOD_URLSET)],
+            "url string, body binary",
+        )
+        parsed = sitemap.parse_sitemaps(df)
+        seeds = sitemap.seeds_from_sitemaps(parsed, priority=0.5, **kw)
+        return {r["url"]: r["priority"] for r in seeds.collect()}
+
+    def test_without_as_of_flat_priority(self, spark):
+        pri = self._seeds(spark)
+        assert set(pri.values()) == {0.5}
+
+    def test_fresh_outranks_stale(self, spark):
+        pri = self._seeds(spark, as_of=self.AS_OF, half_life_days=30.0)
+        # 1 day old at 30-day half-life ≈ 0.5 * 0.5^(1/30)
+        assert pri["https://s.example/fresh"] == pytest.approx(0.5 * 0.5 ** (1 / 30))
+        # 365 days old → heavily decayed
+        assert pri["https://s.example/stale"] == pytest.approx(0.5 * 0.5 ** (365 / 30))
+        # no/unparseable lastmod keeps the base; future lastmod clamps to age 0
+        assert pri["https://s.example/nodate"] == 0.5
+        assert pri["https://s.example/baddate"] == 0.5
+        assert pri["https://s.example/future"] == 0.5
+        order = sorted(pri, key=pri.get, reverse=True)
+        assert order.index("https://s.example/fresh") < order.index(
+            "https://s.example/stale"
+        )
+
+    def test_duplicate_url_keeps_best_priority(self, spark):
+        two = (b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+               b"<url><loc>https://s.example/p</loc><lastmod>2026-06-13</lastmod></url>"
+               b"<url><loc>https://s.example/p</loc><lastmod>2020-01-01</lastmod></url>"
+               b"</urlset>")
+        df = spark.createDataFrame(
+            [("https://s.example/sm.xml", two)], "url string, body binary"
+        )
+        seeds = sitemap.seeds_from_sitemaps(
+            sitemap.parse_sitemaps(df), priority=0.5, as_of=self.AS_OF
+        )
+        rows = seeds.collect()
+        assert len(rows) == 1
+        assert rows[0]["priority"] == pytest.approx(0.5 * 0.5 ** (1 / 30))
+
+    def test_lastmod_drives_drain_order(self, spark):
+        """End-to-end: fresh sitemap entries drain before stale ones."""
+        from frontier_engine import frontier as FR
+
+        df = spark.createDataFrame(
+            [("https://s.example/sm.xml", LASTMOD_URLSET)], "url string, body binary"
+        )
+        seeds = sitemap.seeds_from_sitemaps(
+            sitemap.parse_sitemaps(df), priority=0.5, as_of=self.AS_OF
+        )
+        fr = FR.frontier_from_seeds(seeds)
+        robots = spark.createDataFrame(
+            [("s.example", 3600.0, [])],
+            "host string, crawl_delay double, disallow_prefixes array<string>",
+        )
+        # budget 1/epoch (crawl_delay == epoch_seconds): exactly one URL
+        # drains, and it must be one of the age-0 group, never /stale
+        drained, rest, blocked = FR.drain_epoch(
+            fr, robots, FR.DrainConfig(epoch_seconds=3600.0)
+        )
+        got = [r["url"] for r in drained.collect()]
+        assert len(got) == 1
+        assert got[0] != "https://s.example/stale"
