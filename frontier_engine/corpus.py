@@ -38,12 +38,39 @@ def _table_name(location: str) -> str:
     return "fe_corpus_" + hashlib.md5(location.encode()).hexdigest()[:10]
 
 
+def read_pages(spark: SparkSession, pages_path: str, source_format: str = "parquet") -> DataFrame:
+    """The raw (un-canonicalized) pages source, normalized to the engine's
+    page schema ``(url, warc_ts, html, lang)``.
+
+    ``source_format="warc"`` reads Common-Crawl-compatible ``.warc.gz``
+    shards (:func:`frontier_engine.warc.read_warc`): response records with a
+    target URI and a 2xx status (or none recorded), ``lang`` recovered from
+    the ``WARC-Identified-Content-Language`` header when present.  This is
+    the front door for real Common Crawl data — the reference ingests what
+    it fetched (/root/reference/crawler/stores/bhx.py:599-649); at 100 TB
+    "what was fetched" arrives as WARC shards.
+    """
+    if source_format == "warc":
+        from . import warc as warc_mod
+
+        raw = warc_mod.read_warc(spark, pages_path)
+        return raw.filter(
+            (F.col("warc_type") == "response")
+            & F.col("url").isNotNull()
+            & (F.col("http_status").isNull() | F.col("http_status").between(200, 299))
+        ).select("url", "warc_ts", "html", "lang")
+    if source_format == "parquet":
+        return spark.read.parquet(pages_path).select("url", "warc_ts", "html", "lang")
+    raise ValueError(f"unknown pages source_format {source_format!r}")
+
+
 def prepare_corpus(
     spark: SparkSession,
     pages_path: str,
     location: str,
     n_buckets: int = 32,
     force: bool = False,
+    source_format: str = "parquet",
 ) -> str:
     """Canonicalize the raw pages and write them once as a bucketed,
     bucket-sorted table at ``location``. Returns the catalog table name.
@@ -52,7 +79,9 @@ def prepare_corpus(
     re-declared if this session has never seen it) unless ``force``.
     The one shuffle here (repartition on the bucket key so each bucket is
     ONE file, making the ``sortBy`` usable) replaces every future run's
-    corpus repartition.
+    corpus repartition.  ``source_format="warc"`` ingests .warc.gz shards
+    (see :func:`read_pages`) — WARC-in, bucketed-parquet-out is the
+    normalize-once step of a Common Crawl pipeline.
     """
     marker = os.path.join(location, _MARKER)
     name = _table_name(location)
@@ -61,9 +90,7 @@ def prepare_corpus(
 
     pages = (
         canon.canonical_first(
-            spark.read.parquet(pages_path).select(
-                F.col("url").alias("raw"), "warc_ts", "html", "lang"
-            ),
+            read_pages(spark, pages_path, source_format).withColumnRenamed("url", "raw"),
             F.col("raw"),
             "url",
         )
@@ -80,7 +107,10 @@ def prepare_corpus(
         .saveAsTable(name)
     )
     with open(marker + ".tmp", "w") as f:
-        json.dump({"n_buckets": n_buckets, "source": pages_path}, f)
+        json.dump(
+            {"n_buckets": n_buckets, "source": pages_path, "source_format": source_format},
+            f,
+        )
     os.replace(marker + ".tmp", marker)
     return name
 

@@ -114,6 +114,7 @@ def run_crawl(
     warehouse: str,
     cfg: CrawlConfig = CrawlConfig(),
     corpus_location: str | None = None,
+    pages_format: str = "parquet",
 ) -> dict:
     """Run (or resume) a crawl; returns summary stats.
 
@@ -124,13 +125,18 @@ def run_crawl(
     run, ever, instead of one repartition+persist per run. ``records``
     snapshots are written ``partitionBy(lang)`` so downstream per-language
     reads prune partitions at the scan.
+
+    ``pages_format``: ``"parquet"`` (default) or ``"warc"`` — the latter
+    crawls straight out of Common-Crawl-compatible ``.warc.gz`` shards
+    (:func:`frontier_engine.corpus.read_pages`); results are byte-identical
+    to the parquet path for the same corpus.
     """
+    from . import corpus as corpus_layout
+
     store = SnapshotStore(warehouse, partition_spec={"records": ["lang"]})
     robots = spark.read.parquet(robots_path)
 
     if corpus_location is not None:
-        from . import corpus as corpus_layout
-
         # bucketed-table path: zero corpus shuffle in this (or any) run
         pages = corpus_layout.corpus_df(spark, corpus_location).select(
             "url", "warc_ts", "html", "lang"
@@ -144,9 +150,8 @@ def run_crawl(
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         pages = (
             canon.canonical_first(
-                spark.read.parquet(pages_path).select(
-                    F.col("url").alias("raw"), "warc_ts", "html", "lang"
-                ),
+                corpus_layout.read_pages(spark, pages_path, pages_format)
+                .withColumnRenamed("url", "raw"),
                 F.col("raw"),
                 "url",
             )

@@ -49,8 +49,13 @@ _SOFTWARE = "frontier-engine/0.3"
 
 READ_SCHEMA = (
     "url string, warc_ts timestamp, html binary, record_id string, "
-    "warc_type string, http_status int, mime string, shard string"
+    "warc_type string, http_status int, mime string, lang string, shard string"
 )
+
+# Common Crawl's extension header for per-page language metadata (CC-MAIN
+# WARCs carry it since 2018); the sink writes it when a lang column is given
+# so the corpus' lang survives a WARC round trip
+LANG_HEADER = "WARC-Identified-Content-Language"
 
 MANIFEST_SCHEMA = "shard string, n_records long, n_bytes long, sha256 string"
 
@@ -124,18 +129,24 @@ def write_warc(
     prefix: str = "crawl",
     status_col: str | None = None,
     mime: str = "text/html",
+    lang_col: str | None = None,
 ) -> list[dict]:
     """Distributed WARC sink (eager — runs the job, like ``.write.save``).
 
     ``df`` needs columns ``url`` (string), ``warc_ts`` (timestamp),
     ``html`` (binary).  One ``.warc.gz`` shard per partition, each record
     a standalone gzip member; a ``warcinfo`` record opens every shard.
+    ``lang_col`` emits ``WARC-Identified-Content-Language`` per record (the
+    Common Crawl convention), so :func:`read_warc` recovers a ``lang``
+    column and a corpus survives the archive round trip losslessly.
     Returns the shard manifest (also persisted as ``manifest.json`` — the
     commit marker: written after the job succeeds, so readers that trust
     the manifest never see partial output).
     """
     os.makedirs(out_dir, exist_ok=True)
-    cols = ["url", "warc_ts", "html"] + ([status_col] if status_col else [])
+    cols = ["url", "warc_ts", "html"]
+    cols += [status_col] if status_col else []
+    cols += [lang_col] if lang_col else []
     src = df.select(*cols)
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,16 +178,16 @@ def write_warc(
                     body = bytes(row.html) if row.html is not None else b""
                     status = int(getattr(row, status_col)) if status_col else 200
                     payload = _http_envelope(body, status, mime)
-                    rec = build_record(
-                        "response",
-                        payload,
-                        {
-                            "WARC-Record-ID": _record_id(row.url, payload),
-                            "WARC-Date": _warc_date(row.warc_ts),
-                            "WARC-Target-URI": row.url,
-                            "Content-Type": "application/http;msgtype=response",
-                        },
-                    )
+                    headers = {
+                        "WARC-Record-ID": _record_id(row.url, payload),
+                        "WARC-Date": _warc_date(row.warc_ts),
+                        "WARC-Target-URI": row.url,
+                        "Content-Type": "application/http;msgtype=response",
+                    }
+                    lang = getattr(row, lang_col, None) if lang_col else None
+                    if lang is not None and not pd.isna(lang):
+                        headers[LANG_HEADER] = str(lang)
+                    rec = build_record("response", payload, headers)
                     member = _gzip_member(rec)
                     f.write(member)
                     sha.update(member)
@@ -260,6 +271,7 @@ def _parse_warc_stream(raw: bytes, shard: str):
             "warc_type": rtype,
             "http_status": status,
             "mime": mime_val,
+            "lang": headers.get(LANG_HEADER.lower()),
             "shard": shard,
         }
 

@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--corpus-location", default=None,
                     help="where the bucketed corpus lives (default: "
                          "<warehouse>/corpus)")
+    ap.add_argument("--pages-format", default="parquet", choices=["parquet", "warc"],
+                    help="pages source format: parquet tables or "
+                         "Common-Crawl-compatible .warc.gz shards")
     ap.add_argument("--warc-out", default=None,
                     help="after the crawl, archive every fetched page as "
                          "Common-Crawl-compatible .warc.gz shards in this dir")
@@ -78,28 +81,47 @@ def main(argv=None):
         from frontier_engine.corpus import prepare_corpus
 
         corpus_location = args.corpus_location or os.path.join(args.warehouse, "corpus")
-        prepare_corpus(spark, paths["pages"], corpus_location)
+        prepare_corpus(
+            spark, paths["pages"], corpus_location, source_format=args.pages_format
+        )
 
     t0 = time.time()
     summary = run_crawl(
         spark, paths["pages"], paths["seeds"], robots_path, args.warehouse, cfg,
-        corpus_location=corpus_location,
+        corpus_location=corpus_location, pages_format=args.pages_format,
     )
     summary["wall_seconds"] = round(time.time() - t0, 2)
 
     if args.warc_out:
         # archive the raw fetched pages (records keeps extracted text only;
-        # html comes from the corpus joined on the crawled URL set)
+        # html comes from the corpus joined on the crawled URL set).  The
+        # corpus side must be CANONICALIZED before the join: records.url is
+        # canonical, so a raw URL changed by canonicalization (uppercase
+        # host, default port, fragment) would otherwise never match and
+        # silently vanish from the archive.
         from pyspark.sql import functions as F
 
+        from frontier_engine import canon
+        from frontier_engine.corpus import corpus_df, read_pages
         from frontier_engine.snapshot import SnapshotStore
         from frontier_engine.warc import write_warc
 
         store = SnapshotStore(args.warehouse)
         crawled = store.read(spark, "records").select("url", "warc_ts").dropDuplicates(["url"])
-        raw = spark.read.parquet(paths["pages"]).select("url", "html")
+        if corpus_location is not None:
+            # the prepared corpus is already canonical (and bucketed on url)
+            raw = corpus_df(spark, corpus_location).select("url", "html", "lang")
+        else:
+            raw = canon.canonical_first(
+                read_pages(spark, paths["pages"], args.pages_format)
+                .withColumnRenamed("url", "raw"),
+                F.col("raw"),
+                "url",
+            ).select("url", "html", "lang")
         manifest = write_warc(
-            crawled.join(raw, "url").select("url", "warc_ts", "html"), args.warc_out
+            crawled.join(raw, "url").select("url", "warc_ts", "html", "lang"),
+            args.warc_out,
+            lang_col="lang",
         )
         summary["warc_shards"] = len(manifest)
         summary["warc_records"] = sum(m["n_records"] for m in manifest)
