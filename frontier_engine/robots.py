@@ -166,9 +166,32 @@ def parse_robots(
     return df.select(host_col, body_col).mapInPandas(run, schema=PARSED_SCHEMA)
 
 
-def robots_table(df: DataFrame, agent: str = "*", default_crawl_delay: float = 1.0) -> DataFrame:
-    """Dedup to one row per host (last body wins by input order is NOT
-    deterministic — take lexicographically smallest body per host for a
-    stable table) then parse."""
-    one = df.groupBy("host").agg(F.min("body").alias("body"))
+def robots_table(
+    df: DataFrame,
+    agent: str = "*",
+    default_crawl_delay: float = 1.0,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Dedup to one row per host, then parse.
+
+    When a fetch timestamp is available (``ts_col``, or a ``fetched_ts``
+    column present in ``df``), the NEWEST body wins — a host whose
+    robots.txt changed between fetches must be governed by the latest
+    policy, not a lexicographic accident (ties broken by smallest body for
+    determinism).  Without a timestamp there is no order to trust, so the
+    lexicographically smallest body per host keeps the table stable across
+    input orderings (last-wins-by-arrival is partition-order-dependent).
+    """
+    if ts_col is None and "fetched_ts" in df.columns:
+        ts_col = "fetched_ts"
+    if ts_col is not None:
+        from .ops import last_wins
+
+        one = last_wins(
+            df.select("host", "body", ts_col),
+            ["host"],
+            [F.col(ts_col).desc(), F.col("body").asc()],
+        ).select("host", "body")
+    else:
+        one = df.groupBy("host").agg(F.min("body").alias("body"))
     return parse_robots(one, agent, default_crawl_delay=default_crawl_delay)

@@ -258,3 +258,31 @@ def test_wildcard_spark_python_parity(spark, rules, paths):
         u for u in set(urls) if any(rule_matches_py(r, pathq_of_py(u)) for r in rules)
     )
     assert got == expect
+
+
+def test_robots_table_latest_wins_with_timestamp(spark):
+    """A host whose robots.txt flips disallow→allow between fetches must be
+    governed by the NEWER body when fetch timestamps are available."""
+    from datetime import datetime
+
+    old = "User-agent: *\nDisallow: /\n"
+    new = "User-agent: *\nDisallow:\n"  # empty Disallow = allow all
+    rows = [("h.example", old, datetime(2026, 1, 1)),
+            ("h.example", new, datetime(2026, 2, 1))]
+    df = spark.createDataFrame(rows, ["host", "body", "fetched_ts"])
+    out = robots_table(df).collect()  # fetched_ts auto-detected
+    assert len(out) == 1
+    assert out[0]["disallow_prefixes"] == []  # newer body won
+
+    # reversed timestamps: the disallow-everything body is the newer one
+    rows_rev = [("h.example", old, datetime(2026, 3, 1)),
+                ("h.example", new, datetime(2026, 2, 1))]
+    out_rev = robots_table(spark.createDataFrame(rows_rev, ["host", "body", "fetched_ts"])).collect()
+    assert out_rev[0]["disallow_prefixes"] == ["/"]
+
+    # tie on timestamp → smallest body (deterministic across orderings)
+    rows_tie = [("h.example", old, datetime(2026, 1, 1)),
+                ("h.example", new, datetime(2026, 1, 1))]
+    a = robots_table(spark.createDataFrame(rows_tie, ["host", "body", "fetched_ts"])).collect()
+    b = robots_table(spark.createDataFrame(list(reversed(rows_tie)), ["host", "body", "fetched_ts"])).collect()
+    assert a[0]["disallow_prefixes"] == b[0]["disallow_prefixes"]
