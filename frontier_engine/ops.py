@@ -89,8 +89,20 @@ def mapped_with_fallback(
     )
 
 
+def _parse_size_bytes(v: str) -> int:
+    """Spark size-conf string → bytes ('134217728b', '128m', '1g', '128MB')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Round-robin repartition UP when the plan yields fewer partitions
+    """Round-robin repartition UP when the scan yields fewer partitions
     than ``min_parts`` (default: the cluster's default parallelism).
 
     A small parquet table often arrives as ONE file with one row group —
@@ -100,10 +112,35 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     6x on the sf0.1 shingle pipeline at 32 cores. No-op when the scan is
     already parallel enough, so it is safe to call unconditionally on
     CPU-heavy paths.
+
+    The partition estimate comes from the scan's file list + sizes
+    (``df.inputFiles()`` — plan metadata, no job), NOT ``df.rdd`` — the RDD
+    conversion materializes a deoptimized plan per call and breaks
+    whole-stage reuse downstream.  Non-file-backed plans (in-memory
+    relations) fall back to the RDD probe; they have no scan to deoptimize.
     """
+    import os as _os
+    from urllib.parse import urlparse
+
     spark = df.sparkSession
     if min_parts is None:
         min_parts = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        max_pb = _parse_size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        est = 0
+        for f in files:
+            path = urlparse(f).path or f
+            try:
+                size = _os.path.getsize(path)
+            except OSError:
+                size = 0
+            est += max(1, -(-size // max_pb))  # ceil: a big file still splits
+            if est >= min_parts:
+                return df
+        return df.repartition(min_parts)
     if df.rdd.getNumPartitions() >= min_parts:
         return df
     return df.repartition(min_parts)
