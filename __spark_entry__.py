@@ -533,6 +533,32 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_latest_records(spark, sf):
+    """Upsert read view over an append-only two-epoch records history:
+    newest epoch wins per key (snapshot.latest_records — the reference's
+    ``update_one(upsert=True)`` read contract, /root/reference/db/__init__.py:63,
+    kept over an append-only write path). The two-epoch history is
+    synthesized deterministically from ``documents``: every doc crawled at
+    epoch 0, every third doc re-crawled at epoch 1 with revised text."""
+    from frontier_engine.snapshot import latest_records
+
+    d = _t(spark, sf, "documents")
+    e0 = d.select(
+        "doc_id", F.lit(0).cast("long").alias("epoch"), F.col("text")
+    )
+    e1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.lit(1).cast("long").alias("epoch"),
+        F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+    )
+    hist = e0.unionByName(e1)
+    return latest_records(hist, key_cols=("doc_id",), order_col="epoch").select(
+        "doc_id",
+        F.col("epoch").alias("latest_epoch"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -567,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_infer": q_batch_infer,
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
+        "latest_records": q_latest_records,
     }
 
 
@@ -877,5 +904,17 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 5
+        """,
+        "latest_records": """
+            WITH hist AS (
+                SELECT doc_id, CAST(0 AS BIGINT) AS epoch, text FROM documents
+                UNION ALL
+                SELECT doc_id, CAST(1 AS BIGINT) AS epoch, text || ' [v2]' AS text
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT doc_id,
+                   max(epoch) AS latest_epoch,
+                   CAST(len(arg_max(text, epoch)) AS BIGINT) AS text_len
+            FROM hist GROUP BY doc_id
         """,
     }

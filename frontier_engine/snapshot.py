@@ -30,6 +30,7 @@ Tables come in two modes:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -44,14 +45,35 @@ class SnapshotStore:
         "blocked", "stream_records",
     }
 
-    def __init__(self, warehouse: str, partition_spec: dict[str, list[str]] | None = None):
+    def __init__(
+        self,
+        warehouse: str,
+        partition_spec: dict[str, list[str]] | None = None,
+        bucket_spec: dict[str, tuple[str, int]] | None = None,
+    ):
         """``partition_spec``: optional ``{table: [partition columns]}`` —
         those tables' data directories get a declarative Hive-style
         ``partitionBy`` layout (e.g. ``records/s3/lang=vi/``), so reads
         filtering on a partition column prune directories before any IO.
-        Mixed layouts across snapshots read fine (parquet merges by name)."""
+        Mixed layouts across snapshots read fine (parquet merges by name).
+
+        ``bucket_spec``: optional ``{table: (bucket_col, n_buckets)}`` —
+        those (replace-mode) tables are written as Spark bucketed tables, so
+        a reader consumes the files' resident ``HashPartitioning(bucket_col)``
+        with ZERO Exchange: any groupBy/window whose keys include
+        ``bucket_col`` plans without a shuffle (the Iceberg analogue is a
+        ``bucket(N, col)`` partition transform in the table spec). The crawl
+        writes ``frontier`` bucketed on ``host``, which is what makes the
+        next epoch's entire drain — routing histogram, survivor windows,
+        rank complements — a single no-shuffle scan stage. Reading a
+        bucketed snapshot (re-)declares an external table over the snapshot
+        directory (metadata only, same mechanism as corpus.open_corpus);
+        snapshots written before a bucket_spec existed fall back to a plain
+        parquet read, so the spec is safe to add to an existing warehouse.
+        """
         self.warehouse = warehouse
         self.partition_spec = dict(partition_spec or {})
+        self.bucket_spec = dict(bucket_spec or {})
         self.data_dir = os.path.join(warehouse, "data")
         self.manifest_dir = os.path.join(warehouse, "manifests")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -83,7 +105,7 @@ class SnapshotStore:
         if not paths:
             return None
         if len(paths) == 1:
-            return spark.read.parquet(paths[0])
+            return self._read_single(spark, paths[0])
         # multiple append increments: read each root separately and union —
         # one multi-root read trips Spark's partition discovery when roots
         # carry Hive-style partition dirs (partition_spec tables), and the
@@ -121,16 +143,79 @@ class SnapshotStore:
                 break
         return list(reversed(out))
 
+    @staticmethod
+    def _bucket_table_name(path: str) -> str:
+        return "fe_snap_" + hashlib.md5(os.path.normpath(path).encode()).hexdigest()[:12]
+
+    def _read_single(self, spark: SparkSession, path: str) -> DataFrame:
+        """Read one snapshot directory. A directory written bucketed (its
+        write left a ``_FE_BUCKETS.json`` sidecar) is (re-)declared as an
+        external bucketed table and read through the catalog — the only way
+        Spark's scan reports the files' resident HashPartitioning
+        (spark.read.parquet ignores bucket metadata). Metadata-only; data
+        files untouched. The layout comes from the SIDECAR, never from this
+        session's bucket_spec, so every reader — resume in a fresh session,
+        a store opened without the spec, a different shuffle-partition
+        setting — sees the files' true bucket count. Dirs without a sidecar
+        are plain parquet reads."""
+        sidecar = os.path.join(path, "_FE_BUCKETS.json")
+        if not os.path.exists(sidecar):
+            return spark.read.parquet(path)
+        with open(sidecar) as f:
+            meta = json.load(f)
+        col, n = meta["col"], meta["n"]
+        name = self._bucket_table_name(path)
+        if not spark.catalog.tableExists(name):
+            schema = spark.read.parquet(path).schema
+            ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (`{col}`) INTO {n} BUCKETS LOCATION '{path}'"
+            )
+        return spark.table(name)
+
     # ------------------------------------------------------------ writing
 
     def _write_table(self, df: DataFrame, table: str, sid: int) -> str:
         final = os.path.join(self.data_dir, table, f"s{sid}")
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-        writer = df.write.mode("overwrite")
-        part_cols = self.partition_spec.get(table)
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(tmp)
+        bucket = self.bucket_spec.get(table)
+        if bucket is not None:
+            col, n = bucket
+            spark = df.sparkSession
+            # no repartition here: the bucket writer assigns rows by the
+            # same murmur3-pmod as HashPartitioning, so input already
+            # clustered that way (run_crawl's merge) writes one file per
+            # bucket with no extra Exchange; unclustered input still writes
+            # correctly, just more files per bucket. saveAsTable with an
+            # explicit path makes the table EXTERNAL, so dropping the
+            # throwaway write name keeps the files.
+            wname = f"fe_snap_w_{uuid.uuid4().hex[:12]}"
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(n, col)
+                .option("path", tmp)
+                .saveAsTable(wname)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS `{wname}`")
+            # a re-commit of the same sid replaces the directory: invalidate
+            # any reader declaration pointing at the old files
+            spark.sql(f"DROP TABLE IF EXISTS `{self._bucket_table_name(final)}`")
+            if any(f.endswith(".parquet") for f in os.listdir(tmp)):
+                with open(os.path.join(tmp, "_FE_BUCKETS.json"), "w") as f:
+                    json.dump({"col": col, "n": n}, f)
+            else:
+                # an EMPTY bucketed write leaves no data files (unlike a
+                # plain parquet write's single schema-bearing empty file);
+                # rewrite plainly — no sidecar, so the read falls back too
+                df.write.mode("overwrite").parquet(tmp)
+        else:
+            writer = df.write.mode("overwrite")
+            part_cols = self.partition_spec.get(table)
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp)
         os.makedirs(os.path.dirname(final), exist_ok=True)
         if os.path.exists(final):
             shutil.rmtree(final)
@@ -231,6 +316,38 @@ class SnapshotStore:
                 os.remove(os.path.join(self.manifest_dir, f))
                 removed_manifests += 1
         return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests}
+
+
+def latest_records(
+    records: DataFrame,
+    key_cols: tuple[str, ...] = ("url_hash", "url"),
+    order_col: str = "epoch",
+) -> DataFrame:
+    """Upsert view over the append-only ``records`` table: one row per key,
+    the newest ``order_col`` wins.
+
+    ``records`` is append-only by design (each recrawl epoch appends a fresh
+    row per re-fetched URL — O(increment) commits, full history retained for
+    time travel / CDC). The reference instead mutates in place with
+    ``update_one(upsert=True)`` (/root/reference/db/__init__.py:63), so a
+    reference user reading ``products`` sees only the latest row per key.
+    This view reproduces that read contract WITHOUT giving up the append-only
+    write path: a single ``max_by`` aggregate — map-side partial (each
+    partition keeps one candidate row per key before the shuffle), one
+    Exchange on the key, no window sort. At 100 TB the shuffle moves at most
+    one row per (key, input partition), not the full history.
+
+    Within one crawl a URL appears at most once per epoch (the drain dedups
+    per epoch and recrawl re-enqueues for a later epoch), so ``order_col``
+    is unique per key and the result is deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+    vals = [c for c in records.columns if c not in keys]
+    return records.groupBy(*keys).agg(
+        *[F.max_by(c, F.col(order_col)).alias(c) for c in vals]
+    )
 
 
 def diff_table(

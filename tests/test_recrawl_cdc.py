@@ -9,7 +9,7 @@ from frontier_engine import fixtures
 from frontier_engine.crawl import CrawlConfig, run_crawl
 from frontier_engine.frontier import DrainConfig, FRONTIER_SCHEMA, drain_epoch
 from frontier_engine.seen import SeenConfig
-from frontier_engine.snapshot import SnapshotStore, diff_table
+from frontier_engine.snapshot import SnapshotStore, diff_table, latest_records
 
 
 def test_ready_ts_gating(spark):
@@ -67,6 +67,44 @@ def test_recrawl_refetches_after_n_epochs(spark, tmp_path):
     for u in refetched:
         epochs = sorted(by_url[u])
         assert epochs[1] - epochs[0] == 2, (u, epochs)
+
+
+def test_latest_records_upsert_view_over_recrawl(spark, tmp_path):
+    """records is append-only, so a recrawled URL has one row per fetch
+    epoch; latest_records must collapse that history to exactly one row per
+    URL — the newest epoch — reproducing the reference's
+    ``update_one(upsert=True)`` read contract (/root/reference/db/__init__.py:63)."""
+    corpus = fixtures.corpus("mini")
+    wh = str(tmp_path / "wh_lr")
+    cfg = CrawlConfig(
+        max_depth=1,
+        max_epochs=4,
+        recrawl_after_epochs=2,
+        drain=DrainConfig(epoch_seconds=30.0),
+        seen=SeenConfig(n_buckets=8, bits_per_bucket=1 << 14),
+    )
+    run_crawl(spark, corpus["pages"], corpus["seeds"], corpus["robots"], wh, cfg)
+    store = SnapshotStore(wh)
+    recs = store.read(spark, "records")
+
+    hist_counts = {
+        (r["url_hash"], r["url"]): r["n"]
+        for r in recs.groupBy("url_hash", "url").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert any(n >= 2 for n in hist_counts.values()), "no URL was recrawled"
+
+    latest = latest_records(recs).collect()
+    # exactly one row per key, and it is the max-epoch row of the history
+    assert len(latest) == len(hist_counts)
+    max_epoch = {
+        (r["url_hash"], r["url"]): r["e"]
+        for r in recs.groupBy("url_hash", "url").agg(F.max("epoch").alias("e")).collect()
+    }
+    assert latest[0].__fields__ == recs.select(
+        "url_hash", "url", *[c for c in recs.columns if c not in ("url_hash", "url")]
+    ).columns
+    for r in latest:
+        assert r["epoch"] == max_epoch[(r["url_hash"], r["url"])]
 
 
 def test_diff_table_detects_changes(spark, tmp_path):
