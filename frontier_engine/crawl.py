@@ -82,22 +82,35 @@ def _epoch_ts(cfg: CrawlConfig, epoch: int) -> str:
     )
 
 
-def _merge_frontier(parts: list[DataFrame]) -> DataFrame:
+def _merge_frontier(parts: list[DataFrame], n_buckets: int | None = None) -> DataFrame:
     """Union frontier row sources and merge per URL, componentwise:
     keep max priority, min depth/enqueue_seq/ready_ts, max fetch_attempts.
     (Last-wins dedup J3 generalized to an order-free deterministic merge —
     /root/reference/crawler/stores/cooponline.py:468-471.)
 
-    The merge key is the full ``url``, not ``url_hash``: grouping on the
-    64-bit hash silently merges distinct colliding URLs (~n²/2^65 expected
-    — real at 10^10), and one of them would never be crawled.
+    The merge key is the full ``url`` (``host`` is in the groupBy only as a
+    clustering prefix — it is a pure function of url, so the groups are
+    identical): grouping on the 64-bit hash alone would silently merge
+    distinct colliding URLs (~n²/2^65 expected — real at 10^10), and one of
+    them would never be crawled.
+
+    ``n_buckets``: when set, the union is repartitioned on ``host`` into
+    exactly that many partitions BEFORE the merge — one Exchange that
+    does double duty: ``HashPartitioning(host)`` satisfies the groupBy's
+    ``ClusteredDistribution([host, url])`` (no second shuffle for the
+    merge), and it is byte-identical to the bucket function of the
+    host-bucketed ``frontier`` snapshot write (same murmur3-pmod), so the
+    bucketed writer gets one-bucket-per-task input and adds NO Exchange of
+    its own. Net: the whole write side of an epoch moves the backlog
+    exactly once.
     """
     allf = parts[0]
     for p in parts[1:]:
         allf = allf.unionByName(p)
-    return allf.groupBy("url").agg(
+    if n_buckets is not None:
+        allf = allf.repartition(n_buckets, F.col("host"))
+    return allf.groupBy("host", "url").agg(
         F.min("url_hash").alias("url_hash"),
-        F.min("host").alias("host"),
         F.max("priority").alias("priority"),
         F.min("depth").alias("depth"),
         F.min("enqueue_seq").alias("enqueue_seq"),
@@ -133,7 +146,15 @@ def run_crawl(
     """
     from . import corpus as corpus_layout
 
-    store = SnapshotStore(warehouse, partition_spec={"records": ["lang"]})
+    # frontier snapshots are host-bucketed: every epoch's drain (routing
+    # histogram, survivor windows, rank complements) consumes the scan's
+    # resident HashPartitioning(host) — ZERO shuffle on the read side
+    frontier_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    store = SnapshotStore(
+        warehouse,
+        partition_spec={"records": ["lang"]},
+        bucket_spec={"frontier": ("host", frontier_buckets)},
+    )
     robots = spark.read.parquet(robots_path)
 
     if corpus_location is not None:
@@ -290,7 +311,7 @@ def run_crawl(
             )
             merge_parts.append(recrawl_rows)
 
-        next_frontier = _merge_frontier(merge_parts)
+        next_frontier = _merge_frontier(merge_parts, n_buckets=frontier_buckets)
 
         # --- per-partition lineage (north_star: partition id, host range,
         #     URLs emitted/deduped, politeness-latency spread)

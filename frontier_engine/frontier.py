@@ -297,6 +297,15 @@ def _histogram_precut(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
 
 
 def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None = None) -> DataFrame:
+    """Select the exact per-host politeness-budget top-k of ``allowed``
+    (see :func:`drain_split` — this is its drained half, kept as the
+    stable single-output API for labs/benches)."""
+    return drain_split(allowed, cfg, cached)[0]
+
+
+def drain_split(
+    allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None = None
+) -> tuple[DataFrame, list[DataFrame]]:
     """Select the exact per-host politeness-budget top-k of ``allowed``.
 
     Input must carry frontier columns + ``crawl_delay``. Output: the drained
@@ -335,31 +344,45 @@ def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None =
     faster end-to-end at every parallelism level — the Arrow round-trip of
     full frontier rows through Python cost more than the O(n log n) vs
     O(n log b) sort difference saved.
+
+    Returns ``(drained, rest_parts)``: ``rest_parts`` are the exact
+    complement of ``drained`` within ``allowed`` (precut-dropped rows plus
+    over-budget rank complements), derived from the SAME ranks as the
+    drained set — so the carry-over frontier needs NO anti-join back
+    against the backlog. The round-3 design computed rest as
+    ``allowed ANTI JOIN drained`` on ``(url_hash, url)``, which shuffled
+    the FULL backlog every epoch — at 10^10 URLs that one Exchange moves
+    more bytes per epoch than everything else in the drain combined. Here
+    the backlog rows that never survive the pre-cut are identified by a
+    broadcast-join + filter (zero shuffle), and the over-budget survivors
+    fall out of the rank filters the drain already computed. The ranked
+    survivor set (small: ~budget rows/host) is persisted (appended to
+    ``cached``) so its window sort runs once, not once per consumer branch.
     """
     if cfg.skew_threshold is None:
         fr = allowed.withColumn("budget", _budget_col(cfg)).withColumn(
             "salt", F.pmod(F.col("url_hash"), F.lit(cfg.max_salts)).cast("int")
         )
         w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
-        superset = (
-            fr.withColumn("_rn1", F.row_number().over(w1))
-            .filter(F.col("_rn1") <= F.col("budget"))
-            .drop("_rn1")
-        )
+        ranked1 = fr.withColumn("_rn1", F.row_number().over(w1))
+        superset = ranked1.filter(F.col("_rn1") <= F.col("budget")).drop("_rn1")
+        rest1 = ranked1.filter(F.col("_rn1") > F.col("budget"))
         w = Window.partitionBy("host").orderBy(*order_cols())
-        return _finish(
-            superset.withColumn("rn", F.row_number().over(w)).withColumn(
-                "_mega", F.lit(True)
-            ),
-            "rn",
+        final = superset.withColumn("rn", F.row_number().over(w)).withColumn(
+            "_mega", F.lit(True)
         )
+        return _finish(final, "rn"), [rest1, final.filter(F.col("rn") > F.col("budget"))]
 
     route = _route_table(allowed, cfg)
     nb = cfg.precut_bins
     bin_expr = _precut_bin_col(nb) if nb else F.lit(0).cast("long")
+    routed = allowed.join(F.broadcast(route), "host", "left")
+    cut = F.col("_tb").isNotNull() & (bin_expr < F.col("_tb"))
+    # rows the histogram proves can never make their budget: rest, with no
+    # shuffle — a broadcast join + filter straight off the backlog scan
+    precut_dropped = routed.filter(cut)
     fr = (
-        allowed.join(F.broadcast(route), "host", "left")
-        .filter(F.col("_tb").isNull() | (bin_expr >= F.col("_tb")))
+        routed.filter(~cut)
         .withColumn("_mega", F.coalesce(F.col("_mega"), F.lit(False)))
         .withColumn("budget", _budget_col(cfg))
         .withColumn(
@@ -373,34 +396,47 @@ def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None =
     w2 = Window.partitionBy("host").orderBy(*order_cols())
 
     if nb:
-        # one shuffle+sort of the ~budget-per-host survivors; both branches
-        # hang off the SAME (host, salt) Exchange (ReuseExchange), so the
-        # scan+join+filter runs once and only survivors move
+        # one sort of the ~budget-per-host survivors, computed ONCE
+        # (persisted) and consumed by the drained/rest branches. Small and
+        # mega hosts take the SAME two windows: for a small host salt = 0,
+        # so its phase-1 rank is already final and the phase-2 window
+        # reproduces it bit-for-bit over ≤ budget rows — unifying the
+        # branches keeps each query referencing each cached set exactly
+        # ONCE, which is what lets the scan's resident HashPartitioning
+        # (host-bucketed frontier snapshots) satisfy every window with no
+        # Exchange: a plan that references one cache twice gets its
+        # attribute ids deduplicated, and the remapped InMemoryTableScan no
+        # longer advertises the partitioning (verified on Spark 4.1).
         w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
-        ranked = fr.withColumn("_rn1", F.row_number().over(w1))
-        # small hosts: salt = 0, so _rn1 is the final per-host rank = slot
-        small = _finish(ranked.filter(~F.col("_mega")), "_rn1")
-        # mega hosts: per-salt top-budget superset, then the exact merge
-        superset = ranked.filter(
-            F.col("_mega") & (F.col("_rn1") <= F.col("budget"))
-        ).drop("_rn1")
-        return small.unionByName(_finish(superset.withColumn("rn", F.row_number().over(w2)), "rn"))
+        ranked = fr.withColumn("_rn1", F.row_number().over(w1)).persist()
+        if cached is not None:
+            cached.append(ranked)
+        rest_over = ranked.filter(F.col("_rn1") > F.col("budget"))
+        superset = ranked.filter(F.col("_rn1") <= F.col("budget")).drop("_rn1")
+        final = superset.withColumn("rn", F.row_number().over(w2)).persist()
+        if cached is not None:
+            cached.append(final)
+        rest_merge = final.filter(F.col("rn") > F.col("budget"))
+        return _finish(final, "rn"), [precut_dropped, rest_over, rest_merge]
 
     # no pre-cut: the windows sort FULL backlogs, so filter each branch
     # BELOW its window (separate Exchanges beat sorting everything twice)
     w_small = Window.partitionBy("host").orderBy(*order_cols())
-    small = _finish(
-        fr.filter(~F.col("_mega")).withColumn("rn", F.row_number().over(w_small)),
-        "rn",
+    ranked_small = fr.filter(~F.col("_mega")).withColumn(
+        "rn", F.row_number().over(w_small)
     )
+    small = _finish(ranked_small, "rn")
+    rest_small = ranked_small.filter(F.col("rn") > F.col("budget"))
     w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
-    superset = (
-        fr.filter(F.col("_mega"))
-        .withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= F.col("budget"))
-        .drop("_rn1")
+    ranked_mega = (
+        fr.filter(F.col("_mega")).withColumn("_rn1", F.row_number().over(w1))
     )
-    return small.unionByName(_finish(superset.withColumn("rn", F.row_number().over(w2)), "rn"))
+    superset = ranked_mega.filter(F.col("_rn1") <= F.col("budget")).drop("_rn1")
+    rest_mega1 = ranked_mega.filter(F.col("_rn1") > F.col("budget"))
+    final = superset.withColumn("rn", F.row_number().over(w2))
+    rest_mega2 = final.filter(F.col("rn") > F.col("budget"))
+    drained = small.unionByName(_finish(final, "rn"))
+    return drained, [precut_dropped, rest_small, rest_mega1, rest_mega2]
 
 
 def drain_epoch(
@@ -423,20 +459,18 @@ def drain_epoch(
         frontier = frontier.filter(F.col("ready_ts") <= F.lit(epoch_ts).cast("timestamp"))
     else:
         deferred = None
-    # NB: ``allowed`` is consumed by both the drain and the rest anti-join,
-    # but it is a cheap map-side projection of the (normally already
-    # persisted) frontier — recomputing beats double-caching 10^8 wide rows.
+    # NB: ``allowed`` is consumed by several drain branches, but it is a
+    # cheap map-side projection of the (normally parquet-backed) frontier —
+    # recomputing beats double-caching 10^8 wide rows.
     cached: list[DataFrame] = []
     allowed, blocked = apply_robots(frontier, robots, cfg)
-    drained = drain(allowed, cfg, cached)
-    # anti-join on (url_hash, url): the hash does the discrimination, the
-    # url guards the 64-bit collision case (two distinct URLs, equal hash —
-    # dropping both from ``rest`` would lose one forever)
-    rest = allowed.join(
-        drained.select("url_hash", "url").hint("shuffle_hash"),
-        ["url_hash", "url"],
-        "left_anti",
-    ).drop("crawl_delay", "budget")
+    drained, rest_parts = drain_split(allowed, cfg, cached)
+    # rest = the rank complement of the drain (drain_split docstring): no
+    # anti-join back against the backlog, so the only full-backlog motion
+    # in an epoch is the scan itself
+    rest = rest_parts[0].select(*frontier_cols)
+    for p in rest_parts[1:]:
+        rest = rest.unionByName(p.select(*frontier_cols))
     if deferred is not None:
-        rest = rest.select(*frontier_cols).unionByName(deferred.select(*frontier_cols))
+        rest = rest.unionByName(deferred.select(*frontier_cols))
     return DrainResult(drained, rest, blocked.select(*frontier_cols), cached)

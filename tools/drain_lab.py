@@ -194,6 +194,11 @@ def worker(cpus: int) -> None:
             t0 = time.time()
             cnt = fn().count()
             best = min(best, time.time() - t0)
+            # drain() persists its survivor sets internally; drop them
+            # between iterations or the repeat measures a cache hit
+            spark.catalog.clearCache()
+            allowed.persist()
+            allowed.count()
         restore()
         out["walls"][name] = round(best, 3)
         out["counts"][name] = cnt
