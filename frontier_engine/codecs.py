@@ -7,8 +7,9 @@ is in the stdlib + numpy —
 
 - **PNG**   : DEFLATE is stdlib ``zlib``; the five scanline filters
   (None/Sub/Up/Average/Paeth) are numpy arithmetic.  Full decode for 8-bit
-  greyscale / RGB / RGBA / indexed-PLTE, non-interlaced (Adam7 →
-  ``NotImplementedError``), with chunk-CRC verification on untrusted input.
+  greyscale / RGB / RGBA / indexed-PLTE, interlace 0 and Adam7 (each pass
+  unfiltered as a sub-image, strided-scattered into place), with chunk-CRC
+  verification on untrusted input.
 - **JPEG**  : baseline sequential DCT (SOF0).  Huffman tables are read from
   the file's own DHT segments (canonical bits/values form), dequantization
   from DQT, IDCT is an orthonormal 8×8 DCT matrix product over all blocks
@@ -91,59 +92,29 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a PNG → ``(width, height, channels, uint8 body)``.
+# Adam7 pass geometry: (xstart, ystart, xstep, ystep) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    body is the reconstructed pixel bytes, row-major, ``h*w*channels`` long.
-    8-bit depth, color types 0/2/3/4/6 (indexed images come back as RGB via
-    PLTE), interlace 0.  Raises ``ValueError`` on malformed input,
-    ``NotImplementedError`` on valid-but-unsupported.
-    """
-    if payload[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG")
-    w = h = channels = None
-    color = -1
-    palette = None
-    idat = bytearray()
-    for ctype, data in _png_chunks(payload):
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth}")
-            if color != 3 and color not in _PNG_CHANNELS:
-                raise ValueError(f"PNG color type {color}")
-            if comp != 0 or filt != 0:
-                raise ValueError("PNG bad compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError("PNG Adam7 interlace")
-            _check_pixels(w, h, "PNG")
-            channels = 1 if color == 3 else _PNG_CHANNELS[color]
-        elif ctype == b"PLTE":
-            if len(data) % 3 or not data:
-                raise ValueError("PNG PLTE size not a multiple of 3")
-            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += data
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    if color == 3 and palette is None:
-        raise ValueError("PNG palette image missing PLTE")
-    if w == 0 or h == 0:
-        raise ValueError("PNG zero dimension")
-    stride = w * channels
-    expected = h * (stride + 1)
-    try:
-        # bounded inflate: ask for at most expected+1 bytes so a DEFLATE
-        # bomb inside a small-dimension header can't allocate past the cap
-        # (an overlong stream yields expected+1 bytes → size mismatch below)
-        raw = np.frombuffer(
-            zlib.decompressobj().decompress(bytes(idat), expected + 1),
-            dtype=np.uint8,
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) for each Adam7 pass over a w×h image."""
+    return [
+        (
+            (w - xs + xstep - 1) // xstep if w > xs else 0,
+            (h - ys + ystep - 1) // ystep if h > ys else 0,
         )
-    except zlib.error as e:
-        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    if len(raw) != expected:
-        raise ValueError("PNG decompressed size mismatch")
+        for xs, ys, xstep, ystep in _ADAM7
+    ]
+
+
+def _png_unfilter(raw: np.ndarray, w: int, h: int, channels: int) -> np.ndarray:
+    """Reverse PNG row filters over one (sub-)image: ``raw`` is the
+    ``h*(w*channels+1)`` filtered byte stream (filter byte + row data),
+    returns the reconstructed uint8 pixel bytes, shape ``(h, w*channels)``."""
+    stride = w * channels
     rows = raw.reshape(h, stride + 1)
     filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
@@ -177,7 +148,83 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         rec = rec % 256
         out[y] = rec
         prev = rec
-    body = out.astype(np.uint8).reshape(-1)
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PNG → ``(width, height, channels, uint8 body)``.
+
+    body is the reconstructed pixel bytes, row-major, ``h*w*channels`` long.
+    8-bit depth, color types 0/2/3/4/6 (indexed images come back as RGB via
+    PLTE), interlace 0 or 1 (Adam7: each pass unfiltered as its own
+    sub-image, then scattered into place with strided assignment).  Raises
+    ``ValueError`` on malformed input, ``NotImplementedError`` on
+    valid-but-unsupported.
+    """
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    w = h = channels = None
+    color = -1
+    interlace = 0
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if color != 3 and color not in _PNG_CHANNELS:
+                raise ValueError(f"PNG color type {color}")
+            if comp != 0 or filt != 0:
+                raise ValueError("PNG bad compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace}")
+            _check_pixels(w, h, "PNG")
+            channels = 1 if color == 3 else _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PNG PLTE size not a multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if color == 3 and palette is None:
+        raise ValueError("PNG palette image missing PLTE")
+    if w == 0 or h == 0:
+        raise ValueError("PNG zero dimension")
+    stride = w * channels
+    if interlace == 0:
+        expected = h * (stride + 1)
+    else:
+        expected = sum(
+            ph * (pw * channels + 1) for pw, ph in _adam7_dims(w, h) if pw and ph
+        )
+    try:
+        # bounded inflate: ask for at most expected+1 bytes so a DEFLATE
+        # bomb inside a small-dimension header can't allocate past the cap
+        # (an overlong stream yields expected+1 bytes → size mismatch below)
+        raw = np.frombuffer(
+            zlib.decompressobj().decompress(bytes(idat), expected + 1),
+            dtype=np.uint8,
+        )
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if len(raw) != expected:
+        raise ValueError("PNG decompressed size mismatch")
+    if interlace == 0:
+        body = _png_unfilter(raw, w, h, channels).reshape(-1)
+    else:
+        full = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for (xs, ys, xstep, ystep), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h)):
+            if not pw or not ph:
+                continue
+            size = ph * (pw * channels + 1)
+            sub = _png_unfilter(raw[pos : pos + size], pw, ph, channels)
+            full[ys::ystep, xs::xstep] = sub.reshape(ph, pw, channels)
+            pos += size
+        body = full.reshape(-1)
     if color == 3:  # indexed: map through PLTE → RGB (tRNS rendered opaque)
         if int(body.max(initial=0)) >= len(palette):
             raise ValueError("PNG palette index out of range")
@@ -185,22 +232,15 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, channels, body
 
 
-def encode_png(pixels: np.ndarray, filters=0) -> bytes:
-    """Encode uint8 pixels of shape (h, w) or (h, w, channels) as PNG.
-
-    ``filters``: a single filter type (0-4) or a per-row list — selectable
-    so tests can exercise every unfilter path in :func:`decode_png`.
-    """
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
-    h, w, channels = pixels.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+def _png_filter_rows(sub: np.ndarray, filters) -> bytearray:
+    """Apply PNG row filters to one (sub-)image ``(h, w, channels)`` →
+    the filtered byte stream (filter byte + row data per row)."""
+    h, w, bpp = sub.shape
     if isinstance(filters, int):
         filters = [filters] * h
-    px = pixels.astype(np.int32).reshape(h, w * channels)
-    bpp = channels
+    px = sub.astype(np.int32).reshape(h, w * bpp)
     lines = bytearray()
-    prev = np.zeros(w * channels, dtype=np.int32)
+    prev = np.zeros(w * bpp, dtype=np.int32)
     for y in range(h):
         f, cur = filters[y], px[y]
         cur2 = cur.reshape(w, bpp)
@@ -224,10 +264,38 @@ def encode_png(pixels: np.ndarray, filters=0) -> bytes:
         lines.append(f)
         lines += (filt % 256).astype(np.uint8).tobytes()
         prev = cur
+    return lines
+
+
+def encode_png(pixels: np.ndarray, filters=0, interlace: bool = False) -> bytes:
+    """Encode uint8 pixels of shape (h, w) or (h, w, channels) as PNG.
+
+    ``filters``: a single filter type (0-4) or a per-row list — selectable
+    so tests can exercise every unfilter path in :func:`decode_png`.
+    ``interlace``: write Adam7 interlaced (each pass extracted by strided
+    slicing and filtered as its own sub-image), exercising the decoder's
+    deinterlace path; per-row ``filters`` lists apply per pass row stream.
+    """
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, channels = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if not interlace:
+        lines = _png_filter_rows(pixels, filters)
+    else:
+        lines = bytearray()
+        for (xs, ys, xstep, ystep), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h)):
+            if not pw or not ph:
+                continue
+            sub = pixels[ys::ystep, xs::xstep]
+            # per-row filter lists map by ORIGINAL image row (a row spans
+            # several passes), so pass rows inherit their source row's filter
+            fs = filters if isinstance(filters, int) else filters[ys::ystep]
+            lines += _png_filter_rows(np.ascontiguousarray(sub), fs)
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(lines), 6)) + chunk(b"IEND", b""))
 

@@ -54,6 +54,33 @@ class TestPNG:
         assert (got_w, got_h, got_c) == (w, h, channels)
         assert np.array_equal(body.reshape(h, w, channels), px)
 
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 24),
+        channels=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**31 - 1),
+    )
+    def test_adam7_round_trip_property(self, w, h, channels, seed):
+        """Adam7 interlaced encode → decode is identity, and agrees with the
+        non-interlaced decode of the same pixels (VERDICT r3 #8: interlaced
+        PNGs are low-single-digit percent of real web corpora)."""
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+        filters = [int(x) for x in rng.randint(0, 5, size=h)]
+        got_w, got_h, got_c, body = C.decode_png(
+            C.encode_png(px, filters=filters, interlace=True)
+        )
+        assert (got_w, got_h, got_c) == (w, h, channels)
+        assert np.array_equal(body.reshape(h, w, channels), px)
+        _, _, _, plain = C.decode_png(C.encode_png(px))
+        assert np.array_equal(plain, body)
+
+    def test_adam7_single_pixel_and_thin_images(self):
+        # degenerate Adam7 geometries: several passes are empty
+        for (h, w, c) in [(1, 1, 1), (1, 9, 3), (9, 1, 4), (2, 2, 1)]:
+            px = np.arange(h * w * c, dtype=np.uint8).reshape(h, w, c)
+            _, _, _, body = C.decode_png(C.encode_png(px, interlace=True))
+            assert np.array_equal(body.reshape(h, w, c), px)
+
     def test_grayscale_2d_input(self):
         px = np.arange(64, dtype=np.uint8).reshape(8, 8)
         w, h, c, body = C.decode_png(C.encode_png(px))
@@ -71,16 +98,30 @@ class TestPNG:
         with pytest.raises(ValueError):
             C.decode_png(png[: len(png) // 2])
 
-    def test_interlace_raises_notimplemented(self):
+    def test_interlaced_stream_hand_built(self):
+        """A hand-assembled 2×2 RGB Adam7 stream decodes to the right
+        pixels: passes 1 (top-left), 6 (top-right), 7 (bottom row)."""
         import zlib
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # Adam7
         def chunk(t, d):
             return struct.pack(">I", len(d)) + t + d + struct.pack(
                 ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        # filter byte 0 + raw pixels per pass row
+        raw = (b"\x00" + bytes([1, 2, 3])          # pass 1: (0,0)
+               + b"\x00" + bytes([4, 5, 6])        # pass 6: (0,1)
+               + b"\x00" + bytes([7, 8, 9, 10, 11, 12]))  # pass 7: row 1
         png = C.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(
-            b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
-        with pytest.raises(NotImplementedError, match="Adam7"):
-            C.decode_png(png)
+            b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        w, h, c, body = C.decode_png(png)
+        assert (w, h, c) == (2, 2, 3)
+        assert body.reshape(2, 2, 3).tolist() == [
+            [[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]
+        ]
+        # a truncated interlaced stream still size-checks
+        short = C.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", zlib.compress(raw[:-1])) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="size mismatch"):
+            C.decode_png(short)
 
     def test_decodes_through_multimodal_dispatch(self):
         px = np.full((5, 6, 3), 42, dtype=np.uint8)
