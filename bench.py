@@ -220,6 +220,9 @@ def main() -> int:
         "sf": sf_dir,
         "cpus": cpus,
         "pages_extracted_per_s": res["pages_extracted_per_s"],
+        "extract_seconds": res["extract_seconds"],
+        "seen_filter_seconds": res["seen_filter_seconds"],
+        "drain_seconds": res["drain_seconds"],
         "urls_scheduled_deduped_per_s": res["urls_scheduled_deduped_per_s"],
         "frontier_drained": res["frontier_drained"],
         "pages_extracted": res["pages_extracted"],

@@ -90,6 +90,55 @@ def _phase1(allowed, cfg, hashlead=False):
     )
 
 
+def _drain_r3base(allowed, cfg):
+    """The round-3 drain shape (two branches off one shared (host,salt)
+    Exchange, no survivor persist) — kept verbatim for A/B attribution of
+    the round-4 drain_split redesign (single-pass final window + persisted
+    survivor sets shared with the rest complement)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from frontier_engine.frontier import (
+        _budget_col, _precut_bin_col, _route_table, order_cols,
+    )
+
+    route = _route_table(allowed, cfg)
+    nb = cfg.precut_bins
+    bin_expr = _precut_bin_col(nb) if nb else F.lit(0).cast("long")
+    fr = (
+        allowed.join(F.broadcast(route), "host", "left")
+        .filter(F.col("_tb").isNull() | (bin_expr >= F.col("_tb")))
+        .withColumn("_mega", F.coalesce(F.col("_mega"), F.lit(False)))
+        .withColumn("budget", _budget_col(cfg))
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_mega"), F.pmod(F.col("url_hash"), F.lit(cfg.max_salts))
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("_tb")
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
+    w2 = Window.partitionBy("host").orderBy(*order_cols())
+    ranked = fr.withColumn("_rn1", F.row_number().over(w1))
+
+    def finish(df, rank_col):
+        return (
+            df.filter(F.col(rank_col) <= F.col("budget"))
+            .withColumn("slot", (F.col(rank_col) - 1).cast("int"))
+            .withColumn("sched_offset", (F.col(rank_col) - 1) * F.col("crawl_delay"))
+            .drop(rank_col, "budget", "salt", "_mega")
+        )
+
+    small = finish(ranked.filter(~F.col("_mega")), "_rn1")
+    superset = ranked.filter(
+        F.col("_mega") & (F.col("_rn1") <= F.col("budget"))
+    ).drop("_rn1")
+    return small.unionByName(
+        finish(superset.withColumn("rn", F.row_number().over(w2)), "rn")
+    )
+
+
 def _drain_narrow(allowed, cfg):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -180,6 +229,7 @@ def worker(cpus: int) -> None:
         "p1_fine16m": fine(lambda: _phase1(allowed, cfg, hashlead=False), "16m"),
         "p1_fine32m": fine(lambda: _phase1(allowed, cfg, hashlead=False), "32m"),
         "base": lambda: drain(allowed, cfg),
+        "r3base": lambda: _drain_r3base(allowed, cfg),
         "nocut": lambda: drain(
             allowed, DrainConfig(epoch_seconds=7200.0, max_salts=8, precut_bins=None)
         ),
@@ -202,7 +252,7 @@ def worker(cpus: int) -> None:
         restore()
         out["walls"][name] = round(best, 3)
         out["counts"][name] = cnt
-    for name in ("base", "nocut", "base_fine8m"):
+    for name in ("base", "r3base", "nocut", "base_fine8m"):
         rows = (
             variants[name]()
             .select("host", "slot", "url")
