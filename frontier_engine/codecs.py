@@ -10,11 +10,13 @@ is in the stdlib + numpy —
   greyscale / RGB / RGBA / indexed-PLTE, interlace 0 and Adam7 (each pass
   unfiltered as a sub-image, strided-scattered into place), with chunk-CRC
   verification on untrusted input.
-- **JPEG**  : baseline sequential DCT (SOF0).  Huffman tables are read from
-  the file's own DHT segments (canonical bits/values form), dequantization
-  from DQT, IDCT is an orthonormal 8×8 DCT matrix product over all blocks
-  at once (numpy einsum), chroma subsampling up to 2×2 handled by pixel
-  replication.  Progressive (SOF2) / arithmetic coding / 12-bit raise
+- **JPEG**  : baseline sequential DCT (SOF0) *and* progressive (SOF2) with
+  the full Annex-G repertoire — spectral selection, successive approximation
+  (DC + AC refinement scans), EOB runs.  Huffman tables are read from the
+  file's own DHT segments (canonical bits/values form), dequantization from
+  DQT, IDCT is an orthonormal 8×8 DCT matrix product over all blocks at
+  once (numpy einsum), chroma subsampling up to 2×2 handled by pixel
+  replication.  Arithmetic coding / lossless / 12-bit raise
   ``NotImplementedError``.
 - **MP4**   : ISO-BMFF container demux — walk ``moov/trak/mdia/minf/stbl``,
   resolve the sample tables (stsz × stsc × stco/co64, stss sync samples,
@@ -377,12 +379,15 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline JFIF/JPEG → ``(width, height, RGB uint8 body)``.
+    """Baseline *or progressive* JFIF/JPEG → ``(width, height, RGB uint8 body)``.
 
     Quant + Huffman tables come from the stream's own DQT/DHT segments;
     restart markers reset DC predictors; chroma h/v sampling factors up to
-    2 are upsampled by replication.  ``ValueError`` on malformed input,
-    ``NotImplementedError`` on progressive/arithmetic/12-bit.
+    2 are upsampled by replication.  Progressive (SOF2) decodes the full
+    T.81 Annex-G repertoire: spectral selection, successive approximation
+    (DC and AC refinement scans, EOB runs), interleaved DC scans, and
+    per-scan DHT redefinition.  ``ValueError`` on malformed input,
+    ``NotImplementedError`` on arithmetic-coded/lossless/12-bit variants.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -391,6 +396,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
     frame = None
     restart_interval = 0
+    grids = None  # progressive: comp id → zigzag coefficient grid
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -401,6 +407,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         if marker == 0xD8:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI — no length field
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -429,7 +437,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     raise ValueError("short DHT")
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -438,9 +446,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (lossless/arithmetic)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -453,16 +462,29 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 0xF})
             data_start = pos + 2 + seglen
-            return _decode_scan(payload, data_start, frame, scan, qt, huff,
-                                restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(payload, data_start, frame, scan, qt, huff,
+                                    restart_interval)
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("short progressive SOS header")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if grids is None:
+                grids = _alloc_coef_grids(frame)
+            data, pos = _entropy_data(payload, data_start)
+            _progressive_scan(data, frame, scan, huff, grids,
+                              ss, se, ahal >> 4, ahal & 0xF, restart_interval)
+            continue
         pos += 2 + seglen
+    if grids is not None:
+        return _finish_jpeg(frame, qt, grids)
     raise ValueError("JPEG missing SOS")
 
 
-def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
-    # unstuff entropy bytes: FF00→FF; drop RSTn markers (the encoder pads to
-    # a byte boundary before each, so the decoder just realigns); stop at any
-    # other marker (EOI / next segment).
+def _entropy_data(payload: bytes, start: int) -> tuple[bytes, int]:
+    """Unstuff one scan's entropy bytes: FF00→FF; drop RSTn markers (the
+    encoder pads to a byte boundary before each, so the decoder realigns);
+    stop at any other marker.  Returns (data, position of the terminator)."""
     data = bytearray()
     p = start
     while p < len(payload):
@@ -479,20 +501,36 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
             break
         data.append(b)
         p += 1
+    return bytes(data), min(p, len(payload))
 
-    w, h, comps = frame["w"], frame["h"], scan
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) for a validated frame header."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
     if w == 0 or h == 0:
         raise ValueError("JPEG zero dimension")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2 or any(c["h"] == 0 or c["v"] == 0 for c in comps):
         raise NotImplementedError("sampling factors beyond 2×2")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _alloc_coef_grids(frame):
+    """Per-component zigzag-order coefficient grids, MCU-padded."""
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+            for c in frame["comps"]}
+
+
+def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
+    data, _ = _entropy_data(payload, start)
+    comps = scan
+    hmax, vmax, mcux, mcuy = _frame_geometry({**frame, "comps": scan})
     # per-component coefficient block grids
     blocks = {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
               for c in comps}
-    br = _BitReader(bytes(data))
+    br = _BitReader(data)
     pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
     for my in range(mcuy):
@@ -532,6 +570,15 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
                         blocks[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = coef
             mcu_count += 1
 
+    return _finish_jpeg(frame, qt, blocks)
+
+
+def _finish_jpeg(frame, qt, blocks):
+    """Dequantize → IDCT → upsample → color-convert the coefficient grids."""
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = qt.get(c["tq"])
@@ -562,6 +609,160 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
         raise NotImplementedError(f"{len(planes)}-component JPEG")
     body = np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1)
     return w, h, body
+
+
+def _comp_block_dims(frame, c) -> tuple[int, int]:
+    """(rows, cols) of *actual* (non-MCU-padded) blocks for one component —
+    the traversal extent of a non-interleaved progressive scan (T.81 A.2.2)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_scan(data, frame, scan, huff, grids, ss, se, ah, al,
+                      restart_interval):
+    """Decode one progressive scan (T.81 Annex G.2) into the zigzag-order
+    coefficient ``grids``: spectral selection ``Ss..Se``, successive
+    approximation ``Ah/Al`` (first pass when Ah=0, refinement otherwise),
+    EOB runs, interleaved DC scans, restart realignment.  The refinement
+    control flow follows the spec's figures G.7/G.8 (the same structure as
+    libjpeg's jdphuff.c, which is the canonical public reading of them)."""
+    br = _BitReader(data)
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    if se > 63 or ss > se:
+        raise ValueError("JPEG bad spectral selection")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se=0")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("JPEG progressive AC scan must be non-interleaved")
+
+    state = {"eobrun": 0, "pred": {c["id"]: 0 for c in scan}}
+
+    def restart():
+        if br.bit:  # realign to the byte boundary at the RST marker
+            br.pos += 1
+            br.bit = 0
+        state["eobrun"] = 0
+        state["pred"] = {c["id"]: 0 for c in scan}
+
+    dc_tbls = {}
+    if is_dc and ah == 0:
+        for c in scan:
+            tbl = huff.get((0, c["dc"]))
+            if tbl is None:
+                raise ValueError("JPEG scan references missing DHT")
+            dc_tbls[c["id"]] = tbl
+
+    def dc_block(c, row, col):
+        coef = grids[c["id"]][row, col]
+        if ah == 0:
+            t = _read_huff_symbol(br, dc_tbls[c["id"]])
+            diff = _extend(br.read_bits(t), t) if t else 0
+            state["pred"][c["id"]] += diff
+            coef[0] = state["pred"][c["id"]] << al
+        elif br.read_bit():
+            coef[0] = int(coef[0]) | (1 << al)
+
+    def ac_first(coef, ac_tbl):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _read_huff_symbol(br, ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            coef[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(coef, ac_tbl):
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _read_huff_symbol(br, ac_tbl)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size must be 1")
+                    val = p1 if br.read_bit() else m1
+                elif r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break  # remainder of the band handled by EOB-run logic
+                # advance over nonzero-history coefficients (each gets a
+                # correction bit) and r still-zero ones, stopping AT the
+                # (r+1)-th zero-history slot where val (if any) lands
+                while k <= se:
+                    cv = int(coef[k])
+                    if cv != 0:
+                        if br.read_bit() and (cv & p1) == 0:
+                            coef[k] = cv + (p1 if cv >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("JPEG AC refinement run past band end")
+                    coef[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:  # correction bits for the rest of the band
+                cv = int(coef[k])
+                if cv != 0:
+                    if br.read_bit() and (cv & p1) == 0:
+                        coef[k] = cv + (p1 if cv >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    unit = 0
+    if len(scan) > 1:  # interleaved DC scan: MCU traversal
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_block(c, my * c["v"] + by, mx * c["h"] + bx)
+                unit += 1
+    else:  # non-interleaved: the component's own block grid
+        c = scan[0]
+        hb, wb = _comp_block_dims(frame, c)
+        ac_tbl = None
+        if not is_dc:
+            ac_tbl = huff.get((1, c["ac"]))
+            if ac_tbl is None:
+                raise ValueError("JPEG scan references missing DHT")
+        grid = grids[c["id"]]
+        for row in range(hb):
+            for col in range(wb):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                if is_dc:
+                    dc_block(c, row, col)
+                elif ah == 0:
+                    ac_first(grid[row, col], ac_tbl)
+                else:
+                    ac_refine(grid[row, col], ac_tbl)
+                unit += 1
 
 
 # ----- encoder (tests / deterministic corpora) -----------------------------
@@ -745,6 +946,243 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90, subsample: bool = False,
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     head += seg(0xDA, sos)
     return bytes(head) + bytes(out) + b"\xff\xd9"
+
+
+# ----- progressive encoder (tests / deterministic corpora) ------------------
+
+# Progressive AC tables must also cover the EOBn symbols ((r<<4)|0, r ≤ 14)
+# that T.81 Annex G adds on top of the baseline alphabet; one generated
+# canonical table, every code 9 bits (Kraft sum 176/512 < 1 → well-formed).
+_PAC_SYMBOLS = bytes([(r << 4) | s for r in range(16) for s in range(11)])
+_PAC_BITS = [0] * 8 + [len(_PAC_SYMBOLS)] + [0] * 7
+
+# libjpeg's default 10-scan YCbCr script: interleaved DC first at Al=1, luma
+# AC split into two spectral bands at Al=2, chroma AC at Al=1, then DC and
+# AC refinement passes down to Al=0.  Entries: (comp indices, Ss, Se, Ah, Al).
+DEFAULT_PROGRESSIVE_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+# Spectral-selection-only script (no successive approximation) — the other
+# commonly seen shape in the wild.
+SPECTRAL_ONLY_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 0),
+    ((0,), 1, 63, 0, 0),
+    ((1,), 1, 63, 0, 0),
+    ((2,), 1, 63, 0, 0),
+)
+
+
+def _rgb_to_coef_grids(pixels: np.ndarray, quality: int, subsample: bool):
+    """Quantized zigzag-order coefficient grids per component, computed with
+    the *identical per-block arithmetic* as the baseline encoder so that a
+    progressive and a baseline encode of the same image carry bit-identical
+    coefficients (the round-trip tests rely on exact pixel equality)."""
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.float64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qy, qc = _quant_tables(quality)
+    hs, vs = (2, 2) if subsample else (1, 1)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+
+    def pad_to(plane, ph, pw):
+        return np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                      mode="edge")
+
+    ypl = pad_to(y, mcuy * 8 * vs, mcux * 8 * hs)
+    if subsample:
+        cbs = pad_to(cb, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crs = pad_to(cr, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbs, crs = pad_to(cb, mcuy * 8, mcux * 8), pad_to(cr, mcuy * 8, mcux * 8)
+
+    def grid_of(plane, q):
+        ny, nx = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((ny, nx, 64), dtype=np.int32)
+        for by in range(ny):
+            for bx in range(nx):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = _DCT @ (blk - 128.0) @ _DCT.T
+                qz = np.round(coef.reshape(-1) / q).astype(np.int32)[_ZIGZAG]
+                qz[1:] = np.clip(qz[1:], -1023, 1023)
+                out[by, bx] = qz
+        return out
+
+    comps = [
+        {"id": 1, "h": hs, "v": vs, "tq": 0, "grid": grid_of(ypl, qy.astype(np.float64))},
+        {"id": 2, "h": 1, "v": 1, "tq": 1, "grid": grid_of(cbs, qc.astype(np.float64))},
+        {"id": 3, "h": 1, "v": 1, "tq": 1, "grid": grid_of(crs, qc.astype(np.float64))},
+    ]
+    return comps, qy, qc, mcux, mcuy
+
+
+def _emit_eobrun(bw: _BitWriter, ac_tab, st: dict) -> None:
+    """Flush a pending EOB run plus any buffered refinement correction bits."""
+    if st["eobrun"] > 0:
+        r = st["eobrun"].bit_length() - 1
+        ln, code = ac_tab[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(st["eobrun"] - (1 << r), r)
+        st["eobrun"] = 0
+    for bit in st["bits"]:
+        bw.write(bit, 1)
+    st["bits"] = []
+
+
+def _enc_ac_first(bw, ac_tab, st, coef, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw, ac_tab, st)
+        while r > 15:
+            ln, code = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            r -= 16
+        nbits = mag.bit_length()
+        ln, code = ac_tab[(r << 4) | nbits]
+        bw.write(code, ln)
+        bw.write(mag if v >= 0 else ~mag, nbits)  # low bits; ~mag = 1's compl
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, ac_tab, st)
+
+
+def _enc_ac_refine(bw, ac_tab, st, coef, ss, se, al):
+    # pre-pass: point-transformed magnitudes + position of the last NEWLY
+    # significant coefficient (the band's effective EOB for this pass)
+    absvals = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        t = (v if v >= 0 else -v) >> al
+        absvals.append(t)
+        if t == 1:
+            eob = k
+    r = 0
+    pend: list[int] = []  # correction bits awaiting the next emitted symbol
+    for k in range(ss, se + 1):
+        t = absvals[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:  # ZRLs not foldable into the EOB run
+            _emit_eobrun(bw, ac_tab, st)
+            ln, code = ac_tab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for bit in pend:
+                bw.write(bit, 1)
+            pend = []
+        if t > 1:  # already significant: just a correction bit
+            pend.append(t & 1)
+            continue
+        _emit_eobrun(bw, ac_tab, st)
+        ln, code = ac_tab[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(coef[k]) >= 0 else 0, 1)
+        for bit in pend:
+            bw.write(bit, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        st["eobrun"] += 1
+        st["bits"].extend(pend)
+        if st["eobrun"] == 0x7FFF or len(st["bits"]) > 937:
+            _emit_eobrun(bw, ac_tab, st)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsample: bool = False, scans=None) -> bytes:
+    """Progressive (SOF2) JPEG encoder for tests: uint8 (h, w, 3) RGB → bytes.
+
+    ``scans`` is a T.81 Annex-G scan script of (comp indices, Ss, Se, Ah, Al)
+    tuples; the default is libjpeg's 10-scan successive-approximation script,
+    which exercises every decoder path (interleaved DC, DC/AC refinement,
+    EOB runs, multi-band spectral selection)."""
+    scans = DEFAULT_PROGRESSIVE_SCANS if scans is None else scans
+    h, w, _ = pixels.shape
+    comps, qy, qc, mcux, mcuy = _rgb_to_coef_grids(pixels, quality, subsample)
+    dc_tab = _huff_encode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _huff_encode_table(_PAC_BITS, _PAC_SYMBOLS)
+    frame = {"w": w, "h": h,
+             "comps": [{k: c[k] for k in ("id", "h", "v", "tq")} for c in comps]}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + qy[_ZIGZAG].astype(np.uint8).tobytes())
+    out += seg(0xDB, bytes([0x01]) + qc[_ZIGZAG].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_PAC_BITS) + _PAC_SYMBOLS)
+
+    for comp_idxs, ss, se, ah, al in scans:
+        sel = [comps[i] for i in comp_idxs]
+        sos = bytes([len(sel)])
+        for c in sel:
+            sos += bytes([c["id"], 0x00])  # Td=0, Ta=0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        bw = _BitWriter()
+        st = {"eobrun": 0, "bits": [],
+              "pred": {c["id"]: 0 for c in sel}}
+        if ss == 0:  # DC scan
+            if len(sel) > 1:
+                units = [(c, my * c["v"] + by, mx * c["h"] + bx)
+                         for my in range(mcuy) for mx in range(mcux)
+                         for c in sel
+                         for by in range(c["v"]) for bx in range(c["h"])]
+            else:
+                c = sel[0]
+                hb, wb = _comp_block_dims(frame, c)
+                units = [(c, row, col) for row in range(hb) for col in range(wb)]
+            for c, row, col in units:
+                dc = int(c["grid"][row, col, 0]) >> al
+                if ah == 0:
+                    diff = dc - st["pred"][c["id"]]
+                    st["pred"][c["id"]] = dc
+                    n = abs(diff).bit_length()
+                    ln, code = dc_tab[n]
+                    bw.write(code, ln)
+                    if n:
+                        bw.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
+                else:
+                    bw.write(dc & 1, 1)
+        else:  # AC scan, single component
+            c = sel[0]
+            hb, wb = _comp_block_dims(frame, c)
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            for row in range(hb):
+                for col in range(wb):
+                    enc(bw, ac_tab, st, c["grid"][row, col], ss, se, al)
+            _emit_eobrun(bw, ac_tab, st)
+        bw.flush()
+        out += bw.out
+    return bytes(out) + b"\xff\xd9"
 
 
 # ---------------------------------------------------------------------------

@@ -189,14 +189,71 @@ class TestJPEG:
         with pytest.raises(ValueError):
             C.decode_jpeg(b"\xff\xd8\xff\xe0 jpeg soi")
 
-    def test_progressive_raises_notimplemented(self):
+    def test_lossless_raises_notimplemented(self):
         jpg = bytearray(C.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 90))
-        # rewrite the SOF0 marker (FFC0) as SOF2 (progressive)
+        # rewrite the SOF0 marker (FFC0) as SOF3 (lossless sequential)
         i = bytes(jpg).find(b"\xff\xc0")
         assert i > 0
-        jpg[i + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+        jpg[i + 1] = 0xC3
+        with pytest.raises(NotImplementedError, match="lossless|non-baseline"):
             C.decode_jpeg(bytes(jpg))
+
+
+class TestJPEGProgressive:
+    """SOF2: the decoder must reproduce the baseline decode EXACTLY, because
+    both entropy paths feed identical quantized coefficients into the same
+    dequant/IDCT tail — any per-pixel difference is an entropy-coding bug."""
+
+    @pytest.mark.parametrize("sub", [False, True])
+    @pytest.mark.parametrize("scans", [None, C.SPECTRAL_ONLY_SCANS])
+    def test_matches_baseline_exactly(self, sub, scans):
+        rng = np.random.RandomState(7)
+        px = rng.randint(0, 256, size=(37, 23, 3)).astype(np.uint8)
+        base = C.decode_jpeg(C.encode_jpeg(px, 85, subsample=sub))
+        prog = C.decode_jpeg(
+            C.encode_jpeg_progressive(px, 85, subsample=sub, scans=scans))
+        assert (base[0], base[1]) == (prog[0], prog[1]) == (23, 37)
+        assert np.array_equal(base[2], prog[2])
+
+    def test_flat_image_long_eob_runs(self):
+        """A mostly-flat image makes every AC band an EOB run — the EOBn
+        accumulate/flush path must round-trip."""
+        px = np.full((48, 64, 3), 77, dtype=np.uint8)
+        px[20:24, 30:34] = [250, 10, 10]  # one feature so not all-zero
+        base = C.decode_jpeg(C.encode_jpeg(px, 90))
+        prog = C.decode_jpeg(C.encode_jpeg_progressive(px, 90))
+        assert np.array_equal(base[2], prog[2])
+
+    @settings(max_examples=10, deadline=None)
+    @given(w=st.integers(4, 40), h=st.integers(4, 40), seed=st.integers(0, 10**6),
+           sub=st.booleans(), quality=st.sampled_from([35, 75, 95]))
+    def test_progressive_equals_baseline_property(self, w, h, seed, sub, quality):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        base = C.decode_jpeg(C.encode_jpeg(px, quality, subsample=sub))
+        prog = C.decode_jpeg(C.encode_jpeg_progressive(px, quality, subsample=sub))
+        assert np.array_equal(base[2], prog[2]), (w, h, seed, sub, quality)
+
+    def test_truncated_scan_raises_valueerror(self):
+        px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+        jpg = C.encode_jpeg_progressive(px, 85)
+        # chop inside the entropy data of a late scan: Huffman decode must
+        # fail with ValueError (dead-letterable), never crash or hang
+        with pytest.raises(ValueError):
+            C.decode_jpeg(jpg[: len(jpg) - 40] + b"\xff\xd9")
+
+    def test_interleaved_ac_scan_rejected(self):
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        bad = (((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0))
+        jpg = C.encode_jpeg_progressive(px, 85, scans=bad)
+        with pytest.raises(ValueError, match="non-interleaved"):
+            C.decode_jpeg(jpg)
+
+    def test_progressive_through_multimodal_dispatch(self):
+        px = np.full((8, 8, 3), 77, dtype=np.uint8)
+        kind, w, h, body = MM._decode(C.encode_jpeg_progressive(px, 95))
+        assert (kind, w, h) == ("image", 8, 8)
+        assert np.abs(body.astype(int) - 77).max() <= 4
 
     def test_decodes_through_multimodal_dispatch(self):
         px = np.full((8, 8, 3), 77, dtype=np.uint8)
