@@ -559,6 +559,15 @@ def q_latest_records(spark, sf):
     )
 
 
+def q_rare_terms(spark, sf):
+    """Per-document top-3 rarity-weighted terms (TF-IDF-family keyword
+    extraction): score = tf/(df+1), a pure-IEEE rational so the DuckDB
+    oracle reproduces every score bit-for-bit. Explode → two hash aggs →
+    broadcast vocabulary join → per-doc top-k window."""
+    d = _t(spark, sf, "documents")
+    return TX.rare_term_topk(d.select("doc_id", "text"), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -594,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
         "latest_records": q_latest_records,
+        "rare_terms": q_rare_terms,
     }
 
 
@@ -916,5 +926,24 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch) AS latest_epoch,
                    CAST(len(arg_max(text, epoch)) AS BIGINT) AS text_len
             FROM hist GROUP BY doc_id
+        """,
+        "rare_terms": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM t GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), s AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                       tf.tf / (dfq.df + 1.0) AS score,
+                       CAST(row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf / (dfq.df + 1.0) DESC, tf.term ASC
+                       ) AS BIGINT) AS rank
+                FROM tf JOIN dfq USING (term)
+            )
+            SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 3
         """,
     }

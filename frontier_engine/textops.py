@@ -588,3 +588,50 @@ def repetition_stats_col(text: Column) -> tuple[Column, Column]:
         1 - F.size(F.array_distinct(bigrams)) / nb
     )
     return F.round(ttr, 6), F.round(dup, 6)
+
+
+def rare_term_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document top-k rarity-weighted terms (TF-IDF-family keyword
+    extraction, the term-weighting step behind topic filtering and quality
+    weighting in web-corpus pipelines).
+
+    score = tf / (df + 1) where tf is the term's in-document count and df
+    its corpus document frequency — the same monotone ranking as
+    tf·idf with an add-one-smoothed idf, but a pure-IEEE rational (one
+    integer division, no transcendental log), so an independent SQL engine
+    reproduces every score bit-for-bit.
+
+    Plan shape at 100 TB: one explode, two hash aggregations with map-side
+    partial combine (per-doc tf, then per-term df over the already-distinct
+    (doc, term) pairs — df never rescans the corpus), a broadcast join on
+    the vocabulary table (post-tokenization vocabularies are tens of
+    millions of terms vs billions of documents; set broadcast_vocab=False
+    to shuffle-join a pathological vocabulary), and one per-doc top-k
+    window over ≤ vocabulary-sized groups. Ties break on the term string,
+    so the result is deterministic at any parallelism.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) >= 1)
+    tf = (
+        df.select(id_col, F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("score", F.col("tf") / (F.col("df") + F.lit(1.0)))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

@@ -167,3 +167,28 @@ def test_stratified_sample_deterministic(spark):
     a = sorted(r["doc_id"] for r in s1.collect())
     s2 = ops.stratified_sample(df.repartition(13), ["lang", "source"], k=4, id_col="doc_id")
     assert sorted(r["doc_id"] for r in s2.collect()) == a
+
+
+def test_rare_term_topk(spark):
+    # corpus: "rare" appears in one doc only (df=1), "common" in all three
+    # (df=3).  tf/(df+1): doc 1 scores rare 2/2=1.0 > common 3/4=0.75.
+    rows = [
+        (1, "rare rare common common common"),
+        (2, "common mid"),
+        (3, "common mid"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["rank"]): r
+        for r in TX.rare_term_topk(df, k=2).collect()
+    }
+    assert got[(1, 1)]["term"] == "rare" and got[(1, 1)]["score"] == 1.0
+    assert got[(1, 2)]["term"] == "common" and got[(1, 2)]["score"] == 0.75
+    # docs 2/3: mid (tf 1, df 2) scores 1/3 > common (tf 1, df 4) 0.25;
+    # rank is dense per doc and ties on score break by term asc
+    assert got[(2, 1)]["term"] == "mid" and got[(3, 1)]["term"] == "mid"
+    assert got[(2, 2)]["term"] == "common"
+    # determinism across parallelism
+    a = sorted(map(tuple, TX.rare_term_topk(df, k=2).collect()))
+    b = sorted(map(tuple, TX.rare_term_topk(df.repartition(7), k=2).collect()))
+    assert a == b
