@@ -559,6 +559,29 @@ def q_latest_records(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTERS: the minhash_near_dup pair set closed under
+    transitivity via hash-min connected components, labelled by the min
+    doc id per component — the survivor-selection step of a dedup
+    pipeline. Pair recall rests on the same LSH band guarantee as
+    minhash_near_dup (oracle-matched); the closure itself is exact and
+    parallelism-independent, cross-checked against a recursive
+    reachability CTE."""
+    d = _t(spark, sf, "documents")
+    cand = TX.minhash_candidate_pairs(d, num_perm=128, bands=32, attach_estimate=False)
+    pairs = (
+        TX.ngram_jaccard_pairs(d, cand, k=3, scope_to_pairs=True)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    try:
+        comp = TX.connected_components(pairs)
+    finally:
+        pairs.unpersist()
+    return comp.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def q_rare_terms(spark, sf):
     """Per-document top-3 rarity-weighted terms (TF-IDF-family keyword
     extraction): score = tf/(df+1), a pure-IEEE rational so the DuckDB
@@ -604,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "latest_records": q_latest_records,
         "rare_terms": q_rare_terms,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -612,6 +636,23 @@ _SW = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
 
 _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) >= 1)"
 _TOKS2 = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) >= 2)"
+
+# exact shingle-Jaccard near-dup pairs (the minhash_near_dup oracle; also
+# the edge set the dedup_clusters closure is built over)
+_MINHASH_PAIRS_SQL = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+              FROM toks),
+            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS i
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b, round(i/(na+nb-i), 4) AS jaccard FROM inter
+            WHERE i/(na+nb-i) >= 0.5
+"""
 
 _QUALITY_SQL = f"""
 SELECT doc_id, round(
@@ -803,19 +844,21 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus c, q)
             WHERE rank <= 5
         """,
-        "minhash_near_dup": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            sh AS (
-              SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
-              FROM toks),
-            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sh),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS i
-              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              GROUP BY 1, 2, 3, 4)
-            SELECT id_a, id_b, round(i/(na+nb-i), 4) AS jaccard FROM inter
-            WHERE i/(na+nb-i) >= 0.5
+        "minhash_near_dup": _MINHASH_PAIRS_SQL,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL})
+            ), und AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), walk(v, r) AS (
+              SELECT src, src FROM und
+              UNION
+              SELECT w.v, u.dst FROM walk w JOIN und u ON w.r = u.src
+            )
+            SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY v
         """,
         "simhash_near_dup": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),

@@ -635,3 +635,63 @@ def rare_term_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: the step that
+    turns pairwise dedup output into CLUSTERS so a pipeline can pick one
+    survivor per group (min-id convention). Hash-min label propagation
+    (the MapReduce-CC baseline of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every vertex starts labelled with its
+    own id and repeatedly takes the min label over its neighborhood.
+
+    Returns (v, label) with label = min vertex id in v's component —
+    deterministic at any parallelism, so an independent engine reproduces
+    it exactly (the DuckDB oracle is a recursive reachability CTE).
+
+    Scale shape: each round is one hash join edge⋈label + one map-side-
+    combined min aggregate — the edge list is shuffled per round, the
+    label table stays keyed by vertex; rounds = component diameter
+    (near-dup clusters are shallow: dozens of docs, diameter ≤ a few).
+    Labels are eagerly localCheckpoint'ed per round to cut the iterative
+    lineage (the standard Spark idiom for driver-looped fixpoints); the
+    convergence probe is a count, not a collect. Raises after
+    ``max_iters`` rounds rather than looping forever on bad input.
+    """
+    a, b = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    und = (
+        edges.select(a.alias("src"), b.alias("dst"))
+        .union(edges.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = und.select(F.col("src").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iters):
+            prop = und.join(
+                labels.withColumnRenamed("v", "src"), "src"
+            ).select(F.col("dst").alias("v"), "label")
+            new = (
+                labels.unionByName(prop)
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new.join(labels.withColumnRenamed("label", "_old"), "v")
+                .filter(F.col("label") < F.col("_old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+    finally:
+        und.unpersist()

@@ -192,3 +192,23 @@ def test_rare_term_topk(spark):
     a = sorted(map(tuple, TX.rare_term_topk(df, k=2).collect()))
     b = sorted(map(tuple, TX.rare_term_topk(df.repartition(7), k=2).collect()))
     assert a == b
+
+
+def test_connected_components(spark):
+    # two components: a 4-chain 1-2-3-9 (transitivity across hops) and a
+    # pair 5-7; labels must be the component-min id
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 3), (5, 7)], ["id_a", "id_b"]
+    )
+    got = {r["v"]: r["label"] for r in TX.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+    # deterministic across parallelism
+    got2 = {
+        r["v"]: r["label"]
+        for r in TX.connected_components(edges.repartition(5)).collect()
+    }
+    assert got2 == got
+    # self-loops and duplicate edges are harmless
+    edges3 = edges.union(spark.createDataFrame([(1, 1), (2, 1)], ["id_a", "id_b"]))
+    got3 = {r["v"]: r["label"] for r in TX.connected_components(edges3).collect()}
+    assert got3 == got
