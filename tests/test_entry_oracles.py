@@ -20,6 +20,7 @@ from check_contract import compare  # noqa: E402
 
 SKETCH_QUERIES = [
     "minhash_near_dup",
+    "dedup_clusters",
     "simhash_near_dup",
     "fingerprint",
     "lsh_ann",
