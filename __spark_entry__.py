@@ -582,6 +582,19 @@ def q_dedup_clusters(spark, sf):
     return comp.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3 App. C / Dolma overlap filter):
+    docs sharing any 3-word shingle with a deterministic eval subset
+    (doc_id % 97 == 0), scored by distinct shingle hits. Eval shingles
+    broadcast; corpus side explode + semi-count."""
+    d = _t(spark, sf, "documents")
+    return TX.decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        k=3,
+    )
+
+
 def q_rare_terms(spark, sf):
     """Per-document top-3 rarity-weighted terms (TF-IDF-family keyword
     extraction): score = tf/(df+1), a pure-IEEE rational so the DuckDB
@@ -628,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_records": q_latest_records,
         "rare_terms": q_rare_terms,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -845,6 +859,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "minhash_near_dup": _MINHASH_PAIRS_SQL,
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+              FROM t),
+            ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+            FROM ex JOIN ev USING (g) GROUP BY doc_id
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL})

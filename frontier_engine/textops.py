@@ -695,3 +695,42 @@ def connected_components(
         raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
     finally:
         und.unpersist()
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any k-word
+    shingle with an evaluation set (the overlap filter pre-training
+    pipelines run so eval questions don't leak into training data —
+    GPT-3 App. C / Dolma use 13-grams; k is a parameter here).
+
+    Returns (id_col, n_hit_shingles) for contaminated docs only:
+    n_hit_shingles = how many DISTINCT shingles of the doc occur anywhere
+    in the eval set (severity signal for threshold tuning).
+
+    Scale shape: the eval side is distinct-shingled and broadcast (eval
+    sets are benchmark-sized — thousands of docs — vs a billion-doc
+    corpus); the corpus side is one explode + broadcast semi-join +
+    map-side-combined count. No corpus-side shuffle except the final
+    per-doc count of hits (output-sized). A pathological eval set can
+    shuffle-join instead by passing it pre-distincted; the plan degrades
+    to one hash join keyed on the shingle.
+    """
+    ev = eval_set.select(
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh")
+    ).distinct()
+    hits = (
+        corpus.select(
+            id_col,
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+        )
+        .join(F.broadcast(ev), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hit_shingles"))
+    )
+    return hits

@@ -212,3 +212,23 @@ def test_connected_components(spark):
     edges3 = edges.union(spark.createDataFrame([(1, 1), (2, 1)], ["id_a", "id_b"]))
     got3 = {r["v"]: r["label"] for r in TX.connected_components(edges3).collect()}
     assert got3 == got
+
+
+def test_decontaminate(spark):
+    # eval doc: "a b c d"; its 3-shingles: {"a b c", "b c d"}
+    ev = spark.createDataFrame([(100, "a b c d")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, "x a b c y"),        # hits "a b c" once → 1
+            (2, "a b c d e"),        # hits both → 2
+            (3, "c b a"),            # no shared shingle
+            (4, "zz"),               # short doc, single-shingle path
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_hit_shingles"] for r in TX.decontaminate(corpus, ev).collect()}
+    assert got == {1: 1, 2: 2}
+    # short eval doc exercises the n<k single-shingle branch on the eval side
+    ev2 = spark.createDataFrame([(100, "zz")], ["doc_id", "text"])
+    got2 = {r["doc_id"]: r["n_hit_shingles"] for r in TX.decontaminate(corpus, ev2).collect()}
+    assert got2 == {4: 1}
