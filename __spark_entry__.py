@@ -604,6 +604,54 @@ def q_rare_terms(spark, sf):
     return TX.rare_term_topk(d.select("doc_id", "text"), k=3)
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction (Dolma's mask step): emails/IPv4/intl-phone masked
+    with typed placeholders + per-doc counts, all expression-only regex
+    inside whole-stage codegen. The fixture text carries no PII, so the
+    query plants one of each class deterministically from doc_id — the
+    SAME concat expression runs in the DuckDB oracle, so the scrub itself
+    (not the planting) is what's being checked."""
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +84-90-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-123"),
+        ).alias("text"),
+    )
+    return TX.pii_scrub(aug)
+
+
+def q_paragraph_dedup(spark, sf):
+    """Corpus-wide paragraph dedup (Dolma paragraph filter): first
+    occurrence of each distinct paragraph wins, every other copy is
+    flagged. The fixture docs are single-line, so the query derives a
+    paragraph structure deterministically (3-word chunks joined by \\n —
+    same expression in the oracle); the tiny shared vocabulary makes
+    cross-document chunk collisions common, so the dedup genuinely drops
+    rows. Winners via partial-agg min(struct) — skew-safe for
+    boilerplate mega-paragraphs (see textops.paragraph_dedup)."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(3.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 3 + 1, 3), " "),
+    )
+    aug = d.select("doc_id", F.array_join(paras, "\n").alias("text"))
+    out = TX.paragraph_dedup(aug)
+    return out.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paragraphs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -642,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_terms": q_rare_terms,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -1013,5 +1063,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf JOIN dfq USING (term)
             )
             SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 3
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 call +84-90-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || '-123' AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{TX.PII_IPV4_RE}', '<IP>', 'g'),
+                       '{TX.PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_PHONE_RE}')) AS BIGINT) AS n_phones
+            FROM aug
+        """,
+        "paragraph_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            p AS (
+                SELECT doc_id,
+                       list_transform(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT)),
+                                      i -> array_to_string(ws[i*3+1 : i*3+3], ' ')) AS paras
+                FROM w),
+            ex0 AS (
+                SELECT doc_id,
+                       CAST(unnest(range(0, len(paras))) AS INT) AS pos,
+                       unnest(paras) AS para
+                FROM p),
+            ex AS (SELECT * FROM ex0 WHERE len(trim(para)) > 0),
+            k AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+                FROM ex)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM k GROUP BY doc_id
         """,
     }

@@ -734,3 +734,99 @@ def decontaminate(
         .agg(F.count("*").cast("long").alias("n_hit_shingles"))
     )
     return hits
+
+
+# ------------------------------------------------------------- PII scrub
+
+# Deliberately simple, cross-dialect patterns (valid and identical in Java
+# regex and RE2/DuckDB): no backreferences, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}(-\d{2,4}){2,4}"
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction (expression-only): mask emails, IPv4 addresses and
+    international phone numbers with typed placeholders and report per-doc
+    counts — the scrub step every public web-text pipeline runs before
+    training (Dolma masks exactly these three classes; C4 drops pages on
+    a badwords list the same way).
+
+    Returns (id_col, scrubbed, n_emails, n_ipv4, n_phones). Counts are
+    measured on the ORIGINAL text; masking applies email -> ipv4 -> phone
+    in that order (emails may contain digits, so they are removed before
+    the numeric patterns run).
+
+    Scale shape: pure narrow `regexp_replace`/`regexp_extract_all`
+    expressions inside whole-stage codegen — no UDF, no shuffle, no
+    Python. At 100 TB this is a map-only pass that pushes through the
+    scan; generalizes the reference's per-row regex normalization
+    (/root/reference/crawler/stores/bhx.py:59-97) to redaction.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).cast("long")
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0)).cast("long")
+    scrubbed = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        id_col,
+        scrubbed.alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+    )
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the Dolma paragraph
+    filter): split every document on `sep`, and for each distinct
+    paragraph keep only its FIRST occurrence — ordered by (id, position)
+    — marking every other copy as a drop. Kills boilerplate (nav bars,
+    cookie banners, license blurbs) that document-level dedup can't see.
+
+    Returns one row per paragraph: (id_col, pos, paragraph, keep).
+
+    Scale shape: winners are computed with a partial-aggregating
+    `groupBy(hash).agg(min(struct(id, pos)))` — map-side combine collapses
+    a boilerplate paragraph repeated a billion times to one candidate per
+    task BEFORE the shuffle, so hot paragraphs cost nothing extra (the
+    skew-safety a window `row_number() OVER (PARTITION BY hash)` cannot
+    give: a window must sort the full mega-group on one task). The
+    winners join back on the 64-bit hash; AQE skew-join splits any hot
+    probe side. Dedup identity is xxhash64(paragraph) — at 100 TB you
+    dedup on the hash, never on the string (collision odds at 2^64 are
+    dwarfed by data corruption rates).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "paragraph"),
+    ).filter(F.length(F.trim(F.col("paragraph"))) > 0)
+    paras = paras.withColumn("h", F.xxhash64("paragraph"))
+    winners = paras.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("w")
+    )
+    return (
+        paras.join(winners, "h")
+        .select(
+            id_col,
+            "pos",
+            "paragraph",
+            (
+                (F.col(id_col) == F.col("w.i")) & (F.col("pos") == F.col("w.p"))
+            ).alias("keep"),
+        )
+    )

@@ -232,3 +232,46 @@ def test_decontaminate(spark):
     ev2 = spark.createDataFrame([(100, "zz")], ["doc_id", "text"])
     got2 = {r["doc_id"]: r["n_hit_shingles"] for r in TX.decontaminate(corpus, ev2).collect()}
     assert got2 == {4: 1}
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.b-c+x@sub.example.org today"),
+            (2, "server 192.168.1.254 then call +84-90-1234-567"),
+            (3, "no pii here"),
+            (4, "two mails a@b.io c@d.co and ip 1.2.3.4"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in TX.pii_scrub(df).collect()}
+    assert rows[1]["scrubbed"] == "mail me at <EMAIL> today"
+    assert (rows[1]["n_emails"], rows[1]["n_ipv4"], rows[1]["n_phones"]) == (1, 0, 0)
+    assert rows[2]["scrubbed"] == "server <IP> then call <PHONE>"
+    assert (rows[2]["n_ipv4"], rows[2]["n_phones"]) == (1, 1)
+    assert rows[3]["scrubbed"] == "no pii here"
+    assert (rows[3]["n_emails"], rows[3]["n_ipv4"], rows[3]["n_phones"]) == (0, 0, 0)
+    assert rows[4]["scrubbed"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    assert rows[4]["n_emails"] == 2
+
+
+def test_paragraph_dedup_first_wins(spark):
+    # "boiler" appears in docs 1, 2, 3; first occurrence is (1, pos 1)
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nbeta"),
+            (2, "boiler\ngamma"),
+            (3, "delta\n\nboiler"),   # empty paragraph is dropped entirely
+        ],
+        ["doc_id", "text"],
+    )
+    out = TX.paragraph_dedup(df).collect()
+    got = {(r["doc_id"], r["pos"]): (r["paragraph"], r["keep"]) for r in out}
+    # empty paragraph (3, pos 1) filtered out
+    assert (3, 1) not in got
+    assert got[(1, 1)] == ("boiler", True)
+    assert got[(2, 0)] == ("boiler", False)
+    assert got[(3, 2)] == ("boiler", False)
+    # unique paragraphs all kept
+    assert all(keep for (d, p), (para, keep) in got.items() if para != "boiler")
+    assert len(got) == 7
