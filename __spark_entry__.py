@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from frontier_engine import ann, ops, textops as TX  # noqa: E402
+from frontier_engine import ann, graph as GR, ops, textops as TX  # noqa: E402
 from frontier_engine import multimodal as MM  # noqa: E402
 from frontier_engine.frontier import DrainConfig, drain_epoch  # noqa: E402
 from frontier_engine.seen import SeenConfig, empty_state, filter_unseen, update_state, with_bucket  # noqa: E402
@@ -652,6 +652,53 @@ def q_paragraph_dedup(spark, sf):
     )
 
 
+def q_pagerank(spark, sf):
+    """Link-graph authority for frontier prioritization: 5-iteration
+    PageRank (GraphX semantics — rank0=1.0, no dangling redistribution)
+    over a deterministic ~100-node graph derived from orders
+    (custkey%100 -> orderkey%100, self-loops dropped). Each iteration is
+    ONE shuffle (edge ⋈ rank join + map-side-combined sum); ranks are
+    localCheckpoint-cut per round. The DuckDB oracle unrolls the same
+    five iterations as chained CTEs, so the fixpoint math itself is
+    hash-checked; ranks round to 6 decimals (accumulated IEEE error
+    ~1e-13 at this scale)."""
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = GR.pagerank(edges, iterations=5, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+_MOJI_SUFFIXES = (
+    "â€œcafÃ©â€\x9d â€” naÃ¯ve",
+    "donâ€™t Â«quoteÂ» 25Â°",
+    "rÃ©sumÃ© â€¦ seÃ±or",
+)
+
+
+def q_fix_mojibake(spark, sf):
+    """Encoding repair (the ftfy-style pass of a web-text pipeline):
+    fix UTF-8-decoded-as-cp1252 mojibake via an expression-only replace
+    chain. The fixture text is clean ASCII, so the query plants a
+    deterministic mojibake suffix per doc (3 rotating phrases covering
+    curly quotes, dashes, ellipsis, accented letters, guillemets,
+    degree) — the SAME concat runs in the DuckDB oracle, so the repair
+    chain itself (not the planting) is what's hash-checked."""
+    d = _t(spark, sf, "documents")
+    sufs = F.array(*[F.lit(s) for s in _MOJI_SUFFIXES])
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(sufs, (F.col("doc_id") % 3 + 1).cast("int")),
+        ).alias("text"),
+    )
+    return TX.fix_mojibake(aug)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -692,11 +739,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
+        "pagerank": q_pagerank,
+        "fix_mojibake": q_fix_mojibake,
     }
 
 
 _VI = TX.VI_CHARS
 _SW = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB twin of graph.pagerank over the q_pagerank
+    edge derivation. All arithmetic is forced to DOUBLE so both engines run
+    the identical IEEE ops (DuckDB's bare 1.0 literals are DECIMAL)."""
+    d = repr(damping)
+    ctes = [
+        "e AS (SELECT DISTINCT (o_custkey % 100) AS src,"
+        " (o_orderkey % 100) AS dst FROM orders"
+        " WHERE (o_custkey % 100) <> (o_orderkey % 100))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        "we AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.d AS w"
+        " FROM e JOIN deg ON deg.src = e.src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.node AS node,"
+            f" (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE))"
+            f" + CAST({d} AS DOUBLE) * coalesce(sum(r.rank * we.w),"
+            f" CAST(0.0 AS DOUBLE)) AS rank"
+            f" FROM nodes n LEFT JOIN we ON we.dst = n.node"
+            f" LEFT JOIN r{k - 1} r ON r.node = we.src GROUP BY n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+def _moji_replace_sql(expr: str) -> str:
+    """The fix_mojibake replace chain as nested DuckDB replace() calls,
+    generated from the SAME table the Spark column uses."""
+    out = expr
+    for broken, fixed in TX.MOJIBAKE_PAIRS:
+        b = broken.replace("'", "''")
+        g = fixed.replace("'", "''")
+        out = f"replace({out}, '{b}', '{g}')"
+    return out
+
+
+def _moji_suffix_case() -> str:
+    c = [s.replace("'", "''") for s in _MOJI_SUFFIXES]
+    return (
+        "CASE CAST(doc_id % 3 AS INT)"
+        f" WHEN 0 THEN '{c[0]}' WHEN 1 THEN '{c[1]}' ELSE '{c[2]}' END"
+    )
 
 _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) >= 1)"
 _TOKS2 = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) >= 2)"
@@ -1104,5 +1202,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             FROM k GROUP BY doc_id
+        """,
+        "pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
+        "fix_mojibake": f"""
+            WITH aug AS (
+                SELECT doc_id, text || ' ' || {_moji_suffix_case()} AS text
+                FROM documents),
+            f AS (SELECT doc_id, text,
+                         {_moji_replace_sql("text")} AS fixed
+                  FROM aug)
+            SELECT doc_id, fixed,
+                   (len(text) != len(fixed)) AS was_mojibake,
+                   CAST(len(text) - len(fixed) AS BIGINT) AS n_chars_removed
+            FROM f
         """,
     }

@@ -70,6 +70,23 @@ class CrawlConfig:
     # (resume only ever needs the latest; time travel needs history — set
     # None to retain everything)
     expire_keep_last: int | None = None
+    # Link-graph authority blend (the OPIC/PageRank frontier-ordering a
+    # web-scale crawler runs: pages that the crawl itself discovers to be
+    # link-popular outrank their siblings within a host's budget). Every
+    # rank_every epochs, recompute URL-level PageRank over the accumulated
+    # link_edges table (persisted in snapshots, so resume reproduces the
+    # same refresh points) and add rank_weight × rank to every frontier
+    # row's priority. Reproducible: fixed-iteration PageRank + an exact
+    # join — reruns at the same parallelism are byte-identical. (Unlike
+    # the unranked path, ranks are IEEE float SUMS, so across different
+    # parallelism the last ulp — and thus an exact priority tie — can
+    # differ; the unranked schedule's any-parallelism sha guarantee is
+    # scoped to rank_every=None.) None = off (the default;
+    # crawl-equivalence-vs-oracle tests run unranked).
+    rank_every: int | None = None
+    rank_iterations: int = 3
+    rank_damping: float = 0.85
+    rank_weight: float = 1.0
     drain: DrainConfig = field(default_factory=DrainConfig)
     seen: SeenConfig = field(default_factory=SeenConfig)
 
@@ -253,10 +270,12 @@ def run_crawl(
         exploded = ok.select(
             "depth",
             "priority",
+            F.col("url_hash").alias("src_hash"),
             F.explode(links_udf(F.col("html"), F.col("url"))).alias("raw_link"),
         )
+        expanded = canon.identity_first(exploded, F.col("raw_link"), "c_url")
         children = (
-            canon.identity_first(exploded, F.col("raw_link"), "c_url")
+            expanded
             .select(
                 F.col("c_url").alias("url"),
                 "url_hash",
@@ -312,6 +331,38 @@ def run_crawl(
             merge_parts.append(recrawl_rows)
 
         next_frontier = _merge_frontier(merge_parts, n_buckets=frontier_buckets)
+
+        # --- link-graph authority refresh (optional; see CrawlConfig)
+        edges_inc = None
+        if cfg.rank_every is not None:
+            edges_inc = expanded.filter(F.col("host") != "").select(
+                F.col("src_hash").alias("src"),
+                F.col("url_hash").alias("dst"),
+                F.lit(epoch).cast("long").alias("epoch"),
+            )
+            if (epoch + 1) % cfg.rank_every == 0:
+                from .graph import frontier_priority_from_ranks, pagerank
+
+                hist = store.read(spark, "link_edges")
+                all_edges = edges_inc.select("src", "dst")
+                if hist is not None:
+                    all_edges = hist.select("src", "dst").unionByName(all_edges)
+                ranks = pagerank(
+                    all_edges,
+                    iterations=cfg.rank_iterations,
+                    damping=cfg.rank_damping,
+                )
+                # URL-granular ranks: frontier-sized, so an honest hash
+                # join (no broadcast) — then restore the host clustering
+                # the bucketed frontier write expects. Both shuffles are
+                # paid only on rank-refresh epochs.
+                next_frontier = frontier_priority_from_ranks(
+                    next_frontier,
+                    ranks,
+                    key="url_hash",
+                    weight=cfg.rank_weight,
+                    broadcast_ranks=False,
+                ).repartition(frontier_buckets, F.col("host"))
 
         # --- per-partition lineage (north_star: partition id, host range,
         #     URLs emitted/deduped, politeness-latency spread)
@@ -383,6 +434,8 @@ def run_crawl(
             "dead_letter": dead_inc,
             "blocked": blocked,
         }
+        if edges_inc is not None:
+            append_tables["link_edges"] = edges_inc
         if compacting:
             replace_tables["seen_state"] = compact_state(seen_after, cfg.seen, epoch)
         else:

@@ -830,3 +830,74 @@ def paragraph_dedup(
             ).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------- encoding repair
+
+
+def _as_cp1252_mojibake(ch: str) -> str:
+    """How `ch` renders after the classic corruption: its UTF-8 bytes
+    decoded as Windows-1252 (bytes undefined in cp1252 — 0x81 0x8D 0x8F
+    0x90 0x9D — pass through as their Latin-1 control codepoints, the
+    lenient behavior of real-world decoders and of ftfy's
+    "sloppy-windows-1252")."""
+    out = []
+    for b in ch.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+# Characters repaired by fix_mojibake, in the order the replace chain
+# runs. All start with â/Ã/Â after corruption (UTF-8 lead bytes 0xE2,
+# 0xC3, 0xC2 decoded as cp1252), so no rule's input overlaps another
+# rule's output and chain order across groups is immaterial.
+MOJIBAKE_CHARS: tuple[str, ...] = (
+    "‘", "’", "“", "”",  # curly quotes
+    "–", "—", "…",            # dashes, ellipsis
+    "é", "è", "á", "ó", "ú", "í", "ï", "ñ", "ü", "ö", "ä", "ç",
+    "°", "«", "»", " ",                 # symbols, nbsp
+)
+
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = tuple(
+    (_as_cp1252_mojibake(ch), ch) for ch in MOJIBAKE_CHARS
+)
+
+
+def fix_mojibake_col(text: Column) -> Column:
+    """Repair UTF-8-decoded-as-Windows-1252 mojibake ("â€™" -> "'",
+    "Ã©" -> "é", …) — the ftfy-style encoding-fix pass web-text pipelines
+    run before any tokenization (crawled pages routinely declare the
+    wrong charset). Expression-only: a chain of literal `replace`s over
+    the curated table above, fully inside whole-stage codegen — no UDF,
+    and exactly mirrorable as SQL `replace()` calls so an independent
+    engine reproduces it byte-for-byte. The table covers the dominant
+    3-byte punctuation family (U+2013..U+2026) and the Latin-1
+    supplement letters most frequent in web corpora; it deliberately does
+    NOT attempt statistical re-decoding (that needs bytes, not text, and
+    belongs at ingestion)."""
+    out = text
+    for broken, fixed in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(broken), F.lit(fixed))
+    return out
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply `fix_mojibake_col` and report per-doc repair evidence:
+    (id_col, fixed, was_mojibake, n_chars_removed). Every repair strictly
+    shortens the text (each mojibake sequence is 2-3 chars for a 1-char
+    original), so `n_chars_removed` counts repaired bytes-worth and
+    `was_mojibake` flags any change. Map-only; pushes through the scan
+    at any scale."""
+    t = F.col(text_col)
+    fixed = fix_mojibake_col(t)
+    return df.select(
+        id_col,
+        fixed.alias("fixed"),
+        (F.length(t) != F.length(fixed)).alias("was_mojibake"),
+        (F.length(t) - F.length(fixed)).cast("long").alias("n_chars_removed"),
+    )

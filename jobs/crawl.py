@@ -46,6 +46,12 @@ def main(argv=None):
     ap.add_argument("--warc-out", default=None,
                     help="after the crawl, archive every fetched page as "
                          "Common-Crawl-compatible .warc.gz shards in this dir")
+    ap.add_argument("--rank-every", type=int, default=None,
+                    help="every N epochs, recompute URL-level PageRank over "
+                         "the accumulated link graph and blend it into "
+                         "frontier priorities (OPIC-style crawl ordering)")
+    ap.add_argument("--rank-weight", type=float, default=1.0,
+                    help="priority += rank-weight * pagerank on refresh epochs")
     args = ap.parse_args(argv)
 
     from frontier_engine import fixtures
@@ -64,6 +70,8 @@ def main(argv=None):
         max_epochs=args.max_epochs,
         collect_stats=not args.no_stats,
         recrawl_after_epochs=args.recrawl_epochs,
+        rank_every=args.rank_every,
+        rank_weight=args.rank_weight,
         drain=DrainConfig(epoch_seconds=args.epoch_seconds),
     )
     robots_path = paths["robots"]

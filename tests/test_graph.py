@@ -1,0 +1,143 @@
+"""Link-graph PageRank: parity against an independent dense-matrix
+reference (numpy), plus the frontier-priority blend."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from frontier_engine.graph import frontier_priority_from_ranks, pagerank
+
+EDGES = [
+    # a small web: 0 is a hub, 3 is dangling (no out-links), 4 is an
+    # orphan source (no in-links), 2<->1 is a cycle.
+    (0, 1), (0, 2), (0, 3),
+    (1, 2),
+    (2, 1), (2, 3),
+    (4, 0),
+]
+
+
+def _numpy_pagerank(edges, iterations, damping):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    ranks = np.ones(n)
+    for _ in range(iterations):
+        new = np.full(n, 1.0 - damping)
+        for u, v in edges:
+            new[idx[v]] += damping * ranks[idx[u]] / outdeg[idx[u]]
+        ranks = new
+    return {nodes[i]: ranks[i] for i in range(n)}
+
+
+def test_pagerank_matches_dense_reference(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=8, damping=0.85).collect()
+    }
+    want = _numpy_pagerank(EDGES, iterations=8, damping=0.85)
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert abs(got[node] - rank) < 1e-9, (node, got[node], rank)
+
+
+def test_pagerank_structure(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=8, damping=0.85).collect()
+    }
+    # orphan source: exactly the base (1 - d)
+    assert abs(got[4] - 0.15) < 1e-12
+    # the hub's in-rank all comes from node 4's single out-link
+    assert abs(got[0] - (0.15 + 0.85 * got[4])) < 1e-9
+    # duplicate edges collapse: doubling an edge row changes nothing
+    dup = edges.unionByName(edges.limit(3))
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(dup, iterations=8, damping=0.85).collect()
+    }
+    assert got == got2
+
+
+def test_frontier_priority_blend(spark):
+    frontier = spark.createDataFrame(
+        [("a.com", "http://a.com/x", 1.0), ("zz.org", "http://zz.org/y", 1.0)],
+        ["host", "url", "priority"],
+    )
+    ranks = spark.createDataFrame([("a.com", 2.5)], ["node", "rank"])
+    out = {
+        r["host"]: r["priority"]
+        for r in frontier_priority_from_ranks(frontier, ranks, weight=0.1).collect()
+    }
+    assert abs(out["a.com"] - 1.25) < 1e-12
+    assert out["zz.org"] == 1.0  # unknown host keeps base priority
+    cols = frontier_priority_from_ranks(frontier, ranks).columns
+    assert cols == ["host", "url", "priority"]
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    try:
+        pagerank(edges, iterations=0)
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError for iterations=0")
+
+
+def test_rank_blend_wired_into_crawl(spark, tmp_path):
+    """rank_every wiring: after one ranked epoch the committed frontier's
+    child rows all carry a strictly higher priority than the unranked
+    run's (every discovered child is a dst in the link graph, so its
+    PageRank is at least 1-d = 0.15), the link_edges table is persisted,
+    and a rerun is byte-identical."""
+    from dataclasses import replace
+
+    from frontier_engine import fixtures
+    from frontier_engine.crawl import CrawlConfig, run_crawl
+    from frontier_engine.frontier import DrainConfig
+    from frontier_engine.seen import SeenConfig
+    from frontier_engine.snapshot import SnapshotStore
+
+    corpus = fixtures.corpus("mini")
+    base = CrawlConfig(
+        max_depth=2,
+        max_epochs=1,
+        drain=DrainConfig(epoch_seconds=3.0),
+        seen=SeenConfig(n_buckets=8, bits_per_bucket=1 << 14),
+    )
+    ranked = replace(base, rank_every=1, rank_iterations=3, rank_weight=1.0)
+
+    whs = {}
+    for name, cfg in [("plain", base), ("r1", ranked), ("r2", ranked)]:
+        wh = str(tmp_path / name)
+        run_crawl(spark, corpus["pages"], corpus["seeds"], corpus["robots"], wh, cfg)
+        whs[name] = SnapshotStore(wh)
+
+    edges = whs["r1"].read(spark, "link_edges")
+    assert edges is not None and edges.count() > 0
+    assert set(edges.columns) == {"src", "dst", "epoch"}
+
+    def frontier_rows(store):
+        return {
+            r["url"]: (r["priority"], r["depth"])
+            for r in store.read(spark, "frontier").collect()
+        }
+
+    plain, r1, r2 = (frontier_rows(whs[n]) for n in ("plain", "r1", "r2"))
+    assert r1 == r2  # same-parallelism rerun is byte-identical
+    assert set(plain) == set(r1)  # one epoch: same drain, same membership
+    boosted = 0
+    for url, (p0, depth) in plain.items():
+        p1 = r1[url][0]
+        assert p1 >= p0 - 1e-12, (url, p0, p1)
+        if depth > 0:
+            # every child is a link target => rank >= 0.15 => boost
+            assert p1 > p0 + 0.14, (url, p0, p1)
+            boosted += 1
+    assert boosted > 0

@@ -275,3 +275,44 @@ def test_paragraph_dedup_first_wins(spark):
     # unique paragraphs all kept
     assert all(keep for (d, p), (para, keep) in got.items() if para != "boiler")
     assert len(got) == 7
+
+
+# ------------------------------------------------- encoding repair
+
+
+def test_fix_mojibake_round_trip_every_char(spark):
+    from frontier_engine.textops import MOJIBAKE_CHARS, _as_cp1252_mojibake, fix_mojibake
+
+    rows = [
+        (i, f"x {_as_cp1252_mojibake(ch)} y", f"x {ch} y")
+        for i, ch in enumerate(MOJIBAKE_CHARS)
+    ]
+    df = spark.createDataFrame(
+        [(i, broken) for i, broken, _ in rows], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+    for i, broken, fixed in rows:
+        assert got[i]["fixed"] == fixed, (broken, got[i]["fixed"], fixed)
+        assert got[i]["was_mojibake"] is True
+        assert got[i]["n_chars_removed"] == len(broken) - len(fixed) > 0
+
+
+def test_fix_mojibake_sentence_and_clean_passthrough(spark):
+    from frontier_engine.textops import fix_mojibake
+
+    df = spark.createDataFrame(
+        [
+            (1, "donâ€™t visit the cafÃ© â€” itâ€™s â€œclosedâ€\x9d at 25Â°"),
+            (2, "plain ascii stays untouched"),
+            (3, "already-fixed don’t café — “closed” 25°"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+    assert got[1]["fixed"] == "don’t visit the café — it’s “closed” at 25°"
+    assert got[1]["was_mojibake"] is True
+    assert got[2]["fixed"] == "plain ascii stays untouched"
+    assert got[2]["was_mojibake"] is False
+    assert got[2]["n_chars_removed"] == 0
+    assert got[3]["fixed"] == got[3]["fixed"] == "already-fixed don’t café — “closed” 25°"
+    assert got[3]["was_mojibake"] is False
