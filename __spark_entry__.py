@@ -699,6 +699,39 @@ def q_fix_mojibake(spark, sf):
     return TX.fix_mojibake(aug)
 
 
+_C4_SUFFIXES = (
+    "This planted line ends with a period.\nshort line\nvar config = { a: 1 };",
+    "Click here\nA clean sentence with enough words here.\n"
+    "Please enable javascript to continue now.",
+    "Lorem ipsum dolor sit amet.\nAnother proper sentence follows right here!",
+    "Is this a question with words?\nno terminal punct on this line",
+)
+
+
+def q_c4_clean(spark, sf):
+    """C4 line-level cleaning (Raffel et al. 2020): keep only lines that
+    end in terminal punctuation, have >=3 words, and don't mention
+    "javascript"; flag the page-level lorem-ipsum / curly-brace signals.
+    The fixture text is single-line, so the query plants a deterministic
+    multi-line suffix per doc (4 rotating blocks that each exercise a
+    different rule: short line, code line, no-terminal-punct line,
+    javascript line, lorem-ipsum line, and two clean survivors) — the
+    SAME concat runs in the DuckDB oracle, so the filter itself is what's
+    hash-checked. The base text gets '.' appended so it survives and the
+    cleaned column is never empty."""
+    d = _t(spark, sf, "documents")
+    sufs = F.array(*[F.lit(s) for s in _C4_SUFFIXES])
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(".\n"),
+            F.element_at(sufs, (F.col("doc_id") % 4 + 1).cast("int")),
+        ).alias("text"),
+    )
+    return TX.c4_clean(aug)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -741,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "pagerank": q_pagerank,
         "fix_mojibake": q_fix_mojibake,
+        "c4_clean": q_c4_clean,
     }
 
 
@@ -794,6 +828,22 @@ def _moji_suffix_case() -> str:
     return (
         "CASE CAST(doc_id % 3 AS INT)"
         f" WHEN 0 THEN '{c[0]}' WHEN 1 THEN '{c[1]}' ELSE '{c[2]}' END"
+    )
+
+
+def _sql_str(s: str) -> str:
+    """A Python string as a DuckDB expression, newlines via chr(10) so the
+    SQL source itself stays single-line."""
+    quoted = "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+    return quoted
+
+
+def _c4_suffix_case() -> str:
+    c = [_sql_str(s) for s in _C4_SUFFIXES]
+    return (
+        "CASE CAST(doc_id % 4 AS INT)"
+        f" WHEN 0 THEN {c[0]} WHEN 1 THEN {c[1]}"
+        f" WHEN 2 THEN {c[2]} ELSE {c[3]} END"
     )
 
 _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) >= 1)"
@@ -1215,5 +1265,30 @@ def oracle_sql() -> dict[str, str]:
                    (len(text) != len(fixed)) AS was_mojibake,
                    CAST(len(text) - len(fixed) AS BIGINT) AS n_chars_removed
             FROM f
+        """,
+        "c4_clean": rf"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || '.' || chr(10) || {_c4_suffix_case()} AS text
+                FROM documents),
+            l AS (SELECT doc_id, text,
+                         string_split(text, chr(10)) AS lines
+                  FROM aug),
+            k AS (SELECT doc_id, text, lines,
+                         list_filter(lines, x ->
+                             regexp_matches(rtrim(x), '[.!?"{'”'}]$')
+                             AND len(list_filter(
+                                     string_split_regex(trim(x), '\s+'),
+                                     w -> len(w) >= 1)) >= 3
+                             AND NOT contains(lower(x), 'javascript')
+                         ) AS kept
+                  FROM l)
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS cleaned,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{{') AS has_brace
+            FROM k
         """,
     }

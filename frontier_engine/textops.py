@@ -901,3 +901,57 @@ def fix_mojibake(
         (F.length(t) != F.length(fixed)).alias("was_mojibake"),
         (F.length(t) - F.length(fixed)).cast("long").alias("n_chars_removed"),
     )
+
+
+# ------------------------------------------------- C4-style line cleaning
+
+
+#: A line survives the C4 line filter only if it ends in one of these
+#: (after right-trimming spaces) — period, bang, question mark, straight
+#: or curly closing quote (Raffel et al. 2020, §2.2 "we only retained
+#: lines that ended in a terminal punctuation mark").
+C4_TERMINAL_RE = '[.!?"”]$'
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, public):
+    split the document on newlines and keep only lines that (a) end in a
+    terminal punctuation mark, (b) contain at least ``min_words``
+    whitespace words, and (c) do not mention "javascript"; also surface
+    the two C4 page-level drop signals — "lorem ipsum" and a curly
+    brace — as boolean flags so the caller applies page policy
+    downstream. Output: (id_col, cleaned, n_lines, n_kept, has_lorem,
+    has_brace).
+
+    Entirely expression-level (`split` + higher-order `filter` +
+    `array_join`), so the whole pass runs inside whole-stage codegen with
+    no UDF and pushes through the parquet scan at any scale — and it is
+    exactly mirrorable in ANSI-ish SQL (list_filter/regexp), which is how
+    the oracle checks it byte-for-byte."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _keep(l):  # noqa: E741  (l = line, conventional here)
+        words = F.filter(
+            F.split(F.trim(l), r"\s+"), lambda w: F.length(w) >= 1
+        )
+        return (
+            F.regexp_like(F.rtrim(l), F.lit(C4_TERMINAL_RE))
+            & (F.size(words) >= min_words)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        id_col,
+        F.array_join(kept, "\n").alias("cleaned"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.contains(F.lower(t), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(t, F.lit("{")).alias("has_brace"),
+    )

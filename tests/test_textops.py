@@ -316,3 +316,50 @@ def test_fix_mojibake_sentence_and_clean_passthrough(spark):
     assert got[2]["n_chars_removed"] == 0
     assert got[3]["fixed"] == got[3]["fixed"] == "already-fixed don’t café — “closed” 25°"
     assert got[3]["was_mojibake"] is False
+
+
+# ------------------------------------------------- C4 line cleaning
+
+
+def test_c4_clean_each_rule(spark):
+    from frontier_engine.textops import c4_clean
+
+    doc = "\n".join(
+        [
+            "A good sentence with plenty of words.",   # kept
+            "short line",                                # no terminal punct + <3 words
+            "Two words.",                                # terminal punct but <3 words
+            "var config = { a: 1 };",                    # ends ';'
+            "Please enable JavaScript to continue now.", # javascript (case-insensitive)
+            "Is this a proper question?",                # kept
+            'He said "stop right there."',               # kept (quote-period)
+            "Trailing spaces survive rtrim.   ",         # kept
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, doc), (2, "Lorem ipsum dolor sit amet."), (3, "code { x }")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 8 and r1["n_kept"] == 4
+    assert r1["cleaned"].split("\n") == [
+        "A good sentence with plenty of words.",
+        "Is this a proper question?",
+        'He said "stop right there."',
+        "Trailing spaces survive rtrim.   ",
+    ]
+    assert r1["has_lorem"] is False and r1["has_brace"] is True
+
+    assert got[2]["has_lorem"] is True and got[2]["n_kept"] == 1
+    assert got[3]["has_brace"] is True and got[3]["n_kept"] == 0
+    assert got[3]["cleaned"] == ""
+
+
+def test_c4_clean_min_words_knob(spark):
+    from frontier_engine.textops import c4_clean
+
+    df = spark.createDataFrame([(1, "Two words.")], ["doc_id", "text"])
+    assert c4_clean(df, min_words=2).collect()[0]["n_kept"] == 1
+    assert c4_clean(df, min_words=3).collect()[0]["n_kept"] == 0
