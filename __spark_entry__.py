@@ -732,6 +732,20 @@ def q_c4_clean(spark, sf):
     return TX.c4_clean(aug)
 
 
+def q_substring_dedup(spark, sf):
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr, k-gram-hash
+    formulation): every maximal token span whose 8-token windows all
+    recur elsewhere in the corpus, first occurrence kept — the deletion
+    plan a curation pipeline cuts from training text. The fixture's tiny
+    shared vocabulary plus its planted near-duplicate documents produce
+    real cross-document repeats, so the win/lose and span-merge logic is
+    genuinely exercised. Spark marks windows by xxhash64; the oracle
+    groups on the gram text itself, so a hash collision would surface as
+    a gate mismatch (see textops.substring_dedup for the 100 TB shape)."""
+    d = _t(spark, sf, "documents")
+    return TX.substring_dedup(d.select("doc_id", "text"), k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -775,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "fix_mojibake": q_fix_mojibake,
         "c4_clean": q_c4_clean,
+        "substring_dedup": q_substring_dedup,
     }
 
 
@@ -1265,6 +1280,45 @@ def oracle_sql() -> dict[str, str]:
                    (len(text) != len(fixed)) AS was_mojibake,
                    CAST(len(text) - len(fixed) AS BIGINT) AS n_chars_removed
             FROM f
+        """,
+        "substring_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> length(w) > 0) AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+                       array_to_string(t[u.i+1 : u.i+8], ' ') AS gram
+                FROM toks,
+                     UNNEST(range(0, greatest(len(t)-8+1, 0))) AS u(i)),
+            winners AS (
+                SELECT gram, count(*) AS c,
+                       first(doc_id ORDER BY doc_id, start) AS wd,
+                       first(start  ORDER BY doc_id, start) AS ws
+                FROM grams GROUP BY gram),
+            dups AS (
+                SELECT g.doc_id, g.start, g.start + 8 AS e
+                FROM grams g JOIN winners w USING (gram)
+                WHERE w.c > 1
+                  AND NOT (g.doc_id = w.wd AND g.start = w.ws)),
+            marked AS (
+                SELECT doc_id, start, e,
+                       CASE WHEN start > coalesce(max(e) OVER (
+                                PARTITION BY doc_id ORDER BY start
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS brk
+                FROM dups),
+            isl AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY doc_id ORDER BY start) AS island
+                FROM marked)
+            SELECT doc_id,
+                   CAST(min(start) AS BIGINT) AS span_start,
+                   CAST(max(e) AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, island
         """,
         "c4_clean": rf"""
             WITH aug AS (

@@ -955,3 +955,98 @@ def c4_clean(
         F.contains(F.lower(t), F.lit("lorem ipsum")).alias("has_lorem"),
         F.contains(t, F.lit("{")).alias("has_brace"),
     )
+
+
+# ------------------------------------------------- exact-substring dedup
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): find every
+    maximal token span whose k-token windows ALL occur elsewhere in the
+    corpus, keeping the first occurrence — the spans are the deletion
+    plan a curation pipeline cuts out of the training text. Lee et al.
+    build a corpus-wide suffix array; the standard distributed
+    formulation (used by the Dolma and RedPajama dedup passes) slides a
+    k-token window, hashes each window, and marks every non-first
+    occurrence of a repeated window, then merges overlapping marked
+    windows into maximal spans.
+
+    Returns one row per duplicated span:
+    (id_col, span_start, span_end, n_windows) — token positions, 0-based,
+    end-exclusive; n_windows = number of k-gram windows merged into it.
+
+    Scale shape, stage by stage:
+    * window hashing is expression-only (`transform` over a `sequence`
+      of start offsets; `xxhash64(array_join(slice(...)))`) inside
+      whole-stage codegen — the only shuffled representation of a window
+      is its 8-byte hash plus (id, start): ~24 bytes/row at any corpus
+      size, never the gram text;
+    * first-occurrence winners come from a partial-aggregating
+      `groupBy(h).agg(min(struct(id, start)), count)` — map-side combine
+      collapses a boilerplate window repeated a billion times before the
+      shuffle (same skew-safety argument as `paragraph_dedup`; a window
+      function would sort the mega-group on one task);
+    * the join back on the hash is AQE-skew-splittable;
+    * span merge (gaps-and-islands) windows only per document, bounded
+      by document length, never corpus-wide.
+
+    Dedup identity is the 64-bit window hash: at 100 TB you dedup on the
+    hash, never on the string (the oracle groups on the gram text itself,
+    so a collision would surface as a hash mismatch in the gate).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) >= 1
+    )
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    window_hashes = F.transform(
+        starts,
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(window_hashes).alias("start", "h"),
+    )
+    winners = grams.groupBy("h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("start").alias("p"))
+        ).alias("w"),
+        F.count("*").alias("c"),
+    )
+    dups = (
+        grams.join(winners, "h")
+        .filter(
+            (F.col("c") > 1)
+            & ~(
+                (F.col(id_col) == F.col("w.i"))
+                & (F.col("start") == F.col("w.p"))
+            )
+        )
+        .select(id_col, "start", (F.col("start") + k).alias("e"))
+    )
+    by_doc = Window.partitionBy(id_col).orderBy("start")
+    prev_max_e = F.max("e").over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dups.withColumn(
+        "brk",
+        F.when(F.col("start") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("brk").over(by_doc))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("island")
+    )

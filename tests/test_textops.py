@@ -363,3 +363,70 @@ def test_c4_clean_min_words_knob(spark):
     df = spark.createDataFrame([(1, "Two words.")], ["doc_id", "text"])
     assert c4_clean(df, min_words=2).collect()[0]["n_kept"] == 1
     assert c4_clean(df, min_words=3).collect()[0]["n_kept"] == 0
+
+
+# ------------------------------------------------- exact-substring dedup
+
+
+def test_substring_dedup_marks_non_first_occurrences(spark):
+    # Docs 1 and 2 share the 4-token run "a b c d"; doc 1 is first by
+    # (doc_id, start), so only doc 2's copy is a duplicated span.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),
+            (2, "p q a b c d r"),
+            (3, "unrelated words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = TX.substring_dedup(df, k=4).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"]) for r in out] == [
+        (2, 2, 6, 1)
+    ]
+
+
+def test_substring_dedup_merges_overlapping_windows(spark):
+    # Doc 2 repeats doc 1's full 6-token run: with k=4 that is three
+    # overlapping duplicated windows (starts 0,1,2) merging to one span
+    # [0, 6).
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    out = TX.substring_dedup(df, k=4).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"]) for r in out] == [
+        (2, 0, 6, 3)
+    ]
+
+
+def test_substring_dedup_within_doc_repeat_and_short_docs(spark):
+    # A repeat INSIDE one document is also a duplicate (second copy
+    # marked); docs shorter than k produce no windows and never crash.
+    df = spark.createDataFrame(
+        [(1, "a b c d mid a b c d"), (2, "too short")],
+        ["doc_id", "text"],
+    )
+    out = TX.substring_dedup(df, k=4).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"]) for r in out] == [
+        (1, 5, 9, 1)
+    ]
+
+
+def test_substring_dedup_disjoint_spans_stay_separate(spark):
+    # Two repeated runs separated by unique filler produce two spans,
+    # not one merged span.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d unique1 unique2 e f g h"),
+            (2, "a b c d filler3 filler4 e f g h"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        TX.substring_dedup(df, k=4).collect(),
+        key=lambda r: (r["doc_id"], r["span_start"]),
+    )
+    assert [(r["doc_id"], r["span_start"], r["span_end"]) for r in out] == [
+        (2, 0, 4),
+        (2, 6, 10),
+    ]
