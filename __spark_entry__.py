@@ -746,6 +746,21 @@ def q_substring_dedup(spark, sf):
     return TX.substring_dedup(d.select("doc_id", "text"), k=8)
 
 
+def q_dsir_affinity(spark, sf):
+    """DSIR-style data selection (Xie et al. 2023): score every document
+    by hashed unigram+bigram target affinity against a deterministic
+    in-domain subset (doc_id % 17 == 0 stands in for "the target domain"
+    so the gate is reproducible). Integer-exact affinity ratio — see
+    textops.dsir_affinity for why the scores hash-match bit-for-bit.
+    Bucket stats (1024 rows) broadcast back; the corpus side is two
+    partial aggregations."""
+    d = _t(spark, sf, "documents")
+    docs = d.select(
+        "doc_id", "text", (F.col("doc_id") % 17 == 0).alias("is_target")
+    )
+    return TX.dsir_affinity(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -790,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "c4_clean": q_c4_clean,
         "substring_dedup": q_substring_dedup,
+        "dsir_affinity": q_dsir_affinity,
     }
 
 
@@ -1280,6 +1296,44 @@ def oracle_sql() -> dict[str, str]:
                    (len(text) != len(fixed)) AS was_mojibake,
                    CAST(len(text) - len(fixed) AS BIGINT) AS n_chars_removed
             FROM f
+        """,
+        "dsir_affinity": r"""
+            WITH docs AS (
+                SELECT doc_id, text, (doc_id % 17 = 0) AS is_target
+                FROM documents),
+            toks AS (
+                SELECT doc_id, is_target,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> length(w) > 0) AS t
+                FROM docs),
+            feats AS (
+                SELECT doc_id, is_target, f.gram
+                FROM toks,
+                     UNNEST(list_concat(
+                         t,
+                         CASE WHEN len(t) >= 2
+                              THEN list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])
+                              ELSE CAST([] AS VARCHAR[]) END)) AS f(gram)),
+            b AS (
+                SELECT doc_id, is_target,
+                       CAST(('0x' || substr(md5(gram),1,15)) AS BIGINT)
+                           % 1024 AS b
+                FROM feats),
+            stats AS (
+                SELECT b,
+                       CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END)
+                            AS BIGINT) AS t_cnt,
+                       count(*) AS a_cnt
+                FROM b GROUP BY b)
+            SELECT doc_id, is_target,
+                   CAST(sum(t_cnt + 1) AS BIGINT) AS aff_num,
+                   CAST(sum(a_cnt + 1) AS BIGINT) AS aff_den,
+                   CAST(CAST(sum(t_cnt + 1) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(sum(a_cnt + 1) AS BIGINT) AS DOUBLE)
+                       AS affinity
+            FROM b JOIN stats USING (b)
+            GROUP BY doc_id, is_target
         """,
         "substring_dedup": r"""
             WITH toks AS (

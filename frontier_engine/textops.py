@@ -1050,3 +1050,88 @@ def substring_dedup(
         )
         .drop("island")
     )
+
+
+# ------------------------------------------------- DSIR target affinity
+
+
+def dsir_affinity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data-selection scoring with hashed n-gram features, after DSIR
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", public): featurize every document into hashed unigram+
+    bigram buckets, estimate per-bucket occurrence counts for a small
+    in-domain TARGET subset and for the RAW corpus, and score each
+    document by how target-like its features are. Pipelines rank or
+    sample by the score to pick pretraining data that matches a target
+    domain.
+
+    This variant keeps the paper's featurization (hashed n-grams, here
+    60-bit md5 prefix mod ``n_buckets``) but scores with the pure-integer
+    affinity ratio
+
+        affinity = sum_f (target_count[b(f)] + 1)
+                 / sum_f (raw_count[b(f)]    + 1)
+
+    summed over the document's feature OCCURRENCES — both sums are exact
+    int64 arithmetic, so an independent engine reproduces every score
+    bit-for-bit (the true DSIR log-likelihood-ratio sums floats, whose
+    value depends on summation order; the ratio above is the same
+    monotone "target-frequency over corpus-frequency" signal with +1
+    smoothing, chosen for oracle exactness the same way `rare_terms`
+    uses tf/(df+1)).
+
+    Returns (id_col, target_col, aff_num, aff_den, affinity) — one row
+    per document with at least one token.
+
+    Scale shape: the only corpus-sized dataflow is the feature explode
+    (expression-only: `split` + `transform` bigrams + `explode`); bucket
+    stats aggregate to exactly ``n_buckets`` rows (partial map-side
+    combine does almost all the work) and broadcast back, so scoring a
+    100 TB corpus is two partial aggregations and one broadcast join —
+    no shuffle ever carries gram text, and no bucket can be skewed into
+    a straggler because the join side is broadcast.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) >= 1
+    )
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        F.col(id_col),
+        F.col(target_col),
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    ).select(
+        id_col,
+        target_col,
+        (md5_hash60_col(F.col("gram")) % n_buckets).alias("b"),
+    )
+    stats = feats.groupBy("b").agg(
+        F.sum(F.col(target_col).cast("long")).alias("t_cnt"),
+        F.count("*").alias("a_cnt"),
+    )
+    return (
+        feats.join(F.broadcast(stats), "b")
+        .groupBy(id_col, target_col)
+        .agg(
+            F.sum(F.col("t_cnt") + 1).cast("long").alias("aff_num"),
+            F.sum(F.col("a_cnt") + 1).cast("long").alias("aff_den"),
+        )
+        .withColumn(
+            "affinity",
+            F.col("aff_num").cast("double") / F.col("aff_den").cast("double"),
+        )
+    )

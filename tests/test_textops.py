@@ -430,3 +430,40 @@ def test_substring_dedup_disjoint_spans_stay_separate(spark):
         (2, 0, 4),
         (2, 6, 10),
     ]
+
+
+# ------------------------------------------------- DSIR target affinity
+
+
+def test_dsir_affinity_ranks_target_like_docs_higher(spark):
+    # Target domain speaks "alpha beta gamma"; doc 10 shares its
+    # vocabulary, doc 11 does not — 10 must outscore 11.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta", True),
+            (2, "beta gamma alpha gamma", True),
+            (10, "alpha beta gamma", False),
+            (11, "one two three four", False),
+        ],
+        ["doc_id", "text", "is_target"],
+    )
+    out = {r["doc_id"]: r for r in TX.dsir_affinity(df).collect()}
+    assert out[10]["affinity"] > out[11]["affinity"]
+    # scores are the exact integer ratio
+    for r in out.values():
+        assert r["affinity"] == r["aff_num"] / r["aff_den"]
+
+
+def test_dsir_affinity_bigrams_reward_target_word_order(spark):
+    # Same unigrams, different order: the doc matching the target's
+    # BIGRAMS outscores the scrambled one.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", True),
+            (10, "alpha beta gamma delta", False),
+            (11, "delta gamma beta alpha", False),
+        ],
+        ["doc_id", "text", "is_target"],
+    )
+    out = {r["doc_id"]: r for r in TX.dsir_affinity(df).collect()}
+    assert out[10]["affinity"] > out[11]["affinity"]
