@@ -746,6 +746,17 @@ def q_substring_dedup(spark, sf):
     return TX.substring_dedup(d.select("doc_id", "text"), k=8)
 
 
+def q_substring_cut(spark, sf):
+    """ExactSubstr applied end-to-end: compute the duplicated-span
+    deletion plan (q_substring_dedup) and CUT it from the corpus,
+    returning cleaned text + before/after token counts for every
+    document. The cut is expression-only (indexed higher-order filter
+    over a broadcast cuts array) — nothing corpus-sized shuffles."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    spans = TX.substring_dedup(d, k=8)
+    return TX.apply_span_cuts(d, spans)
+
+
 def q_dsir_affinity(spark, sf):
     """DSIR-style data selection (Xie et al. 2023): score every document
     by hashed unigram+bigram target affinity against a deterministic
@@ -805,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "c4_clean": q_c4_clean,
         "substring_dedup": q_substring_dedup,
+        "substring_cut": q_substring_cut,
         "dsir_affinity": q_dsir_affinity,
     }
 
@@ -1296,6 +1308,63 @@ def oracle_sql() -> dict[str, str]:
                    (len(text) != len(fixed)) AS was_mojibake,
                    CAST(len(text) - len(fixed) AS BIGINT) AS n_chars_removed
             FROM f
+        """,
+        "substring_cut": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> length(w) > 0) AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+                       array_to_string(t[u.i+1 : u.i+8], ' ') AS gram
+                FROM toks,
+                     UNNEST(range(0, greatest(len(t)-8+1, 0))) AS u(i)),
+            winners AS (
+                SELECT gram, count(*) AS c,
+                       first(doc_id ORDER BY doc_id, start) AS wd,
+                       first(start  ORDER BY doc_id, start) AS ws
+                FROM grams GROUP BY gram),
+            dups AS (
+                SELECT g.doc_id, g.start, g.start + 8 AS e
+                FROM grams g JOIN winners w USING (gram)
+                WHERE w.c > 1
+                  AND NOT (g.doc_id = w.wd AND g.start = w.ws)),
+            marked AS (
+                SELECT doc_id, start, e,
+                       CASE WHEN start > coalesce(max(e) OVER (
+                                PARTITION BY doc_id ORDER BY start
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS brk
+                FROM dups),
+            isl AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY doc_id ORDER BY start) AS island
+                FROM marked),
+            spans AS (
+                SELECT doc_id,
+                       CAST(min(start) AS BIGINT) AS span_start,
+                       CAST(max(e) AS BIGINT) AS span_end
+                FROM isl GROUP BY doc_id, island),
+            cuts AS (
+                SELECT doc_id,
+                       list(struct_pack(s := span_start, e := span_end))
+                           AS cuts
+                FROM spans GROUP BY doc_id),
+            cut AS (
+                SELECT toks.doc_id, t,
+                       list_filter(t, (x, i) ->
+                           len(list_filter(
+                               coalesce(cuts.cuts,
+                                        CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                               c -> i-1 >= c.s AND i-1 < c.e)) = 0) AS kept
+                FROM toks LEFT JOIN cuts USING (doc_id))
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, ' '), '') AS cleaned,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(kept) AS BIGINT) AS n_kept
+            FROM cut
         """,
         "dsir_affinity": r"""
             WITH docs AS (

@@ -1135,3 +1135,52 @@ def dsir_affinity(
             F.col("aff_num").cast("double") / F.col("aff_den").cast("double"),
         )
     )
+
+
+def apply_span_cuts(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ExactSubstr deletion plan: cut the token ranges produced
+    by `substring_dedup` out of each document and re-join the survivors
+    with single spaces (Lee et al. 2022 delete the duplicated spans from
+    the training copy; this is that step). Token positions use the same
+    indexing as `substring_dedup` (whitespace split, empties dropped).
+
+    Returns (id_col, cleaned, n_tokens, n_kept) for every input document
+    — docs with no spans pass through with their tokens re-joined.
+
+    Scale shape: spans aggregate to one small array per AFFECTED doc and
+    join back on the id (broadcast-able — the plan is tiny relative to
+    the corpus); the cut itself is expression-only (indexed higher-order
+    `filter` + `exists` over the cuts array) inside whole-stage codegen.
+    Nothing corpus-sized shuffles: no explode, no re-group, no window.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) >= 1
+    )
+    cuts = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("cuts")
+    )
+    joined = df.join(F.broadcast(cuts), id_col, "left")
+    cuts_col = F.coalesce(
+        F.col("cuts"), F.array().cast("array<struct<s:long,e:long>>")
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            cuts_col, lambda c: (i >= c["s"]) & (i < c["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("cleaned"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )

@@ -467,3 +467,31 @@ def test_dsir_affinity_bigrams_reward_target_word_order(spark):
     )
     out = {r["doc_id"]: r for r in TX.dsir_affinity(df).collect()}
     assert out[10]["affinity"] > out[11]["affinity"]
+
+
+def test_apply_span_cuts_removes_planned_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z")], ["doc_id", "text"]
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 3, 1), (1, 4, 5, 1)],
+        ["doc_id", "span_start", "span_end", "n_windows"],
+    )
+    out = {r["doc_id"]: r for r in TX.apply_span_cuts(df, spans).collect()}
+    assert (out[1]["cleaned"], out[1]["n_tokens"], out[1]["n_kept"]) == ("a d f", 6, 3)
+    # doc without spans passes through re-joined
+    assert (out[2]["cleaned"], out[2]["n_kept"]) == ("x y z", 3)
+
+
+def test_apply_span_cuts_round_trip_with_substring_dedup(spark):
+    # End-to-end: the plan from substring_dedup, applied, leaves no
+    # duplicated k-gram's non-first occurrence behind.
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "fresh words here now")],
+        ["doc_id", "text"],
+    )
+    spans = TX.substring_dedup(df, k=4)
+    out = {r["doc_id"]: r for r in TX.apply_span_cuts(df, spans).collect()}
+    assert out[1]["cleaned"] == "a b c d e f"   # first occurrence kept
+    assert out[2]["cleaned"] == ""              # exact dup fully cut
+    assert out[3]["cleaned"] == "fresh words here now"
