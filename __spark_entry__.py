@@ -50,8 +50,10 @@ def _cents(col):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: document-corpus curation pipeline on sf0.001 — exact dedup,
-    language-ID, quality + repetition scoring, a keep/drop gate, token
-    accounting, per-source rollup. The LLM-pretraining data path end-to-end."""
+    exact-substring dedup (ExactSubstr plan + span cut), language-ID,
+    quality + repetition scoring, a keep/drop gate, token accounting
+    before and after the span cut, per-source rollup. The LLM-pretraining
+    data path end-to-end."""
     sf = "/root/testdata/sf0.001"
     docs = _t(spark, sf, "documents")
     deduped = TX.exact_dedup(docs)
@@ -70,12 +72,20 @@ def entry(spark: SparkSession) -> DataFrame:
         "keep",
         (F.col("quality") >= 0.5) & (F.col("dup_bigram") <= 0.5) & (F.col("n_tokens") >= 5),
     )
+    corpus = deduped.select("doc_id", "text")
+    cut = TX.apply_span_cuts(corpus, TX.substring_dedup(corpus, k=8)).select(
+        "doc_id", F.col("n_kept").alias("n_tokens_after_cut")
+    )
+    gated = gated.join(cut, "doc_id")
     return (
         gated.groupBy("source", "lang_guess")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
             F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+            F.sum(
+                F.when(F.col("keep"), F.col("n_tokens_after_cut")).otherwise(0)
+            ).alias("kept_tokens_after_cut"),
             F.round(F.avg("quality"), 4).alias("avg_quality"),
             F.round(F.avg("dup_bigram"), 4).alias("avg_dup_bigram"),
         )
