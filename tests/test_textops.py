@@ -495,3 +495,54 @@ def test_apply_span_cuts_round_trip_with_substring_dedup(spark):
     assert out[1]["cleaned"] == "a b c d e f"   # first occurrence kept
     assert out[2]["cleaned"] == ""              # exact dup fully cut
     assert out[3]["cleaned"] == "fresh words here now"
+
+
+def test_substring_dedup_randomized_parity_vs_python_reference(spark):
+    # 25 seeded random corpora, disjoint vocabularies so one Spark run
+    # scores them all without cross-corpus gram collisions; compare
+    # against a brute-force python reference of the same semantics.
+    import numpy as np
+
+    rng = np.random.RandomState(20260818)
+    K = 3
+    rows = []
+    for ci in range(25):
+        vocab = [f"c{ci}w{j}" for j in range(4)]
+        for di in range(rng.randint(2, 7)):
+            n = rng.randint(0, 31)
+            text = " ".join(vocab[rng.randint(0, len(vocab))] for _ in range(n))
+            rows.append((ci * 100 + di, text))
+
+    def reference(rows):
+        occ = {}
+        for doc_id, text in rows:
+            toks = [w for w in text.split() if w]
+            for s in range(max(len(toks) - K + 1, 0)):
+                occ.setdefault(" ".join(toks[s : s + K]), []).append((doc_id, s))
+        dups = {}
+        for gram, places in occ.items():
+            if len(places) < 2:
+                continue
+            w = min(places)
+            for p in places:
+                if p != w:
+                    dups.setdefault(p[0], []).append(p[1])
+        spans = []
+        for doc_id, starts in dups.items():
+            starts.sort()
+            cur_s, cur_e, n_w = starts[0], starts[0] + K, 1
+            for s in starts[1:]:
+                if s <= cur_e:
+                    cur_e, n_w = max(cur_e, s + K), n_w + 1
+                else:
+                    spans.append((doc_id, cur_s, cur_e, n_w))
+                    cur_s, cur_e, n_w = s, s + K, 1
+            spans.append((doc_id, cur_s, cur_e, n_w))
+        return sorted(spans)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in TX.substring_dedup(df, k=K).collect()
+    )
+    assert got == reference(rows)
