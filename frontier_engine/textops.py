@@ -1142,6 +1142,7 @@ def apply_span_cuts(
     spans: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_plan: bool = True,
 ) -> DataFrame:
     """Apply an ExactSubstr deletion plan: cut the token ranges produced
     by `substring_dedup` out of each document and re-join the survivors
@@ -1153,10 +1154,15 @@ def apply_span_cuts(
     — docs with no spans pass through with their tokens re-joined.
 
     Scale shape: spans aggregate to one small array per AFFECTED doc and
-    join back on the id (broadcast-able — the plan is tiny relative to
-    the corpus); the cut itself is expression-only (indexed higher-order
-    `filter` + `exists` over the cuts array) inside whole-stage codegen.
-    Nothing corpus-sized shuffles: no explode, no re-group, no window.
+    join back on the id; the cut itself is expression-only (indexed
+    higher-order `filter` + `exists` over the cuts array) inside
+    whole-stage codegen — no explode, no re-group, no window. With
+    ``broadcast_plan=True`` (default) the cuts table is broadcast —
+    right when the plan is small relative to the corpus (the usual
+    case). On a heavy-dup corpus where the plan itself is huge (e.g.
+    30%+ of a 100 TB corpus marked duplicated), pass
+    ``broadcast_plan=False`` to fall back to a shuffled equi-join on the
+    id — one well-partitioned shuffle, never a driver-sized broadcast.
     """
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) >= 1
@@ -1168,7 +1174,9 @@ def apply_span_cuts(
             )
         ).alias("cuts")
     )
-    joined = df.join(F.broadcast(cuts), id_col, "left")
+    joined = df.join(
+        F.broadcast(cuts) if broadcast_plan else cuts, id_col, "left"
+    )
     cuts_col = F.coalesce(
         F.col("cuts"), F.array().cast("array<struct<s:long,e:long>>")
     )
