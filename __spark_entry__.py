@@ -767,6 +767,19 @@ def q_substring_cut(spark, sf):
     return TX.apply_span_cuts(d, spans)
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing (GPT-style concat-and-chunk pretraining prep):
+    each doc's tokens land at (seq_id, offset) in one of 8 independent
+    shard streams chunked into 512-token sequences. The running token
+    count windows per shard — never the global single-partition window
+    that is the classic cumulative-sum scale trap. Integer-exact, so the
+    oracle reproduces every assignment bit-for-bit."""
+    d = _t(spark, sf, "documents")
+    return TX.pack_sequences(
+        d.select("doc_id", "text"), seq_len=512, n_shards=8
+    )
+
+
 def q_dsir_affinity(spark, sf):
     """DSIR-style data selection (Xie et al. 2023): score every document
     by hashed unigram+bigram target affinity against a deterministic
@@ -828,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "substring_cut": q_substring_cut,
         "dsir_affinity": q_dsir_affinity,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1375,6 +1389,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t) AS BIGINT) AS n_tokens,
                    CAST(len(kept) AS BIGINT) AS n_kept
             FROM cut
+        """,
+        "pack_sequences": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(doc_id % 8 AS BIGINT) AS shard,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           w -> length(w) > 0)) AS BIGINT) AS n_tokens
+                FROM documents),
+            cum AS (
+                SELECT doc_id, shard, n_tokens,
+                       coalesce(CAST(sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS BIGINT), 0) AS s
+                FROM base)
+            SELECT doc_id, shard, n_tokens,
+                   s // 512 AS seq_id,
+                   s % 512 AS offset_in_seq
+            FROM cum
         """,
         "dsir_affinity": r"""
             WITH docs AS (

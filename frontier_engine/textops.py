@@ -1192,3 +1192,57 @@ def apply_span_cuts(
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("n_kept"),
     )
+
+
+# ------------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining prep
+    step (public: Radford et al. 2019 / Brown et al. 2020 train on
+    fixed-length windows over concatenated documents): lay every
+    document's tokens end-to-end in a deterministic order and chunk the
+    stream into ``seq_len``-token training sequences, reporting where
+    each document lands (which sequence, at what offset).
+
+    Packing is SHARDED: docs hash to ``n_shards`` independent streams
+    (``id % n_shards``) and each shard packs its own docs in id order —
+    exactly how real pipelines shard pretraining data, and what makes
+    this scale: the running token count is a window partitioned BY SHARD
+    (never a global single-partition window, the classic cumulative-sum
+    scale trap). Raise ``n_shards`` with the cluster; each shard's
+    window sorts only its own docs.
+
+    Returns (id_col, shard, n_tokens, seq_id, offset_in_seq): the doc's
+    tokens occupy positions [seq_id*seq_len + offset_in_seq, +n_tokens)
+    of its shard's stream — documents straddle sequence boundaries, as
+    in the reference recipes. All arithmetic is integer-exact, so an
+    independent engine reproduces every assignment bit-for-bit.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) >= 1
+    )
+    base = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    by_shard = Window.partitionBy("shard").orderBy(id_col)
+    start = (
+        F.sum("n_tokens").over(
+            by_shard.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    )
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.coalesce(start, F.lit(0)) / seq_len).cast("long").alias("seq_id"),
+        (F.coalesce(start, F.lit(0)) % seq_len).cast("long").alias("offset_in_seq"),
+    )

@@ -546,3 +546,35 @@ def test_substring_dedup_randomized_parity_vs_python_reference(spark):
         for r in TX.substring_dedup(df, k=K).collect()
     )
     assert got == reference(rows)
+
+
+# ------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    # One shard (n_shards=1), seq_len=5, docs of 3/4/2 tokens in id
+    # order: starts 0, 3, 7 -> (seq 0 off 0), (seq 0 off 3), (seq 1 off 2).
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["seq_id"], r["offset_in_seq"])
+        for r in TX.pack_sequences(df, seq_len=5, n_shards=1).collect()
+    }
+    assert out == {1: (0, 3, 0, 0), 2: (0, 4, 0, 3), 3: (0, 2, 1, 2)}
+
+
+def test_pack_sequences_shards_pack_independently(spark):
+    # Two shards: even/odd ids each start their own stream at offset 0.
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y"), (2, "d d d d"), (3, "z")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["offset_in_seq"])
+        for r in TX.pack_sequences(df, seq_len=4, n_shards=2).collect()
+    }
+    assert out[0] == (0, 0, 0)
+    assert out[2] == (0, 0, 3)   # even stream: 3 tokens then doc 2
+    assert out[1] == (1, 0, 0)
+    assert out[3] == (1, 0, 2)   # odd stream: 2 tokens then doc 3
