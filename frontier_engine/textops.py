@@ -1165,7 +1165,7 @@ def apply_span_cuts(
     id — one well-partitioned shuffle, never a driver-sized broadcast.
     """
     toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) >= 1
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda w: F.length(w) >= 1
     )
     cuts = spans.groupBy(id_col).agg(
         F.collect_list(
@@ -1226,7 +1226,7 @@ def pack_sequences(
     independent engine reproduces every assignment bit-for-bit.
     """
     toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) >= 1
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda w: F.length(w) >= 1
     )
     base = df.select(
         F.col(id_col),

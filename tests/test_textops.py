@@ -578,3 +578,23 @@ def test_pack_sequences_shards_pack_independently(spark):
     assert out[2] == (0, 0, 3)   # even stream: 3 tokens then doc 2
     assert out[1] == (1, 0, 0)
     assert out[3] == (1, 0, 2)   # odd stream: 2 tokens then doc 3
+
+
+def test_null_text_is_safe_in_cut_and_pack(spark):
+    from pyspark.sql import types as T_
+
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("text", T_.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, None), (2, "a b c")], schema)
+    spans = spark.createDataFrame(
+        [], "doc_id LONG, span_start LONG, span_end LONG, n_windows LONG"
+    )
+    cut = {r["doc_id"]: r for r in TX.apply_span_cuts(df, spans).collect()}
+    assert (cut[1]["cleaned"], cut[1]["n_tokens"], cut[1]["n_kept"]) == ("", 0, 0)
+    pack = {r["doc_id"]: r for r in TX.pack_sequences(df, seq_len=4, n_shards=1).collect()}
+    assert pack[1]["n_tokens"] == 0
+    assert (pack[2]["seq_id"], pack[2]["offset_in_seq"]) == (0, 0)  # doc 1 contributes 0 tokens
