@@ -767,6 +767,43 @@ def q_substring_cut(spark, sf):
     return TX.apply_span_cuts(d, spans)
 
 
+def q_url_features(spark, sf):
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1): score
+    URLs on path depth, parameter count, digit ratio and length, with a
+    keep gate — the pre-fetch filter of a web pipeline. URLs are built
+    deterministically from events (3 rotating path shapes, alternating
+    query strings) with the SAME concat in the oracle, so the feature
+    extraction itself is what's hash-checked. Expression-only."""
+    from frontier_engine import canon as CN
+
+    e = _t(spark, sf, "events")
+    seg = F.element_at(
+        F.array(F.lit("a/b/c/page"), F.lit("p"), F.lit("x/y/deep/q/r/s")),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    qs = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(
+            F.lit("?id="), F.col("event_id").cast("string"),
+            F.lit("&ref=u"), F.col("user_id").cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://h"), (F.col("user_id") % 20).cast("string"),
+        F.lit(".example/"), seg, F.col("event_id").cast("string"), qs,
+    )
+    d = e.select(url.alias("url"))
+    feats = CN.url_features_col(F.col("url"))
+    out = d.select("url", *[c.alias(k) for k, c in feats.items()])
+    return out.withColumn(
+        "keep",
+        (F.col("path_depth") <= 4)
+        & (F.col("n_params") <= 2)
+        & (F.col("digit_ratio") <= 0.25)
+        & (F.col("url_len") <= 80),
+    )
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing (GPT-style concat-and-chunk pretraining prep):
     each doc's tokens land at (seq_id, offset) in one of 8 independent
@@ -842,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_cut": q_substring_cut,
         "dsir_affinity": q_dsir_affinity,
         "pack_sequences": q_pack_sequences,
+        "url_features": q_url_features,
     }
 
 
@@ -1389,6 +1427,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t) AS BIGINT) AS n_tokens,
                    CAST(len(kept) AS BIGINT) AS n_kept
             FROM cut
+        """,
+        "url_features": r"""
+            WITH u AS (
+                SELECT 'https://h' || CAST(user_id % 20 AS VARCHAR)
+                       || '.example/'
+                       || CASE CAST(event_id % 3 AS INT)
+                            WHEN 0 THEN 'a/b/c/page'
+                            WHEN 1 THEN 'p'
+                            ELSE 'x/y/deep/q/r/s' END
+                       || CAST(event_id AS VARCHAR)
+                       || CASE WHEN event_id % 2 = 0
+                               THEN '?id=' || CAST(event_id AS VARCHAR)
+                                    || '&ref=u' || CAST(user_id AS VARCHAR)
+                               ELSE '' END AS url
+                FROM events),
+            f AS (
+                SELECT url,
+                       split_part(split_part(url, '://', 2), '/', 1) AS host,
+                       regexp_replace(url,
+                           '^[a-z][a-z0-9+.-]*://[^/]*', '') AS pathq
+                FROM u),
+            g AS (
+                SELECT url, host,
+                       split_part(pathq, '?', 1) AS path,
+                       split_part(pathq, '?', 2) AS query
+                FROM f),
+            h AS (
+                SELECT url, host,
+                       CAST(length(path) - length(replace(path, '/', ''))
+                            AS BIGINT) AS path_depth,
+                       CAST(CASE WHEN length(query) = 0 THEN 0
+                                 ELSE length(query)
+                                      - length(replace(query, '&', '')) + 1
+                            END AS BIGINT) AS n_params,
+                       CAST(length(regexp_replace(url, '[^0-9]', '', 'g'))
+                            AS DOUBLE)
+                           / CAST(greatest(length(url), 1) AS DOUBLE)
+                           AS digit_ratio,
+                       CAST(length(url) AS BIGINT) AS url_len
+                FROM g)
+            SELECT url, host, path_depth, n_params, digit_ratio, url_len,
+                   (path_depth <= 4 AND n_params <= 2
+                    AND digit_ratio <= 0.25 AND url_len <= 80) AS keep
+            FROM h
         """,
         "pack_sequences": r"""
             WITH base AS (

@@ -202,3 +202,37 @@ def url_hash2_col(canonical_url: Column) -> Column:
     semantics (/root/reference/db/__init__.py:40) without storing strings.
     """
     return F.xxhash64(F.lit("fe-h2"), canonical_url)
+
+
+def url_features_col(url: Column) -> dict[str, Column]:
+    """URL-level quality signals for crawl/corpus filtering (the
+    RefinedWeb-style URL filter, Penedo et al. 2023 §3.1: score URLs
+    before fetching or keeping their pages — deep paths, parameter soup
+    and digit-heavy slugs correlate with spam/calendar/session pages).
+    Expression-only (whole-stage codegen) and built from operations with
+    exact ANSI-SQL twins (`split_part`, `regexp_replace`, one float
+    division), so every signal is independently reproducible.
+
+    Returns named columns: host, path_depth (count of '/' in the path),
+    n_params (query parameters), digit_ratio (digits / url length),
+    url_len.
+    """
+    pathq = F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    path = F.split_part(pathq, F.lit("?"), F.lit(1))
+    query = F.split_part(pathq, F.lit("?"), F.lit(2))
+    return {
+        "host": host_col(url),
+        "path_depth": (
+            F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))
+        ).cast("long"),
+        "n_params": F.when(F.length(query) == 0, F.lit(0)).otherwise(
+            F.length(query)
+            - F.length(F.replace(query, F.lit("&"), F.lit("")))
+            + 1
+        ).cast("long"),
+        "digit_ratio": (
+            F.length(F.regexp_replace(url, r"[^0-9]", "")).cast("double")
+            / F.greatest(F.length(url), F.lit(1)).cast("double")
+        ),
+        "url_len": F.length(url).cast("long"),
+    }

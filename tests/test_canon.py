@@ -106,3 +106,25 @@ def test_canonical_is_idempotent():
     for u in CASES:
         c = canonicalize_py(u)
         assert canonicalize_py(c) == c
+
+
+def test_url_features_col_signals(spark):
+    from frontier_engine.canon import url_features_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/x/y/z?id=1&ref=2&s=3",),
+            ("https://b.example/p",),
+            ("https://c.example/1234567890",),
+        ],
+        ["url"],
+    )
+    feats = url_features_col(F.col("url"))
+    out = {r["url"]: r for r in df.select("url", *[c.alias(k) for k, c in feats.items()]).collect()}
+    r1 = out["https://a.example/x/y/z?id=1&ref=2&s=3"]
+    assert (r1["host"], r1["path_depth"], r1["n_params"]) == ("a.example", 3, 3)
+    r2 = out["https://b.example/p"]
+    assert (r2["host"], r2["path_depth"], r2["n_params"]) == ("b.example", 1, 0)
+    r3 = out["https://c.example/1234567890"]
+    assert r3["digit_ratio"] == 10 / len("https://c.example/1234567890")
