@@ -832,6 +832,40 @@ def q_dsir_affinity(spark, sf):
     return TX.dsir_affinity(docs)
 
 
+def q_domain_stats(spark, sf):
+    """RefinedWeb/FineWeb-style domain reputation (Penedo et al.
+    2023/2024 §host-level filtering): per-source doc counts, distinct-body
+    counts, within-domain duplication rate, token volume, and a keep gate
+    — the aggregate triage a web pipeline runs before per-document
+    modeling. All integer / single-division arithmetic; the Spark side
+    dedups on xxhash64(text) (8-byte shuffle) while the oracle counts
+    distinct text itself, so a hash collision would surface here."""
+    d = _t(spark, sf, "documents")
+    return TX.domain_stats(d)
+
+
+def q_unigram_surprisal(spark, sf):
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): unigram-LM
+    surprisal per document with head/middle/tail tertiles PER LANGUAGE.
+    Token surprisal is the integer log2 magnitude of the token's corpus
+    count (length(bin(c))-1), so every score is integer-exact and the
+    bucket boundaries reproduce bit-for-bit on any engine — no libm log
+    whose last-ulp rounding differs between JVM and C."""
+    d = _t(spark, sf, "documents")
+    return TX.unigram_surprisal(d)
+
+
+def q_mixture_sample(spark, sf):
+    """Temperature-weighted domain mixture sampling (alpha=0.5, as in
+    XLM-R / mT5 data mixing): per-source quota = min(n, ceil(4*sqrt(n)))
+    — sqrt is IEEE-correctly-rounded and the scale is a power of two, so
+    quotas are engine-exact — with deterministic smallest-hash-rank
+    selection inside each domain (same Knuth scramble as
+    stratified_sample)."""
+    d = _t(spark, sf, "documents")
+    return TX.mixture_sample(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -880,6 +914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_affinity": q_dsir_affinity,
         "pack_sequences": q_pack_sequences,
         "url_features": q_url_features,
+        "domain_stats": q_domain_stats,
+        "unigram_surprisal": q_unigram_surprisal,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1593,5 +1630,69 @@ def oracle_sql() -> dict[str, str]:
                    contains(lower(text), 'lorem ipsum') AS has_lorem,
                    contains(text, '{{') AS has_brace
             FROM k
+        """,
+        "domain_stats": r"""
+            WITH a AS (
+                SELECT source AS domain,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(DISTINCT coalesce(text, ''))
+                            AS BIGINT) AS n_unique_texts,
+                       CAST(sum(len(list_filter(
+                           string_split_regex(coalesce(text, ''), '\s+'),
+                           w -> len(w) >= 1))) AS BIGINT) AS total_tokens
+                FROM documents GROUP BY source)
+            SELECT domain, n_docs, n_unique_texts,
+                   (n_docs - n_unique_texts) / n_docs AS dup_rate,
+                   total_tokens,
+                   total_tokens / n_docs AS mean_tokens,
+                   (n_docs >= 2
+                    AND (n_docs - n_unique_texts) / n_docs <= 0.5) AS keep
+            FROM a
+        """,
+        "unigram_surprisal": f"""
+            WITH tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term
+                      FROM documents)
+                GROUP BY doc_id, term),
+            vocab AS (
+                SELECT term, CAST(sum(tf) AS BIGINT) AS c
+                FROM tf GROUP BY term),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(sum(tf) AS BIGINT) AS n_tokens,
+                       CAST(sum(tf * (length(bin(c)) - 1))
+                            AS BIGINT) AS sum_bits
+                FROM tf JOIN vocab USING (term) GROUP BY doc_id),
+            scored AS (
+                SELECT d.doc_id, d.lang, p.n_tokens, p.sum_bits
+                FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id)
+            SELECT doc_id, lang, n_tokens, sum_bits,
+                   sum_bits / n_tokens AS mean_bits,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY sum_bits / n_tokens DESC, doc_id ASC
+                   ) AS BIGINT) AS bucket
+            FROM scored
+        """,
+        "mixture_sample": r"""
+            WITH q AS (
+                SELECT source AS domain,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       least(CAST(count(*) AS BIGINT),
+                             CAST(ceil(sqrt(count(*)) * 4.0)
+                                  AS BIGINT)) AS quota
+                FROM documents GROUP BY source),
+            r AS (
+                SELECT doc_id, source AS domain,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 2147483648) * 2654435761)
+                                    % 4294967296 ASC, doc_id ASC
+                       ) AS BIGINT) AS rn
+                FROM documents)
+            SELECT r.doc_id, r.domain, r.rn, q.quota, q.n_docs
+            FROM r JOIN q ON q.domain = r.domain
+            WHERE r.rn <= q.quota
         """,
     }

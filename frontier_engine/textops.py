@@ -1246,3 +1246,212 @@ def pack_sequences(
         (F.coalesce(start, F.lit(0)) / seq_len).cast("long").alias("seq_id"),
         (F.coalesce(start, F.lit(0)) % seq_len).cast("long").alias("offset_in_seq"),
     )
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    max_dup_rate: float = 0.5,
+) -> DataFrame:
+    """Per-domain reputation table — the host/domain-level filter of
+    RefinedWeb/FineWeb-style pipelines (Penedo et al. 2023/2024): before
+    any per-document modeling, a web corpus is triaged by aggregate
+    domain signals (volume, within-domain duplication, document length),
+    and spammy domains are cut wholesale. Generalizes the reference's
+    per-store scrape bookkeeping (/root/reference/crawler/stores) to
+    corpus curation.
+
+    Every emitted number is integer or a single integer division, so an
+    independent SQL engine reproduces the table bit-for-bit:
+
+    - ``n_docs``            documents in the domain
+    - ``n_unique_texts``    distinct document bodies (counted over
+                            xxhash64(text) so only 8-byte hashes shuffle,
+                            never the bodies; the oracle counts distinct
+                            text itself, so a hash collision would surface
+                            as a gate mismatch)
+    - ``dup_rate``          (n_docs - n_unique_texts) / n_docs
+    - ``total_tokens``      whitespace tokens summed over the domain
+    - ``mean_tokens``       total_tokens / n_docs
+    - ``keep``              n_docs >= min_docs AND dup_rate <= max_dup_rate
+
+    Plan shape at 100 TB: one hash aggregation with map-side partial
+    combine keyed by domain (output is domain-cardinality, millions of
+    rows, never corpus-sized). countDistinct rewrites to a two-level
+    aggregate (expand + merge), still fully partial-aggregated; no join,
+    no window, no Python.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    agg = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("h"),
+            F.size(toks).cast("long").alias("ntok"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_unique_texts"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+        )
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_unique_texts",
+        ((F.col("n_docs") - F.col("n_unique_texts")) / F.col("n_docs")).alias(
+            "dup_rate"
+        ),
+        "total_tokens",
+        (F.col("total_tokens") / F.col("n_docs")).alias("mean_tokens"),
+        (
+            (F.col("n_docs") >= F.lit(min_docs))
+            & (
+                (F.col("n_docs") - F.col("n_unique_texts")) / F.col("n_docs")
+                <= F.lit(float(max_dup_rate))
+            )
+        ).alias("keep"),
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2020):
+    score every document by how surprising its tokens are under a unigram
+    LM fit on the corpus itself, then split each language into
+    head/middle/tail tertiles — the standard perplexity triage that
+    decides which web text is worth keeping for LLM pretraining.
+
+    The surprisal of a token with corpus count ``c`` is approximated by
+    its INTEGER log2 magnitude: ``bits(c) = length(bin(c)) - 1`` (i.e.
+    floor(log2 c)). A rarer token has fewer bits, so a document's mean
+    bits is a monotone inverse-surprisal score — the same ordering a
+    float -log2(c/N) produces up to within-octave ties, but every term is
+    an INTEGER, the per-doc sum is order-independent, and an independent
+    SQL engine reproduces every score bit-for-bit (no libm log, whose
+    last-ulp rounding differs across engines).
+
+    Returns (id_col, lang, n_tokens, sum_bits, mean_bits, bucket) with
+    bucket 1=head (most-predictable) .. 3=tail per language.
+
+    Plan shape at 100 TB: explode -> two hash aggregations with map-side
+    combine (per-(doc,term) tf, then per-term corpus counts over the
+    already-distinct pairs) -> broadcast vocabulary join (vocabularies
+    are ~1e7 terms vs 1e10 docs; set broadcast_vocab=False for a
+    pathological vocabulary) -> per-doc sum -> ntile window partitioned
+    BY LANGUAGE (CCNet buckets per language, which is also what keeps
+    the window off the single-partition global-sort trap).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    per_doc = (
+        tf.join(vocab, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * (F.length(F.bin("c")) - 1))
+            .cast("long")
+            .alias("sum_bits"),
+        )
+    )
+    scored = df.select(id_col, F.col(lang_col).alias("lang")).join(
+        per_doc, id_col
+    )
+    by_lang = Window.partitionBy("lang").orderBy(
+        (F.col("sum_bits") / F.col("n_tokens")).desc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        id_col,
+        "lang",
+        "n_tokens",
+        "sum_bits",
+        (F.col("sum_bits") / F.col("n_tokens")).alias("mean_bits"),
+        F.ntile(3).over(by_lang).cast("long").alias("bucket"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    scale: int = 4,
+) -> DataFrame:
+    """Temperature-weighted domain mixture sampling — the alpha-sampling
+    recipe of multilingual/multi-source LM training (public: XLM-R,
+    Conneau et al. 2020; mT5, Xue et al. 2021): sample each domain in
+    proportion to ``n_docs**alpha`` with alpha=0.5, so head domains are
+    downweighted and tail domains upsampled relative to natural
+    frequency. The per-domain quota is ``min(n_docs,
+    ceil(scale * sqrt(n_docs)))`` — sqrt is IEEE-correctly-rounded and
+    ``scale`` is a power of two, so the quota is bit-identical on any
+    engine (no libm pow).
+
+    Selection within a domain is deterministic: rows rank by a Knuth
+    multiplicative hash of the id (the same order-scrambling used by
+    stratified_sample) with the id as tie-break, and the first
+    ``quota`` ranks win. Same seed -> same sample, at any parallelism.
+
+    Plan shape at 100 TB: one domain-cardinality aggregate (map-side
+    combined), broadcast back as the quota table, then ONE window
+    partitioned by domain for the rank. No corpus self-join; the only
+    corpus-sized shuffle is the window's hash partition by domain.
+    Skewed mega-domains cost one sort of their own partition — cap them
+    upstream via domain_stats.keep if a single domain dominates.
+    """
+    scramble = (
+        ((F.col(id_col) % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    )
+    quotas = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "domain",
+            "n_docs",
+            F.least(
+                F.col("n_docs"),
+                F.ceil(
+                    F.sqrt(F.col("n_docs").cast("double"))
+                    * F.lit(float(scale))
+                ).cast("long"),
+            ).alias("quota"),
+        )
+    )
+    ranked = (
+        df.select(F.col(id_col), F.col(domain_col).alias("domain"))
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(
+                Window.partitionBy("domain").orderBy(
+                    scramble.asc(), F.col(id_col).asc()
+                )
+            )
+            .cast("long"),
+        )
+        .join(F.broadcast(quotas), "domain")
+    )
+    return ranked.filter(F.col("rn") <= F.col("quota")).select(
+        id_col, "domain", "rn", "quota", "n_docs"
+    )

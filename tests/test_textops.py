@@ -598,3 +598,73 @@ def test_null_text_is_safe_in_cut_and_pack(spark):
     pack = {r["doc_id"]: r for r in TX.pack_sequences(df, seq_len=4, n_shards=1).collect()}
     assert pack[1]["n_tokens"] == 0
     assert (pack[2]["seq_id"], pack[2]["offset_in_seq"]) == (0, 0)  # doc 1 contributes 0 tokens
+
+
+def test_domain_stats_counts_and_gate(spark):
+    # domain "a": 3 docs, one exact duplicate pair -> dup_rate 1/3, keep.
+    # domain "b": 2 docs, both identical -> dup_rate 1/2, keep (== max).
+    # domain "c": 1 doc -> fails min_docs.
+    df = spark.createDataFrame(
+        [
+            (1, "x y z", "a"),
+            (2, "x y z", "a"),
+            (3, "p q", "a"),
+            (4, "dup dup", "b"),
+            (5, "dup dup", "b"),
+            (6, "solo", "c"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["domain"]: r for r in TX.domain_stats(df).collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["n_unique_texts"], a["total_tokens"]) == (3, 2, 8)
+    assert a["dup_rate"] == 1 / 3 and a["keep"]
+    assert out["b"]["dup_rate"] == 0.5 and out["b"]["keep"]
+    assert not out["c"]["keep"]
+
+
+def test_unigram_surprisal_rare_tokens_score_lower_bits(spark):
+    # "the" appears 8x (3 bits), "rare" once (0 bits): the doc made of
+    # rare tokens has strictly lower mean_bits and lands in the tail
+    # bucket of its language.
+    rows = [(i, "the the the the", "en") for i in range(4)]
+    rows += [(10, "rare unique", "en"), (11, "the the rare unique", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in TX.unigram_surprisal(df).collect()}
+    # "the" count = 4*4 + 2 = 18 -> bits 4; "rare"/"unique" count 2 -> 1
+    assert out[0]["sum_bits"] == 16 and out[0]["mean_bits"] == 4.0
+    assert out[10]["sum_bits"] == 2 and out[10]["bucket"] == 3
+    assert out[11]["sum_bits"] == 10  # 2x"the"(4) + rare(1) + unique(1)
+    assert out[0]["bucket"] == 1  # most-predictable = head
+
+
+def test_unigram_surprisal_buckets_are_per_language(spark):
+    # Each language gets its own tertiles: with 3 docs per lang the
+    # buckets inside each lang are exactly {1, 2, 3}.
+    rows = []
+    for lang in ("en", "vi"):
+        rows += [
+            (hash(lang) % 97 * 10 + k, " ".join(["tok"] * (k + 1)) + f" u{lang}{k}", lang)
+            for k in range(3)
+        ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = TX.unigram_surprisal(df).collect()
+    for lang in ("en", "vi"):
+        assert sorted(r["bucket"] for r in out if r["lang"] == lang) == [1, 2, 3]
+
+
+def test_mixture_sample_quota_sqrt_and_determinism(spark):
+    # 16 docs in "big" -> quota min(16, ceil(4*sqrt(16))) = 16 (all kept);
+    # 100 docs in "huge" -> quota 40: tail domains keep a larger share.
+    rows = [(i, "big") for i in range(16)]
+    rows += [(100 + i, "huge") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = TX.mixture_sample(df).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert len(by_dom["big"]) == 16 and by_dom["big"][0]["quota"] == 16
+    assert len(by_dom["huge"]) == 40 and by_dom["huge"][0]["quota"] == 40
+    # deterministic: same input -> identical selected id set
+    again = {r["doc_id"] for r in TX.mixture_sample(df).collect()}
+    assert again == {r["doc_id"] for r in out}
