@@ -866,6 +866,51 @@ def q_mixture_sample(spark, sf):
     return TX.mixture_sample(d)
 
 
+def q_incremental_dedup(spark, sf):
+    """Cross-snapshot incremental dedup (RefinedWeb/Dolma: each new dump
+    dedups against ALL prior dumps via a hash-only ledger): docs with
+    doc_id % 4 == 0 stand in for the already-ingested history (only
+    their xxhash64 survives — 8 bytes/doc), the rest are the incoming
+    batch. Survivors are incoming docs whose body is absent from history
+    and first-in-batch by doc_id. The oracle reproduces the split and
+    both gates on the text itself, so a hash collision would fail it.
+    Every doc_id % 5 == 0 body is replaced by a shared boilerplate
+    string so real duplicate clusters exist BOTH within the batch and
+    across the batch/history split — otherwise the fixture corpus is
+    all-unique and the gate would never exercise a drop."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("boilerplate page"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    history = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    )
+    incoming = d.filter(F.col("doc_id") % 4 != 0)
+    out = TX.incremental_dedup(incoming, history)
+    # hashes are engine-internal; expose the ledger-append view minus h
+    return out.select("doc_id", "text", "is_new_text")
+
+
+def q_dup_profile(spark, sf):
+    """Duplication profile: exact-duplicate cluster-size histogram —
+    the per-dump observability metric (what share of the corpus is 2×,
+    10×, 1000× duplicated). Two map-side-combined aggregations over
+    8-byte hashes; the oracle clusters on the text itself. doc_id % 5
+    and % 7 bodies collapse to planted boilerplate strings so the
+    histogram has real multi-size clusters (the raw fixture is
+    all-unique)."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("boilerplate page"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("cookie notice"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TX.dup_profile(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -917,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "unigram_surprisal": q_unigram_surprisal,
         "mixture_sample": q_mixture_sample,
+        "incremental_dedup": q_incremental_dedup,
+        "dup_profile": q_dup_profile,
     }
 
 
@@ -1694,5 +1741,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.domain, r.rn, q.quota, q.n_docs
             FROM r JOIN q ON q.domain = r.domain
             WHERE r.rn <= q.quota
+        """,
+        "incremental_dedup": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN 'boilerplate page'
+                            ELSE text END AS text
+                FROM documents),
+            hist AS (
+                SELECT DISTINCT coalesce(text, '') AS t
+                FROM aug WHERE doc_id % 4 = 0),
+            inc AS (
+                SELECT doc_id, text, coalesce(text, '') AS t
+                FROM aug WHERE doc_id % 4 <> 0),
+            fresh AS (
+                SELECT i.* FROM inc i
+                WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.t = i.t)),
+            first_in_batch AS (
+                SELECT t, min(doc_id) AS doc_id FROM fresh GROUP BY t)
+            SELECT f.doc_id, i.text, TRUE AS is_new_text
+            FROM first_in_batch f JOIN inc i ON i.doc_id = f.doc_id
+        """,
+        "dup_profile": r"""
+            WITH aug AS (
+                SELECT CASE WHEN doc_id % 5 = 0 THEN 'boilerplate page'
+                            WHEN doc_id % 7 = 0 THEN 'cookie notice'
+                            ELSE text END AS text
+                FROM documents),
+            per AS (
+                SELECT coalesce(text, '') AS t,
+                       CAST(count(*) AS BIGINT) AS cluster_size
+                FROM aug GROUP BY t)
+            SELECT cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+            FROM per GROUP BY cluster_size
         """,
     }

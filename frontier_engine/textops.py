@@ -1455,3 +1455,72 @@ def mixture_sample(
     return ranked.filter(F.col("rn") <= F.col("quota")).select(
         id_col, "domain", "rn", "quota", "n_docs"
     )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    history_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot incremental deduplication — the RefinedWeb/Dolma
+    production shape (each new CommonCrawl dump is deduplicated against
+    ALL previously ingested dumps, not just itself): keep an incoming
+    document iff its body hash is absent from the accumulated history
+    AND it is the first occurrence within its own batch.
+
+    ``history_hashes`` is a hash-only table (one ``h: long`` column,
+    8 bytes/doc) — the whole point at 100 TB: the history side never
+    stores or shuffles bodies, it is the running xxhash64 ledger each
+    ingest appends to. The op returns the surviving incoming rows plus
+    an ``is_new_text`` marker so the caller can append exactly the
+    surviving hashes to the ledger.
+
+    Plan shape: one left-anti-style join on the 8-byte hash (history
+    side shuffles hash-only; broadcastable while the ledger is small,
+    AQE re-plans when it is not) + one within-batch first-wins via
+    partial-agg min(struct) keyed by hash — no window sort, same
+    skew-safe winners pattern as paragraph_dedup.
+    """
+    inc = incoming.withColumn(
+        "h", F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    hist = history_hashes.select(F.col("h").cast("long").alias("h")).distinct()
+    fresh = inc.join(hist, "h", "left_anti")
+    winners = fresh.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col(text_col))).alias("w")
+    )
+    return winners.select(
+        F.col(f"w.{id_col}").alias(id_col),
+        F.col(f"w.{text_col}").alias(text_col),
+        "h",
+        F.lit(True).alias("is_new_text"),
+    )
+
+
+def dup_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplication profile — the cluster-size histogram curation teams
+    track per dump (how much of the corpus is 2×, 10×, 1000×
+    duplicated): for every exact-duplicate cluster size, the number of
+    clusters of that size and the documents they account for.
+
+    Two map-side-combined hash aggregations over 8-byte hashes
+    (count per text-hash, then count per cluster size); output is
+    max-cluster-size rows. Integer-exact.
+    """
+    per_hash = (
+        df.select(F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("cluster_size"))
+    )
+    return (
+        per_hash.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

@@ -668,3 +668,33 @@ def test_mixture_sample_quota_sqrt_and_determinism(spark):
     # deterministic: same input -> identical selected id set
     again = {r["doc_id"] for r in TX.mixture_sample(df).collect()}
     assert again == {r["doc_id"] for r in out}
+
+
+def test_incremental_dedup_drops_history_and_batch_dups(spark):
+    incoming = spark.createDataFrame(
+        [
+            (10, "seen before"),   # in history -> dropped
+            (11, "fresh one"),
+            (12, "fresh one"),     # batch dup of 11 -> dropped
+            (13, "fresh two"),
+        ],
+        ["doc_id", "text"],
+    )
+    from pyspark.sql import functions as F
+    history = spark.createDataFrame([("seen before",), ("old",)], ["text"]).select(
+        F.xxhash64("text").alias("h")
+    )
+    out = TX.incremental_dedup(incoming, history)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {11, 13}
+    assert all(r["is_new_text"] for r in out.collect())
+
+
+def test_dup_profile_histogram(spark):
+    # clusters: "a" x3, "b" x2, "c" x1, "d" x1 -> sizes {3:1, 2:1, 1:2}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["a", "a", "a", "b", "b", "c", "d"])],
+        ["doc_id", "text"],
+    )
+    out = {r["cluster_size"]: (r["n_clusters"], r["n_docs"]) for r in TX.dup_profile(df).collect()}
+    assert out == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
