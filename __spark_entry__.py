@@ -846,11 +846,14 @@ def q_domain_stats(spark, sf):
 
 def q_unigram_surprisal(spark, sf):
     """CCNet-style LM quality bucketing (Wenzek et al. 2020): unigram-LM
-    surprisal per document with head/middle/tail tertiles PER LANGUAGE.
-    Token surprisal is the integer log2 magnitude of the token's corpus
-    count (length(bin(c))-1), so every score is integer-exact and the
-    bucket boundaries reproduce bit-for-bit on any engine — no libm log
-    whose last-ulp rounding differs between JVM and C."""
+    surprisal per document with head/middle/tail tertiles per
+    (language, shard) cell — sharded tertiles are how CCNet buckets each
+    dump, and what keeps the window off a whole-language single-partition
+    sort at scale. Token surprisal is the integer log2 magnitude of the
+    token's corpus count (length(bin(c))-1), so every score is
+    integer-exact and the bucket boundaries reproduce bit-for-bit on any
+    engine — no libm log whose last-ulp rounding differs between JVM
+    and C."""
     d = _t(spark, sf, "documents")
     return TX.unigram_surprisal(d)
 
@@ -1698,29 +1701,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unigram_surprisal": f"""
             WITH tf AS (
-                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-                FROM (SELECT doc_id, unnest({_TOKS}) AS term
+                SELECT doc_id, lang, CAST(doc_id % 16 AS BIGINT) AS shard,
+                       term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, lang, unnest({_TOKS}) AS term
                       FROM documents)
-                GROUP BY doc_id, term),
+                GROUP BY doc_id, lang, shard, term),
             vocab AS (
                 SELECT term, CAST(sum(tf) AS BIGINT) AS c
                 FROM tf GROUP BY term),
             per_doc AS (
-                SELECT doc_id,
+                SELECT doc_id, lang, shard,
                        CAST(sum(tf) AS BIGINT) AS n_tokens,
                        CAST(sum(tf * (length(bin(c)) - 1))
                             AS BIGINT) AS sum_bits
-                FROM tf JOIN vocab USING (term) GROUP BY doc_id),
-            scored AS (
-                SELECT d.doc_id, d.lang, p.n_tokens, p.sum_bits
-                FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id)
-            SELECT doc_id, lang, n_tokens, sum_bits,
+                FROM tf JOIN vocab USING (term)
+                GROUP BY doc_id, lang, shard)
+            SELECT doc_id, lang, shard, n_tokens, sum_bits,
                    sum_bits / n_tokens AS mean_bits,
                    CAST(ntile(3) OVER (
-                       PARTITION BY lang
+                       PARTITION BY lang, shard
                        ORDER BY sum_bits / n_tokens DESC, doc_id ASC
                    ) AS BIGINT) AS bucket
-            FROM scored
+            FROM per_doc
         """,
         "mixture_sample": r"""
             WITH q AS (

@@ -1326,6 +1326,7 @@ def unigram_surprisal(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     broadcast_vocab: bool = True,
+    n_shards: int = 16,
 ) -> DataFrame:
     """CCNet-style language-model quality bucketing (Wenzek et al. 2020):
     score every document by how surprising its tokens are under a unigram
@@ -1342,24 +1343,38 @@ def unigram_surprisal(
     SQL engine reproduces every score bit-for-bit (no libm log, whose
     last-ulp rounding differs across engines).
 
-    Returns (id_col, lang, n_tokens, sum_bits, mean_bits, bucket) with
-    bucket 1=head (most-predictable) .. 3=tail per language.
+    Tertiles are computed PER (language, shard) with ``shard =
+    id % n_shards`` — how CCNet itself operates (it buckets each shard
+    of a dump independently) and what makes this scale: an ntile
+    partitioned by language alone would sort the entire English web in
+    one partition. Each shard is a uniform random sample of its
+    language, so shard tertile boundaries converge to the language's
+    true tertiles; raise ``n_shards`` with the cluster.
+
+    Returns (id_col, lang, shard, n_tokens, sum_bits, mean_bits, bucket)
+    with bucket 1=head (most-predictable) .. 3=tail within the doc's
+    (language, shard) cell.
 
     Plan shape at 100 TB: explode -> two hash aggregations with map-side
-    combine (per-(doc,term) tf, then per-term corpus counts over the
-    already-distinct pairs) -> broadcast vocabulary join (vocabularies
-    are ~1e7 terms vs 1e10 docs; set broadcast_vocab=False for a
-    pathological vocabulary) -> per-doc sum -> ntile window partitioned
-    BY LANGUAGE (CCNet buckets per language, which is also what keeps
-    the window off the single-partition global-sort trap).
+    combine (per-(doc,term) tf with lang/shard carried as grouping keys
+    — no join-back to the corpus for metadata — then per-term corpus
+    counts over the already-distinct pairs) -> broadcast vocabulary join
+    (vocabularies are ~1e7 terms vs 1e10 docs; set broadcast_vocab=False
+    for a pathological vocabulary) -> per-doc sum -> ntile window over
+    (lang, shard) cells.
     """
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda w: F.length(w) >= 1,
     )
     tf = (
-        df.select(F.col(id_col), F.explode(toks).alias("term"))
-        .groupBy(id_col, "term")
+        df.select(
+            F.col(id_col),
+            F.col(lang_col).alias("lang"),
+            (F.col(id_col) % n_shards).cast("long").alias("shard"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy(id_col, "lang", "shard", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
     vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
@@ -1367,7 +1382,7 @@ def unigram_surprisal(
         vocab = F.broadcast(vocab)
     per_doc = (
         tf.join(vocab, "term")
-        .groupBy(id_col)
+        .groupBy(id_col, "lang", "shard")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
             F.sum(F.col("tf") * (F.length(F.bin("c")) - 1))
@@ -1375,19 +1390,17 @@ def unigram_surprisal(
             .alias("sum_bits"),
         )
     )
-    scored = df.select(id_col, F.col(lang_col).alias("lang")).join(
-        per_doc, id_col
-    )
-    by_lang = Window.partitionBy("lang").orderBy(
+    by_cell = Window.partitionBy("lang", "shard").orderBy(
         (F.col("sum_bits") / F.col("n_tokens")).desc(), F.col(id_col).asc()
     )
-    return scored.select(
+    return per_doc.select(
         id_col,
         "lang",
+        "shard",
         "n_tokens",
         "sum_bits",
         (F.col("sum_bits") / F.col("n_tokens")).alias("mean_bits"),
-        F.ntile(3).over(by_lang).cast("long").alias("bucket"),
+        F.ntile(3).over(by_cell).cast("long").alias("bucket"),
     )
 
 

@@ -630,7 +630,9 @@ def test_unigram_surprisal_rare_tokens_score_lower_bits(spark):
     rows = [(i, "the the the the", "en") for i in range(4)]
     rows += [(10, "rare unique", "en"), (11, "the the rare unique", "en")]
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
-    out = {r["doc_id"]: r for r in TX.unigram_surprisal(df).collect()}
+    out = {
+        r["doc_id"]: r for r in TX.unigram_surprisal(df, n_shards=1).collect()
+    }
     # "the" count = 4*4 + 2 = 18 -> bits 4; "rare"/"unique" count 2 -> 1
     assert out[0]["sum_bits"] == 16 and out[0]["mean_bits"] == 4.0
     assert out[10]["sum_bits"] == 2 and out[10]["bucket"] == 3
@@ -638,19 +640,22 @@ def test_unigram_surprisal_rare_tokens_score_lower_bits(spark):
     assert out[0]["bucket"] == 1  # most-predictable = head
 
 
-def test_unigram_surprisal_buckets_are_per_language(spark):
-    # Each language gets its own tertiles: with 3 docs per lang the
-    # buckets inside each lang are exactly {1, 2, 3}.
+def test_unigram_surprisal_buckets_are_per_language_cell(spark):
+    # Each (language, shard) cell gets its own tertiles: with 3 docs per
+    # lang in one shard the buckets inside each lang are exactly {1,2,3};
+    # with per-doc shards every doc is its own cell and buckets are all 1.
     rows = []
-    for lang in ("en", "vi"):
+    for j, lang in enumerate(("en", "vi")):
         rows += [
-            (hash(lang) % 97 * 10 + k, " ".join(["tok"] * (k + 1)) + f" u{lang}{k}", lang)
+            (j * 100 + k, " ".join(["tok"] * (k + 1)) + f" u{lang}{k}", lang)
             for k in range(3)
         ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
-    out = TX.unigram_surprisal(df).collect()
+    out = TX.unigram_surprisal(df, n_shards=1).collect()
     for lang in ("en", "vi"):
         assert sorted(r["bucket"] for r in out if r["lang"] == lang) == [1, 2, 3]
+    sharded = TX.unigram_surprisal(df, n_shards=1000).collect()
+    assert all(r["bucket"] == 1 for r in sharded)
 
 
 def test_mixture_sample_quota_sqrt_and_determinism(spark):
