@@ -914,6 +914,16 @@ def q_dup_profile(spark, sf):
     return TX.dup_profile(d)
 
 
+def q_bpe_pairs(spark, sf):
+    """BPE merge-pair counting (Sennrich et al. 2016 — the tokenizer-
+    training statistic): weighted adjacent-character-pair counts over
+    the corpus, computed vocabulary-first (the corpus aggregates to its
+    distinct words ONCE; pair explosion runs at vocabulary scale).
+    Integer-exact; the argmax pair is the next BPE merge."""
+    d = _t(spark, sf, "documents")
+    return TX.bpe_pair_counts(d.select("text"), min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -967,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "incremental_dedup": q_incremental_dedup,
         "dup_profile": q_dup_profile,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -1778,5 +1789,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_clusters,
                    CAST(cluster_size * count(*) AS BIGINT) AS n_docs
             FROM per GROUP BY cluster_size
+        """,
+        "bpe_pairs": f"""
+            WITH vocab AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+                GROUP BY word HAVING length(word) >= 2),
+            pairs AS (
+                SELECT word, freq,
+                       unnest(list_transform(range(1, length(word)),
+                              i -> word[i:i+1])) AS pair
+                FROM vocab)
+            SELECT pair,
+                   CAST(sum(freq) AS BIGINT) AS pair_count,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_words
+            FROM pairs GROUP BY pair
+            HAVING sum(freq) >= 2
         """,
     }

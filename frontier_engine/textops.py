@@ -1537,3 +1537,54 @@ def dup_profile(
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Distributed BPE merge-pair counting — the inner statistic of
+    byte-pair-encoding tokenizer training (Sennrich et al. 2016; the
+    GPT-2/SentencePiece recipe): for every adjacent symbol pair, its
+    corpus frequency counted over words, weighted by word frequency.
+    The highest-count pair is the next BPE merge; re-running after each
+    merge trains the tokenizer.
+
+    The scale trick is the same one real distributed BPE trainers use:
+    aggregate the corpus to its DISTINCT vocabulary first (one hash
+    aggregation; output is vocabulary-sized, ~1e7 rows, not
+    corpus-sized), then explode each distinct word's character pairs
+    exactly once and weight by the word's frequency. The corpus text is
+    read once; everything after the first aggregate is vocabulary-scale.
+
+    Returns (pair, pair_count, n_words): the weighted adjacent-pair
+    count and the number of distinct words containing the pair. All
+    integer arithmetic — bit-exact on any engine.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("long").alias("pair_count"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .filter(F.col("pair_count") >= min_count)
+    )

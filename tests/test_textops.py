@@ -703,3 +703,16 @@ def test_dup_profile_histogram(spark):
     )
     out = {r["cluster_size"]: (r["n_clusters"], r["n_docs"]) for r in TX.dup_profile(df).collect()}
     assert out == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    # "abab" x2 and "ab" x3: pair "ab" count = 2*2 + 3*1 = 7 in 2 words;
+    # "ba" = 2*1 in 1 word. Single-char "a" contributes nothing.
+    df = spark.createDataFrame(
+        [(1, "abab ab a"), (2, "abab ab"), (3, "ab")], ["doc_id", "text"]
+    )
+    out = {r["pair"]: (r["pair_count"], r["n_words"]) for r in
+           TX.bpe_pair_counts(df).collect()}
+    assert out["ab"] == (7, 2)
+    assert out["ba"] == (2, 1)
+    assert set(out) == {"ab", "ba"}
