@@ -924,6 +924,27 @@ def q_bpe_pairs(spark, sf):
     return TX.bpe_pair_counts(d.select("text"), min_count=2)
 
 
+def q_recrawl_schedule(spark, sf):
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina 2003 freshness
+    estimation): per-URL change rate from consecutive-visit fingerprint
+    comparisons, next interval inversely proportional, clamped to
+    [1h, 30d]. The fetch history is built deterministically from events
+    (event_id % 120 buckets as URLs, visit order = event_id, the rotating
+    event_type as the content fingerprint, so real change/no-change runs
+    occur). Integer floor-division interval — engine-exact."""
+    from frontier_engine import transforms as TR
+
+    e = _t(spark, sf, "events")
+    hist = e.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 120).cast("string")).alias(
+            "url"
+        ),
+        F.col("event_id").alias("visit_ts"),
+        F.col("event_type").alias("fingerprint"),
+    )
+    return TR.recrawl_schedule(hist, visit_col="visit_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -978,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "dup_profile": q_dup_profile,
         "bpe_pairs": q_bpe_pairs,
+        "recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -1805,5 +1827,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT word) AS BIGINT) AS n_words
             FROM pairs GROUP BY pair
             HAVING sum(freq) >= 2
+        """,
+        "recrawl_schedule": r"""
+            WITH hist AS (
+                SELECT 'u' || CAST(event_id % 120 AS VARCHAR) AS url,
+                       event_id AS visit_ts,
+                       event_type AS fingerprint
+                FROM events),
+            marked AS (
+                SELECT url,
+                       CASE WHEN lag(fingerprint) OVER (
+                                PARTITION BY url ORDER BY visit_ts
+                            ) IS NULL THEN NULL
+                            WHEN lag(fingerprint) OVER (
+                                PARTITION BY url ORDER BY visit_ts
+                            ) <> fingerprint THEN 1 ELSE 0 END AS chg
+                FROM hist),
+            agg AS (
+                SELECT url,
+                       CAST(count(*) AS BIGINT) AS n_visits,
+                       CAST(count(chg) AS BIGINT) AS n_intervals,
+                       CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes
+                FROM marked GROUP BY url)
+            SELECT url, n_visits, n_changes,
+                   CASE WHEN n_intervals = 0 THEN NULL
+                        ELSE n_changes / n_intervals END AS change_rate,
+                   CAST(CASE WHEN n_changes = 0 OR n_intervals = 0
+                             THEN 2592000
+                             ELSE least(2592000, greatest(3600,
+                                  (86400 * n_intervals) // n_changes))
+                        END AS BIGINT) AS next_interval_s
+            FROM agg
         """,
     }

@@ -121,3 +121,37 @@ def test_diff_table_detects_changes(spark, tmp_path):
     diff = diff_table(spark, store, "prices", ["k"], ["price"], from_id=0, to_id=1)
     got = {r["k"]: r["change_type"] for r in diff.collect()}
     assert got == {2: "changed", 3: "added"}
+
+
+def test_recrawl_schedule_rates_and_clamps(spark):
+    from frontier_engine.transforms import recrawl_schedule
+
+    rows = [
+        # churny: changes every visit -> interval = base * 3 // 3 = 86400
+        ("a", 1, "x"), ("a", 2, "y"), ("a", 3, "z"), ("a", 4, "w"),
+        # static: never changes -> max_interval
+        ("b", 1, "s"), ("b", 2, "s"), ("b", 3, "s"),
+        # single visit: no evidence -> max_interval, change_rate null
+        ("c", 1, "q"),
+        # slow: 1 change over 4 intervals -> 86400*4 = 345600
+        ("d", 1, "k"), ("d", 2, "k"), ("d", 3, "m"), ("d", 4, "m"), ("d", 5, "m"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "visit_ts", "fingerprint"])
+    out = {r["url"]: r for r in recrawl_schedule(df).collect()}
+    assert out["a"]["n_changes"] == 3 and out["a"]["next_interval_s"] == 86400
+    assert out["a"]["change_rate"] == 1.0
+    assert out["b"]["n_changes"] == 0 and out["b"]["next_interval_s"] == 2592000
+    assert out["c"]["change_rate"] is None
+    assert out["c"]["next_interval_s"] == 2592000
+    assert out["d"]["change_rate"] == 0.25
+    assert out["d"]["next_interval_s"] == 345600
+
+
+def test_recrawl_schedule_min_clamp(spark):
+    from frontier_engine.transforms import recrawl_schedule
+
+    # base 100s, 1 interval 1 change -> raw 100 clamped up to min 3600
+    rows = [("a", 1, "x"), ("a", 2, "y")]
+    df = spark.createDataFrame(rows, ["url", "visit_ts", "fingerprint"])
+    out = recrawl_schedule(df, base_interval=100).collect()[0]
+    assert out["next_interval_s"] == 3600
