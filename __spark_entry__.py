@@ -945,6 +945,15 @@ def q_recrawl_schedule(spark, sf):
     return TR.recrawl_schedule(hist, visit_col="visit_ts")
 
 
+def q_corpus_stats(spark, sf):
+    """Per-language dataset-card summary (C4/OSCAR/FineWeb-style): doc
+    counts, token/char volumes, min/median/p90/max document length in
+    one map-side-combined aggregate. Exact percentiles; linear
+    interpolation over integers is IEEE-exact on both engines."""
+    d = _t(spark, sf, "documents")
+    return TX.corpus_stats(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -1000,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_profile": q_dup_profile,
         "bpe_pairs": q_bpe_pairs,
         "recrawl_schedule": q_recrawl_schedule,
+        "corpus_stats": q_corpus_stats,
     }
 
 
@@ -1858,5 +1868,18 @@ def oracle_sql() -> dict[str, str]:
                                   (86400 * n_intervals) // n_changes))
                         END AS BIGINT) AS next_interval_s
             FROM agg
+        """,
+        "corpus_stats": r"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(coalesce(text, ''), '\s+'),
+                       w -> len(w) >= 1))) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   quantile_cont(n_chars, 0.5) AS median_chars,
+                   quantile_cont(n_chars, 0.9) AS p90_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang
         """,
     }

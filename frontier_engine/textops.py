@@ -1588,3 +1588,43 @@ def bpe_pair_counts(
         )
         .filter(F.col("pair_count") >= min_count)
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-language corpus summary — the dataset card every published
+    dump ships (C4/mC4, OSCAR, FineWeb all report per-language document
+    counts, token volumes and length distributions): doc count, token
+    and character volume, min/median/p90/max document length.
+
+    One hash aggregation keyed by language, map-side combined; exact
+    percentiles run as Spark's percentile aggregate (sorted-merge within
+    the aggregation buffer, no window, no global sort). Linear
+    interpolation on integers is IEEE-exact, so an independent engine
+    reproduces the quantiles bit-for-bit.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.size(toks).cast("long").alias("ntok"),
+            F.col(chars_col).cast("long").alias("nch"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.sum("nch").cast("long").alias("total_chars"),
+            F.min("nch").cast("long").alias("min_chars"),
+            F.expr("percentile(nch, 0.5)").alias("median_chars"),
+            F.expr("percentile(nch, 0.9)").alias("p90_chars"),
+            F.max("nch").cast("long").alias("max_chars"),
+        )
+    )

@@ -716,3 +716,17 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     assert out["ab"] == (7, 2)
     assert out["ba"] == (2, 1)
     assert set(out) == {"ab", "ba"}
+
+
+def test_corpus_stats_exact_quantiles(spark):
+    rows = [
+        (1, "a b", "en", 10), (2, "c", "en", 20), (3, "d e f", "en", 30),
+        (4, "x", "vi", 7), (5, "y z", "vi", 9),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    out = {r["lang"]: r for r in TX.corpus_stats(df).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["total_tokens"], en["total_chars"]) == (3, 6, 60)
+    assert (en["min_chars"], en["median_chars"], en["max_chars"]) == (10, 20.0, 30)
+    # even count interpolates: p50 of {7, 9} = 8.0
+    assert out["vi"]["median_chars"] == 8.0
