@@ -954,6 +954,86 @@ def q_corpus_stats(spark, sf):
     return TX.corpus_stats(d)
 
 
+def q_trap_detection(spark, sf):
+    """Spider-trap / duplicate-content host census (IRLbot-style budget
+    control, Lee et al. WWW 2009 §5; Heritrix pathological-URI rules):
+    per-host distinct-URL vs distinct-content inflation, path depth and
+    path-segment repetition, with the budget-cut gate. The fetch log is
+    built deterministically from events: hosts ≡7 (mod 8) mint a fresh
+    session URL per event over 3 contents (URL-space inflation), hosts
+    ≡3 (mod 8) serve repeated-segment paths (/x/x/x/x/...), everything
+    else is healthy. The census arithmetic is integer + one IEEE
+    division, so the oracle reproduces it bit-for-bit; Spark dedups on
+    xxhash64(url/content) (8-byte shuffles) while the oracle counts the
+    raw strings, so a hash collision would surface here."""
+    from frontier_engine import hostctl
+
+    e = _t(spark, sf, "events")
+    hostnum = (F.col("user_id") % 40).cast("string")
+    eid = F.col("event_id").cast("string")
+    kind = (F.col("user_id") % 40) % 8
+    url = F.when(
+        kind == 7,
+        F.concat(
+            F.lit("https://t"), hostnum, F.lit(".example/p?session="), eid
+        ),
+    ).when(
+        kind == 3,
+        F.concat(F.lit("https://t"), hostnum, F.lit(".example/x/x/x/x/p"), eid),
+    ).otherwise(
+        F.concat(F.lit("https://t"), hostnum, F.lit(".example/a/"), eid)
+    )
+    content = F.when(
+        kind == 7, F.concat(F.lit("c"), (F.col("event_id") % 3).cast("string"))
+    ).otherwise(F.concat(F.lit("b"), eid))
+    pages = e.select(
+        F.concat(F.lit("t"), hostnum).alias("host"),
+        url.alias("url"),
+        content.alias("content"),
+    )
+    return hostctl.trap_census(pages)
+
+
+def q_mirror_hosts(spark, sf):
+    """Mirror-site detection (Bharat & Broder WWW 1999): host pairs whose
+    capped content-fingerprint sets overlap with Jaccard ≥ 0.5. Pages are
+    synthesized from documents: hosts m3/m8 serve the same 4-content set
+    (a full mirror), m2/m7 share a 6-of-8 subset (a partial mirror), a
+    'boiler' fingerprint appears on 8+ hosts so the stop-fingerprint cap
+    (max_fp_hosts=4) is exercised on the oracle-checked path, and every
+    other page is unique. Join cost is fingerprint-bucketed (≤ cap² per
+    fingerprint), never |hosts|²."""
+    from frontier_engine import hostctl
+
+    d = _t(spark, sf, "documents")
+    tens = F.expr("doc_id div 10")
+    content = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("boiler"))
+        .when(
+            (F.col("doc_id") % 10).isin(3, 8),
+            F.concat(F.lit("shared:"), (tens % 4).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 2,
+            F.concat(F.lit("part:"), (tens % 6).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 7,
+            F.concat(F.lit("part:"), (tens % 8).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+    )
+    pages = d.select(
+        F.concat(F.lit("m"), (F.col("doc_id") % 10).cast("string")).alias(
+            "host"
+        ),
+        content.alias("content"),
+    )
+    return hostctl.mirror_hosts(
+        pages, min_overlap=2, min_jaccard=0.5, max_fp_hosts=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -1010,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "recrawl_schedule": q_recrawl_schedule,
         "corpus_stats": q_corpus_stats,
+        "trap_detection": q_trap_detection,
+        "mirror_hosts": q_mirror_hosts,
     }
 
 
@@ -1868,6 +1950,96 @@ def oracle_sql() -> dict[str, str]:
                                   (86400 * n_intervals) // n_changes))
                         END AS BIGINT) AS next_interval_s
             FROM agg
+        """,
+        "trap_detection": r"""
+            WITH pages AS (
+                SELECT 't' || CAST(user_id % 40 AS VARCHAR) AS host,
+                       CASE WHEN (user_id % 40) % 8 = 7
+                            THEN 'https://t' || CAST(user_id % 40 AS VARCHAR)
+                                 || '.example/p?session='
+                                 || CAST(event_id AS VARCHAR)
+                            WHEN (user_id % 40) % 8 = 3
+                            THEN 'https://t' || CAST(user_id % 40 AS VARCHAR)
+                                 || '.example/x/x/x/x/p'
+                                 || CAST(event_id AS VARCHAR)
+                            ELSE 'https://t' || CAST(user_id % 40 AS VARCHAR)
+                                 || '.example/a/'
+                                 || CAST(event_id AS VARCHAR)
+                       END AS url,
+                       CASE WHEN (user_id % 40) % 8 = 7
+                            THEN 'c' || CAST(event_id % 3 AS VARCHAR)
+                            ELSE 'b' || CAST(event_id AS VARCHAR)
+                       END AS content
+                FROM events),
+            feat AS (
+                SELECT host, url, content,
+                       coalesce(regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+                           '') AS path
+                FROM pages),
+            feat2 AS (
+                SELECT host, url, content,
+                       CAST(len(path) - len(replace(path, '/', ''))
+                            AS BIGINT) AS depth,
+                       CAST(coalesce(list_max(list_transform(
+                            list_filter(string_split(path, '/'),
+                                        u -> len(u) > 0),
+                            s -> len(list_filter(
+                                list_filter(string_split(path, '/'),
+                                            v -> len(v) > 0),
+                                w -> w = s)))), 0) AS BIGINT) AS rep
+                FROM feat),
+            agg AS (
+                SELECT host,
+                       CAST(count(*) AS BIGINT) AS n_pages,
+                       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                       CAST(count(DISTINCT content) AS BIGINT) AS n_contents,
+                       CAST(max(depth) AS BIGINT) AS max_depth,
+                       CAST(max(rep) AS BIGINT) AS max_seg_repeat
+                FROM feat2 GROUP BY host)
+            SELECT host, n_pages, n_urls, n_contents,
+                   n_urls / n_contents AS urls_per_content,
+                   max_depth, max_seg_repeat,
+                   (n_urls >= 20 AND (n_urls / n_contents >= 5.0
+                        OR max_depth > 16
+                        OR max_seg_repeat > 3)) AS trap
+            FROM agg
+        """,
+        "mirror_hosts": r"""
+            WITH pages AS (
+                SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) AS host,
+                       CASE WHEN doc_id % 7 = 0 THEN 'boiler'
+                            WHEN doc_id % 10 IN (3, 8)
+                            THEN 'shared:' || CAST((doc_id // 10) % 4 AS VARCHAR)
+                            WHEN doc_id % 10 = 2
+                            THEN 'part:' || CAST((doc_id // 10) % 6 AS VARCHAR)
+                            WHEN doc_id % 10 = 7
+                            THEN 'part:' || CAST((doc_id // 10) % 8 AS VARCHAR)
+                            ELSE 'doc:' || CAST(doc_id AS VARCHAR)
+                       END AS content
+                FROM documents),
+            fp AS (SELECT DISTINCT host, content FROM pages),
+            rare AS (
+                SELECT host, content FROM fp
+                WHERE content IN (
+                    SELECT content FROM fp
+                    GROUP BY content HAVING count(*) <= 4)),
+            sizes AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n
+                FROM rare GROUP BY host),
+            ov AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       CAST(count(*) AS BIGINT) AS overlap
+                FROM rare a JOIN rare b
+                  ON a.content = b.content AND a.host < b.host
+                GROUP BY a.host, b.host)
+            SELECT host_a, host_b, sa.n AS n_a, sb.n AS n_b, overlap,
+                   overlap / (sa.n + sb.n - overlap) AS jaccard
+            FROM ov
+            JOIN sizes sa ON ov.host_a = sa.host
+            JOIN sizes sb ON ov.host_b = sb.host
+            WHERE overlap >= 2
+              AND overlap / (sa.n + sb.n - overlap) >= 0.5
         """,
         "corpus_stats": r"""
             SELECT lang,

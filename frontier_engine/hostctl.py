@@ -1,0 +1,235 @@
+"""Host-level crawler control: spider-trap census and mirror detection.
+
+Two aggregate defenses every production frontier runs that per-URL logic
+cannot provide (generalizing the reference's single-store assumptions —
+its per-store scrapers /root/reference/crawler/stores/*.py each hardcode
+one well-behaved host, so it never needs either defense; a 10^10-URL
+frontier over the open web does):
+
+- :func:`trap_census` — per-host signals that identify spider traps and
+  duplicate-content servers (session-id URL spaces, calendar traps,
+  path-repetition loops), in the spirit of IRLbot's spam/trap budget
+  control (Lee, Leonard, Wang, Loguinov, WWW 2009 §5) and Heritrix's
+  path-repetition ("pathological URI") rules. Hosts flagged here get
+  their frontier budget cut wholesale, which is the only place the
+  defense can live: each individual trap URL looks fine.
+- :func:`mirror_hosts` — host pairs serving near-identical content sets
+  (Bharat & Broder, "Mirror, mirror on the Web", WWW 1999): detected by
+  content-fingerprint overlap, so a crawl schedules only one replica of
+  a mirrored site.
+
+Both are pure DataFrame aggregations (no UDFs, no windows over the
+corpus, no driver collects) and every emitted number is an integer or a
+single IEEE division of two integers, so an independent SQL engine
+reproduces the tables bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["trap_census", "url_path_features", "mirror_hosts"]
+
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+
+def url_path_features(url: F.Column) -> dict[str, F.Column]:
+    """Expression-only path-shape features of a URL string.
+
+    - ``depth``          number of ``/`` in the path component
+    - ``seg_repeat``     highest multiplicity of any single path segment
+                         (``/a/b/a/b/a`` -> 3) — the path-repetition trap
+                         signature (Heritrix flags URIs whose path repeats
+                         a segment more than N times)
+
+    Scheme-relative and path-less URLs get depth 0 / repeat 0. Stays
+    inside whole-stage codegen: ``regexp_extract`` + higher-order array
+    functions, no Python.
+    """
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    depth = (F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))).cast(
+        "long"
+    )
+    segs = F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
+    seg_repeat = F.coalesce(
+        F.array_max(
+            F.transform(
+                segs, lambda s: F.size(F.filter(segs, lambda x: x == s))
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    return {"depth": depth, "seg_repeat": seg_repeat}
+
+
+def trap_census(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    content_col: str = "content",
+    min_urls: int = 20,
+    ratio_threshold: float = 5.0,
+    depth_limit: int = 16,
+    seg_repeat_limit: int = 3,
+) -> DataFrame:
+    """Per-host trap/duplicate-content census over fetched pages.
+
+    Emitted per host:
+
+    - ``n_pages``           fetch observations
+    - ``n_urls``            distinct URLs (counted over xxhash64(url), so
+                            only 8-byte hashes shuffle; a collision would
+                            surface as an oracle gate mismatch)
+    - ``n_contents``        distinct content fingerprints (same hashing)
+    - ``urls_per_content``  n_urls / n_contents — the duplicate-content
+                            server signal: a session-id or calendar trap
+                            mints unbounded URLs over a tiny content set
+    - ``max_depth``         deepest path seen on the host
+    - ``max_seg_repeat``    worst path-segment repetition on the host
+    - ``trap``              the budget-control gate: enough evidence
+                            (``n_urls >= min_urls``) AND (URL-space
+                            inflation over ``ratio_threshold`` OR a path
+                            deeper than ``depth_limit`` OR a segment
+                            repeated more than ``seg_repeat_limit`` times)
+
+    Plan shape at 100 TB: the per-URL features are map-side expressions;
+    the census is ONE hash aggregation keyed by host with map-side
+    partial combine (two-level for the distinct counts). Output is
+    host-cardinality. No join, no window, no Python — the same shape as
+    :func:`frontier_engine.textops.domain_stats`, which is what lets the
+    frontier re-run it every epoch.
+    """
+    feats = url_path_features(F.col(url_col))
+    agg = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.xxhash64(F.coalesce(F.col(url_col), F.lit(""))).alias("_uh"),
+            F.xxhash64(F.coalesce(F.col(content_col), F.lit(""))).alias("_ch"),
+            feats["depth"].alias("_depth"),
+            feats["seg_repeat"].alias("_rep"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.countDistinct("_uh").cast("long").alias("n_urls"),
+            F.countDistinct("_ch").cast("long").alias("n_contents"),
+            F.max("_depth").cast("long").alias("max_depth"),
+            F.max("_rep").cast("long").alias("max_seg_repeat"),
+        )
+    )
+    ratio = F.col("n_urls") / F.col("n_contents")
+    return agg.select(
+        "host",
+        "n_pages",
+        "n_urls",
+        "n_contents",
+        ratio.alias("urls_per_content"),
+        "max_depth",
+        "max_seg_repeat",
+        (
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (
+                (ratio >= F.lit(ratio_threshold))
+                | (F.col("max_depth") > F.lit(depth_limit))
+                | (F.col("max_seg_repeat") > F.lit(seg_repeat_limit))
+            )
+        ).alias("trap"),
+    )
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content",
+    min_overlap: int = 2,
+    min_jaccard: float = 0.5,
+    max_fp_hosts: int = 50,
+    cached: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Host pairs serving near-identical content sets (site mirrors).
+
+    Bharat & Broder (WWW 1999) detect mirrors by shared content
+    fingerprints; a frontier uses the table to crawl one replica and
+    blocklist the rest. Output per unordered pair (``host_a < host_b``):
+    distinct-content sizes ``n_a``/``n_b``, ``overlap`` (shared
+    fingerprints) and exact ``jaccard`` = overlap / (n_a + n_b -
+    overlap), filtered to ``overlap >= min_overlap AND jaccard >=
+    min_jaccard``.
+
+    Scale shape — bucket-first, never all-pairs:
+
+    1. ``(host, fingerprint)`` distinct: one shuffle of 16-byte rows
+       with map-side partial dedup (fingerprint = xxhash64(content); the
+       oracle joins on the raw content, so a collision would surface).
+    2. Frequency cap: fingerprints on more than ``max_fp_hosts`` hosts
+       are dropped BEFORE the self-join — boilerplate served everywhere
+       (empty pages, error templates) would otherwise fan the join out
+       k² per fingerprint. Same defense as the stop-fingerprint cap in
+       the near-dup pipelines; the cap only removes evidence shared so
+       widely it cannot distinguish a mirror PAIR anyway. The histogram
+       feeding the cap is itself a map-side-combined aggregate.
+    3. Candidate pairs come from the equi-self-join on fingerprint —
+       cost is sum over fingerprints of k·(k-1)/2 with k <= max_fp_hosts,
+       i.e. output-cardinality-bounded, never |hosts|².
+    4. One hash aggregation to overlap counts, then a broadcast-size
+       join against the per-host size table (host-cardinality).
+
+    The deduped ``(host, fp)`` table is consumed four times (sizes,
+    frequency histogram, both join sides); pass a ``cached`` list to
+    persist it for the duration and unpersist after the result is
+    materialized (caller owns the lifetime — same contract as
+    :func:`frontier_engine.textops.minhash_candidates`).
+    """
+    fp = pages.select(
+        F.col(host_col).alias("host"),
+        F.xxhash64(F.coalesce(F.col(content_col), F.lit(""))).alias("fp"),
+    ).distinct()
+    if cached is not None:
+        fp = fp.persist()
+        cached.append(fp)
+    rare = fp.join(
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("_hosts"))
+        .filter(F.col("_hosts") <= max_fp_hosts)
+        .select("fp"),
+        "fp",
+    )
+    # sizes over the CAPPED set, so jaccard is the exact Jaccard of the
+    # fingerprint sets the overlap was computed on (a ubiquitous
+    # boilerplate fingerprint neither adds evidence nor dilutes it)
+    sizes = rare.groupBy("host").agg(F.count("*").cast("long").alias("n"))
+    a = rare.select(F.col("host").alias("host_a"), "fp")
+    b = rare.select(F.col("host").alias("host_b"), "fp")
+    overlap = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    out = (
+        overlap.join(
+            F.broadcast(sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_a",
+            "n_b",
+            "overlap",
+            (
+                F.col("overlap")
+                / (F.col("n_a") + F.col("n_b") - F.col("overlap"))
+            ).alias("jaccard"),
+        )
+        .filter(
+            (F.col("overlap") >= F.lit(min_overlap))
+            & (F.col("jaccard") >= F.lit(min_jaccard))
+        )
+    )
+    return out

@@ -1,0 +1,135 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frontier_engine import hostctl
+
+
+def _census(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "host string, url string, content string")
+    out = hostctl.trap_census(df, **kw)
+    return {r["host"]: r.asDict() for r in out.collect()}
+
+
+def test_trap_census_flags_duplicate_content_server(spark):
+    rows = [
+        # trap host: 6 session-id URLs, 2 distinct contents
+        *[
+            (f"trap.example", f"https://trap.example/p?sid={i}", f"c{i % 2}")
+            for i in range(6)
+        ],
+        # healthy host: 6 URLs, 6 contents
+        *[
+            (f"ok.example", f"https://ok.example/a/{i}", f"body{i}")
+            for i in range(6)
+        ],
+    ]
+    got = _census(spark, rows, min_urls=5, ratio_threshold=3.0)
+    t = got["trap.example"]
+    assert (t["n_pages"], t["n_urls"], t["n_contents"]) == (6, 6, 2)
+    assert t["urls_per_content"] == 3.0
+    assert t["trap"] is True
+    h = got["ok.example"]
+    assert h["urls_per_content"] == 1.0
+    assert h["trap"] is False
+
+
+def test_trap_census_path_signals(spark):
+    deep = "https://d.example" + "/x" * 20
+    repeat = "https://r.example/a/b/a/b/a"
+    rows = [("d.example", deep, "c"), ("r.example", repeat, "c")]
+    got = _census(spark, rows, min_urls=1, ratio_threshold=99.0)
+    assert got["d.example"]["max_depth"] == 20
+    assert got["d.example"]["trap"] is True  # depth_limit=16
+    assert got["r.example"]["max_seg_repeat"] == 3
+    assert got["r.example"]["trap"] is False  # seg_repeat_limit=3 not exceeded
+    got2 = _census(spark, rows, min_urls=1, ratio_threshold=99.0, seg_repeat_limit=2)
+    assert got2["r.example"]["trap"] is True
+
+
+def test_trap_census_pathless_and_null_urls(spark):
+    rows = [("h", "https://h", "c"), ("h", None, "c2"), ("h", "not a url", "c3")]
+    got = _census(spark, rows, min_urls=1)
+    h = got["h"]
+    assert h["max_depth"] == 0 and h["max_seg_repeat"] == 0
+    assert h["n_pages"] == 3
+
+
+def test_trap_census_insufficient_evidence_never_flags(spark):
+    # worst possible ratio but only 3 URLs: below min_urls, no flag
+    rows = [("h", f"https://h/p?s={i}", "same") for i in range(3)]
+    got = _census(spark, rows, min_urls=20, ratio_threshold=2.0)
+    assert got["h"]["trap"] is False
+
+
+def _pages(spark, triples):
+    return spark.createDataFrame(triples, "host string, content string")
+
+
+def test_mirror_hosts_exact_and_partial(spark):
+    rows = []
+    # full mirror pair: m1/m2 share contents s0..s3
+    for h in ("m1", "m2"):
+        rows += [(h, f"s{i}") for i in range(4)]
+    # partial pair: p1 has s0..s5, p2 has s0..s7 of a different namespace
+    rows += [("p1", f"t{i}") for i in range(6)]
+    rows += [("p2", f"t{i}") for i in range(8)]
+    # unrelated host
+    rows += [("solo", f"u{i}") for i in range(5)]
+    cached: list = []
+    out = hostctl.mirror_hosts(
+        _pages(spark, rows), min_overlap=2, min_jaccard=0.5, cached=cached
+    )
+    got = {(r["host_a"], r["host_b"]): r.asDict() for r in out.collect()}
+    for df in cached:
+        df.unpersist()
+    assert set(got) == {("m1", "m2"), ("p1", "p2")}
+    m = got[("m1", "m2")]
+    assert (m["n_a"], m["n_b"], m["overlap"], m["jaccard"]) == (4, 4, 4, 1.0)
+    p = got[("p1", "p2")]
+    assert (p["n_a"], p["n_b"], p["overlap"]) == (6, 8, 6)
+    assert p["jaccard"] == 6 / 8
+
+
+def test_mirror_hosts_duplicate_fetches_do_not_inflate_overlap(spark):
+    # same (host, content) observed many times counts once
+    rows = [("a", "x")] * 10 + [("b", "x")] * 3 + [("a", "y"), ("b", "y")]
+    out = hostctl.mirror_hosts(_pages(spark, rows), min_overlap=2, min_jaccard=0.5)
+    got = out.collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert (r["n_a"], r["n_b"], r["overlap"], r["jaccard"]) == (2, 2, 2, 1.0)
+
+
+def test_mirror_hosts_boilerplate_cap(spark):
+    # "boiler" is served by every host; with max_fp_hosts below the host
+    # count it contributes no candidate pairs, so only the real mirror
+    # pair (sharing s0/s1) survives.
+    hosts = [f"h{i}" for i in range(8)]
+    rows = [(h, "boiler") for h in hosts]
+    rows += [("h0", "s0"), ("h0", "s1"), ("h1", "s0"), ("h1", "s1")]
+    out = hostctl.mirror_hosts(
+        _pages(spark, rows), min_overlap=2, min_jaccard=0.5, max_fp_hosts=4
+    )
+    got = {(r["host_a"], r["host_b"]) for r in out.collect()}
+    assert got == {("h0", "h1")}
+    # without the cap the boilerplate fingerprint links every pair, but
+    # jaccard still gates: h2..h7 pairs share 1 of 1 -> jaccard 1.0 with
+    # overlap 1 < min_overlap, so min_overlap is what keeps them out.
+    out2 = hostctl.mirror_hosts(
+        _pages(spark, rows), min_overlap=2, min_jaccard=0.5, max_fp_hosts=1000
+    )
+    got2 = {(r["host_a"], r["host_b"]) for r in out2.collect()}
+    assert got2 == {("h0", "h1")}
+
+
+def test_url_path_features_expression_only(spark):
+    df = spark.range(1).select(
+        F.lit("https://h.example/a/b/a/c?q=1#f").alias("url")
+    )
+    feats = hostctl.url_path_features(F.col("url"))
+    row = df.select(
+        feats["depth"].alias("d"), feats["seg_repeat"].alias("r")
+    ).collect()[0]
+    assert row["d"] == 4  # /a/b/a/c
+    assert row["r"] == 2  # "a" twice; query/fragment excluded
