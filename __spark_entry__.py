@@ -1034,6 +1034,32 @@ def q_mirror_hosts(spark, sf):
     )
 
 
+def q_politeness_audit(spark, sf):
+    """Politeness-compliance audit over an observed fetch log — the
+    operational twin of the T1 scheduler: per-host inter-fetch gaps vs
+    the host's crawl delay, violation counts, and the compliance gate.
+    The log is built deterministically from events (host = user_id % 8,
+    fetch instant = event_id as milliseconds); hosts p0..p5 get delays
+    300/700/1100 ms from a range-built table, p6/p7 fall back to the
+    1000 ms default. Integer millisecond arithmetic — engine-exact; tied
+    instants yield order-independent gap multisets, so the report is
+    deterministic at any parallelism."""
+    from frontier_engine import hostctl
+
+    e = _t(spark, sf, "events")
+    log = e.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 8).cast("string")).alias(
+            "host"
+        ),
+        F.col("event_id").alias("ts_ms"),
+    )
+    delays = spark.range(6).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("host"),
+        (300 + 400 * (F.col("id") % 3)).cast("long").alias("delay_ms"),
+    )
+    return hostctl.politeness_audit(log, delays)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -1092,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "trap_detection": q_trap_detection,
         "mirror_hosts": q_mirror_hosts,
+        "politeness_audit": q_politeness_audit,
     }
 
 
@@ -2040,6 +2067,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON ov.host_b = sb.host
             WHERE overlap >= 2
               AND overlap / (sa.n + sb.n - overlap) >= 0.5
+        """,
+        "politeness_audit": r"""
+            WITH log AS (
+                SELECT 'p' || CAST(user_id % 8 AS VARCHAR) AS host,
+                       event_id AS ts_ms
+                FROM events),
+            d AS (
+                SELECT 'p' || CAST(i AS VARCHAR) AS host,
+                       CAST(300 + 400 * (i % 3) AS BIGINT) AS delay_ms
+                FROM range(6) t(i)),
+            gaps AS (
+                SELECT host,
+                       ts_ms - lag(ts_ms) OVER (
+                           PARTITION BY host ORDER BY ts_ms
+                       ) AS gap
+                FROM log),
+            j AS (
+                SELECT g.host, g.gap,
+                       coalesce(d.delay_ms, 1000) AS dd
+                FROM gaps g LEFT JOIN d ON g.host = d.host)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_fetches,
+                   CAST(min(gap) AS BIGINT) AS min_gap_ms,
+                   CAST(max(dd) AS BIGINT) AS delay_ms,
+                   CAST(sum(CASE WHEN gap < dd THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violations,
+                   (sum(CASE WHEN gap < dd THEN 1 ELSE 0 END) = 0)
+                       AS compliant
+            FROM j GROUP BY host
         """,
         "corpus_stats": r"""
             SELECT lang,

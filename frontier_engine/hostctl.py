@@ -26,10 +26,15 @@ reproduces the tables bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["trap_census", "url_path_features", "mirror_hosts"]
+__all__ = [
+    "trap_census",
+    "url_path_features",
+    "mirror_hosts",
+    "politeness_audit",
+]
 
 _PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
 
@@ -136,6 +141,68 @@ def trap_census(
             )
         ).alias("trap"),
     )
+
+
+def politeness_audit(
+    log: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+    delay_col: str = "delay_ms",
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """Per-host politeness-compliance report over an observed fetch log.
+
+    The operational twin of the scheduler (T1): the drain PLANS fetches
+    so consecutive same-host requests sit ``crawl_delay`` apart; this op
+    AUDITS what actually happened, from the fetch log the crawl's
+    lineage already records — the check an operator runs before raising
+    budgets (and the evidence a webmaster complaint is answered with).
+    The reference never needs it (one asyncio process, politeness by
+    construction: /root/reference/crawler/main.py's sequential per-store
+    loop); a distributed fetcher does, because clock skew and task
+    retries can violate spacing the plan promised.
+
+    Per host: ``n_fetches``, ``min_gap_ms`` (smallest inter-fetch gap,
+    NULL for a single fetch), the effective ``delay_ms`` (from
+    ``delays``, else ``default_delay_ms``), ``violations`` (gaps
+    strictly under the delay) and the ``compliant`` gate. All integer
+    arithmetic (millisecond BIGINTs), bit-exact on any engine; with
+    tied timestamps the sorted gap multiset — hence every output — is
+    order-independent, so the report is deterministic at any
+    parallelism.
+
+    Plan shape at 100 TB: one window keyed by host over the fetch log
+    (per-host partitions are epoch-budget-bounded by construction — the
+    drain emits at most ``budget`` fetches per host per epoch), a
+    broadcast join against the host-cardinality delay table, then one
+    map-side-combined aggregate back to host cardinality.
+    """
+    w = Window.partitionBy("host").orderBy("_ts")
+    gaps = log.select(
+        F.col(host_col).alias("host"), F.col(ts_col).cast("long").alias("_ts")
+    ).withColumn("_gap", F.col("_ts") - F.lag("_ts").over(w))
+    j = gaps.join(
+        F.broadcast(
+            delays.select(
+                F.col(host_col).alias("host"),
+                F.col(delay_col).cast("long").alias("_d"),
+            )
+        ),
+        "host",
+        "left",
+    ).withColumn("_d", F.coalesce(F.col("_d"), F.lit(default_delay_ms)))
+    agg = j.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.min("_gap").cast("long").alias("min_gap_ms"),
+        F.max("_d").cast("long").alias("delay_ms"),
+        F.sum(
+            F.when(F.col("_gap") < F.col("_d"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("violations"),
+    )
+    return agg.withColumn("compliant", F.col("violations") == 0)
 
 
 def mirror_hosts(

@@ -133,3 +133,45 @@ def test_url_path_features_expression_only(spark):
     ).collect()[0]
     assert row["d"] == 4  # /a/b/a/c
     assert row["r"] == 2  # "a" twice; query/fragment excluded
+
+
+def test_politeness_audit_gaps_and_gate(spark):
+    log = spark.createDataFrame(
+        [
+            # host a, delay 1000: gaps 1000, 999 -> one violation
+            ("a", 0), ("a", 1000), ("a", 1999),
+            # host b, delay 500: gaps 600, 700 -> compliant
+            ("b", 10), ("b", 610), ("b", 1310),
+            # host c: single fetch, no delay row -> default delay, null gap
+            ("c", 42),
+        ],
+        "host string, ts_ms long",
+    )
+    delays = spark.createDataFrame(
+        [("a", 1000), ("b", 500)], "host string, delay_ms long"
+    )
+    got = {
+        r["host"]: r.asDict()
+        for r in hostctl.politeness_audit(log, delays).collect()
+    }
+    a = got["a"]
+    assert (a["n_fetches"], a["min_gap_ms"], a["violations"], a["compliant"]) == (
+        3, 999, 1, False,
+    )
+    b = got["b"]
+    assert (b["min_gap_ms"], b["violations"], b["compliant"]) == (600, 0, True)
+    c = got["c"]
+    assert (c["n_fetches"], c["min_gap_ms"], c["delay_ms"], c["violations"]) == (
+        1, None, 1000, 0,
+    )
+    assert c["compliant"] is True
+
+
+def test_politeness_audit_tied_timestamps_deterministic(spark):
+    # two fetches at the same instant: gap 0 regardless of tie order
+    log = spark.createDataFrame(
+        [("h", 5), ("h", 5), ("h", 800)], "host string, ts_ms long"
+    )
+    delays = spark.createDataFrame([("h", 100)], "host string, delay_ms long")
+    r = hostctl.politeness_audit(log, delays).collect()[0].asDict()
+    assert (r["min_gap_ms"], r["violations"], r["compliant"]) == (0, 1, False)
