@@ -1060,6 +1060,69 @@ def q_politeness_audit(spark, sf):
     return hostctl.politeness_audit(log, delays)
 
 
+def q_hits(spark, sf):
+    """Hub/authority scores for frontier prioritization: 5-iteration
+    HITS (Kleinberg, L1-normalized half-steps — pure IEEE folds, no
+    sqrt) over the SAME deterministic ~100-node orders-derived graph as
+    q_pagerank. Each half-step is ONE edge ⋈ score join + map-side
+    combined sum; the normalizer is a 1-row aggregate folded back in as
+    a driver literal.
+    The DuckDB oracle unrolls the identical iterations as chained CTEs;
+    scores round to 6 decimals (values are O(1/N), accumulated IEEE
+    error ~1e-15)."""
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    s = GR.hits(edges, iterations=5)
+    return s.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def q_link_census(spark, sf):
+    """Host-graph outlink census (the nepotistic-link spam signal):
+    per source host, total/intra/cross outlinks, distinct destination
+    hosts, and the intra-host ratio. Edges derive deterministically
+    from events (src host = user_id % 20, dst host = event_id % 23,
+    with every 11th destination NULL to exercise the unparseable-target
+    path: counted cross, excluded from n_dst_hosts). Expression-only
+    features, ONE map-side-combined aggregate at host cardinality."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "src_host"
+        ),
+        F.when(
+            F.col("event_id") % 11 != 0,
+            F.concat(F.lit("h"), (F.col("event_id") % 23).cast("string")),
+        ).alias("dst_host"),
+    )
+    return GR.link_census(edges)
+
+
+def q_anchor_stats(spark, sf):
+    """Top-k anchor texts per link target — the web's free labeling
+    signal (PageRank §2.2 anchor propagation): one (dst, anchor)
+    map-side-combined count, then a rank window over DISTINCT anchors
+    per target (mega-targets collapse before the window, so inlink
+    skew cannot form a hot partition). Targets derive from events
+    (dst = u<event_id % 50>), anchors from event_type with every 13th
+    blanked to exercise the empty-anchor drop; ties break
+    lexicographically so the top-2 set is parallelism-independent."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 50).cast("string")).alias(
+            "dst"
+        ),
+        F.when(F.col("event_id") % 13 != 0, F.col("event_type")).otherwise(
+            F.lit("")
+        ).alias("anchor"),
+    )
+    return GR.anchor_stats(edges, k=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -1119,6 +1182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_detection": q_trap_detection,
         "mirror_hosts": q_mirror_hosts,
         "politeness_audit": q_politeness_audit,
+        "hits": q_hits,
+        "link_census": q_link_census,
+        "anchor_stats": q_anchor_stats,
     }
 
 
@@ -1153,6 +1219,53 @@ def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+def _hits_oracle_sql(iters: int = 5) -> str:
+    """Unrolled-iteration DuckDB twin of graph.hits over the q_hits edge
+    derivation (same graph as q_pagerank). Each iteration is two
+    aggregate+L1-normalize half-steps; arithmetic forced to DOUBLE so
+    both engines run identical IEEE ops. Every CTE is MATERIALIZED:
+    the normalize step references its raw CTE twice, so inlining (the
+    planner default for small CTEs) re-evaluates the whole iteration
+    subtree ~4^iters times — minutes of CPU for a query that runs in
+    milliseconds materialized."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT (o_custkey % 100) AS src,"
+        " (o_orderkey % 100) AS dst FROM orders"
+        " WHERE (o_custkey % 100) <> (o_orderkey % 100))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT n.node AS node,"
+            f" coalesce(sum(h.hub), CAST(0.0 AS DOUBLE)) AS auth"
+            f" FROM nodes n LEFT JOIN e ON e.dst = n.node"
+            f" LEFT JOIN h{k - 1} h ON h.node = e.src GROUP BY n.node)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT node, CASE WHEN t.s <> CAST(0.0 AS DOUBLE)"
+            f" THEN auth / t.s ELSE CAST(0.0 AS DOUBLE) END AS auth"
+            f" FROM ar{k}, (SELECT sum(auth) AS s FROM ar{k}) t)"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT n.node AS node,"
+            f" coalesce(sum(a.auth), CAST(0.0 AS DOUBLE)) AS hub"
+            f" FROM nodes n LEFT JOIN e ON e.src = n.node"
+            f" LEFT JOIN a{k} a ON a.node = e.dst GROUP BY n.node)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT node, CASE WHEN t.s <> CAST(0.0 AS DOUBLE)"
+            f" THEN hub / t.s ELSE CAST(0.0 AS DOUBLE) END AS hub"
+            f" FROM hr{k}, (SELECT sum(hub) AS s FROM hr{k}) t)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.node AS node, round(h.hub, 6) AS hub,"
+        f" round(a.auth, 6) AS auth"
+        f" FROM h{iters} h JOIN a{iters} a ON a.node = h.node"
     )
 
 
@@ -2096,6 +2209,50 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN gap < dd THEN 1 ELSE 0 END) = 0)
                        AS compliant
             FROM j GROUP BY host
+        """,
+        "hits": _hits_oracle_sql(5),
+        "link_census": r"""
+            WITH edges AS (
+                SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS src_host,
+                       CASE WHEN event_id % 11 <> 0
+                            THEN 'h' || CAST(event_id % 23 AS VARCHAR)
+                       END AS dst_host
+                FROM events)
+            SELECT src_host AS host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(sum(CASE WHEN dst_host IS NOT NULL
+                                  AND src_host = dst_host
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_intra,
+                   CAST(count(*)
+                        - sum(CASE WHEN dst_host IS NOT NULL
+                                    AND src_host = dst_host
+                                   THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cross,
+                   CAST(count(DISTINCT dst_host) AS BIGINT) AS n_dst_hosts,
+                   CAST(sum(CASE WHEN dst_host IS NOT NULL
+                                  AND src_host = dst_host
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS intra_ratio
+            FROM edges GROUP BY src_host
+        """,
+        "anchor_stats": r"""
+            WITH edges AS (
+                SELECT 'u' || CAST(event_id % 50 AS VARCHAR) AS dst,
+                       CASE WHEN event_id % 13 <> 0 THEN event_type
+                            ELSE '' END AS anchor
+                FROM events),
+            counts AS (
+                SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+                FROM edges
+                WHERE anchor IS NOT NULL AND anchor <> ''
+                GROUP BY dst, anchor),
+            r AS (
+                SELECT dst, anchor, n,
+                       CAST(row_number() OVER (
+                           PARTITION BY dst ORDER BY n DESC, anchor ASC
+                       ) AS INT) AS rank
+                FROM counts)
+            SELECT dst, anchor, n, rank FROM r WHERE rank <= 2
         """,
         "corpus_stats": r"""
             SELECT lang,

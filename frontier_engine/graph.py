@@ -35,7 +35,7 @@ the result is byte-deterministic at any parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -106,6 +106,195 @@ def pagerank(
             weighted.unpersist()
     finally:
         e.unpersist()
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, JACM 1999) over a directed edge
+    list: hub and authority scores per node, L1-normalized each
+    half-step.
+
+    The second classic authority signal next to :func:`pagerank` — HITS
+    separates "pages many good pages point AT" (authorities: fetch
+    these first) from "pages that point at many good pages" (hubs:
+    directory/index pages whose outlinks seed the frontier). A crawl
+    scheduler wants both columns; the reference's static store list
+    needs neither (it IS a hand-curated hub).
+
+    Semantics — the textbook power iteration with sum (L1)
+    normalization, which keeps every update a pure fold over IEEE
+    doubles (no sqrt), so an independent engine reproduces it to
+    rounding precision::
+
+        auth'(v) = sum over edges u->v of hub(u);    auth = auth'/Σauth'
+        hub'(u)  = sum over edges u->v of auth(v);   hub  = hub'/Σhub'
+
+    starting from hub_0 = 1 on every node. Duplicate edges collapse;
+    nodes with no in-links hold authority 0, no out-links hub 0. With
+    no edges at all, scores are all 0 (the normalizer guards division
+    by zero). Iteration count is a fixed parameter — the run is a known
+    number of jobs, byte-deterministic modulo float summation order
+    (callers hash-compare after rounding, as with :func:`pagerank`).
+
+    Scale shape: the deduped edge set is persisted once; each
+    half-step is exactly ONE edge ⋈ score hash join feeding a
+    map-side-combined sum, ``localCheckpoint``-ed to cut the iterative
+    lineage (the same driver-loop idiom as :func:`pagerank`). The L1
+    normalizer is a single-row aggregate over that checkpointed table
+    pulled to the driver and folded back in as a literal — one 1-row
+    collect per half-step, driver-small by construction (the
+    broadcast-of-an-aggregate alternative plants a BroadcastExchange
+    inside every step of an iterative plan: slower, and a scheduler
+    hazard). The score table itself is never re-shuffled to normalize.
+    """
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
+        auth = nodes.select("node", F.lit(0.0).alias("auth"))
+
+        def _l1(df: DataFrame, col: str) -> DataFrame:
+            # df is localCheckpoint-ed: the normalizer is a cheap scan
+            # of materialized rows, and the division is a driver literal.
+            total = df.agg(F.sum(col)).collect()[0][0] or 0.0
+            if total == 0.0:
+                return df.select("node", F.lit(0.0).alias(col))
+            return df.select(
+                "node", (F.col(col) / F.lit(float(total))).alias(col)
+            )
+
+        for _ in range(iterations):
+            a_raw = (
+                nodes.join(
+                    e.join(
+                        hub.select(F.col("node").alias("src"), "hub"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("hub").alias("auth")),
+                    "node",
+                    "left",
+                )
+                .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth"))
+                .localCheckpoint()
+            )
+            auth = _l1(a_raw, "auth")
+            h_raw = (
+                nodes.join(
+                    e.join(
+                        auth.select(F.col("node").alias("dst"), "auth"), "dst"
+                    )
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.sum("auth").alias("hub")),
+                    "node",
+                    "left",
+                )
+                .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+                .localCheckpoint()
+            )
+            hub = _l1(h_raw, "hub")
+        return hub.join(auth, "node").select("node", "hub", "auth")
+    finally:
+        e.unpersist()
+
+
+def link_census(
+    edges: DataFrame,
+    src_host: str = "src_host",
+    dst_host: str = "dst_host",
+) -> DataFrame:
+    """Per-source-host outlink census: the nepotistic-link spam signal.
+
+    Link-farm and mirror-cluster detection (Fetterly et al., WebDB 2004;
+    Castillo et al. WEBSPAM-UK) starts from exactly this table: how many
+    outlinks a host emits, how many stay on-host (``n_intra``), how many
+    leave (``n_cross``), how many distinct destination hosts it reaches
+    (``n_dst_hosts``), and the intra-host ratio. Hosts with thousands of
+    links all pointing at themselves or one partner host are frontier
+    de-prioritization candidates — the host-graph twin of
+    :func:`~frontier_engine.hostctl.trap_census`'s URL-shape census.
+
+    Expression-only features feeding ONE map-side-combined aggregate
+    keyed by source host (host cardinality out, never URL cardinality);
+    ``intra_ratio`` is an exact DOUBLE of two BIGINTs, deterministic on
+    any engine. Null destination hosts (unparseable targets) count as
+    cross-host and do not enter ``n_dst_hosts``.
+    """
+    s, d = F.col(src_host), F.col(dst_host)
+    intra = F.when(d.isNotNull() & (s == d), F.lit(1)).otherwise(F.lit(0))
+    return (
+        edges.groupBy(s.alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.sum(intra).cast("long").alias("n_intra"),
+            F.count_distinct(d).cast("long").alias("n_dst_hosts"),
+        )
+        .select(
+            "host",
+            "n_links",
+            "n_intra",
+            (F.col("n_links") - F.col("n_intra")).alias("n_cross"),
+            "n_dst_hosts",
+            (F.col("n_intra") / F.col("n_links")).alias("intra_ratio"),
+        )
+    )
+
+
+def anchor_stats(
+    edges: DataFrame,
+    k: int = 3,
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Top-k anchor texts per link target, with counts.
+
+    Anchor text is the web's free labeling signal: the words OTHER
+    pages use for a URL describe it better than its own markup
+    (the original PageRank paper §2.2 propagates anchors to targets;
+    modern pipelines keep them as retrieval/quality features and as
+    crawl-priority hints for still-unfetched URLs — anchors exist
+    before the target is ever crawled). Per target: the ``k`` most
+    frequent anchor strings and their counts.
+
+    Shape: one map-side-combined count keyed by (dst, anchor) — the
+    only shuffle over link cardinality — then a rank window over
+    (dst) partitions whose size is already collapsed to DISTINCT
+    anchors per target (bounded, not inlink-bounded: a UaURL with 10^9
+    identical "click here" inlinks contributes ONE row past the first
+    aggregate, so mega-targets cannot skew the window). Ties break
+    lexicographically on the anchor string, making the top-k set
+    deterministic at any parallelism. Null/empty anchors are dropped
+    before counting.
+    """
+    if k < 1:
+        raise ValueError("anchor_stats: k must be >= 1")
+    counts = (
+        edges.select(F.col(dst).alias("dst"), F.col(anchor).alias("anchor"))
+        .filter(F.col("anchor").isNotNull() & (F.col("anchor") != ""))
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dst", "anchor", "n", "rank")
+    )
 
 
 def frontier_priority_from_ranks(

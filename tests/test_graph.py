@@ -141,3 +141,97 @@ def test_rank_blend_wired_into_crawl(spark, tmp_path):
             assert p1 > p0 + 0.14, (url, p0, p1)
             boosted += 1
     assert boosted > 0
+
+
+def _numpy_hits(edges, iterations):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    for _ in range(iterations):
+        auth = np.zeros(n)
+        for u, v in edges:
+            auth[idx[v]] += hub[idx[u]]
+        s = auth.sum()
+        auth = auth / s if s else auth
+        hub = np.zeros(n)
+        for u, v in edges:
+            hub[idx[u]] += auth[idx[v]]
+        s = hub.sum()
+        hub = hub / s if s else hub
+    return {nodes[i]: (hub[i], auth[i]) for i in range(n)}
+
+
+def test_hits_matches_dense_reference(spark):
+    from frontier_engine.graph import hits
+
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(edges, iterations=4).collect()
+    }
+    want = _numpy_hits(EDGES, 4)
+    assert set(got) == set(want)
+    for node, (h, a) in want.items():
+        assert abs(got[node][0] - h) < 1e-9, node
+        assert abs(got[node][1] - a) < 1e-9, node
+    # structure: 0 links to many good pages -> top hub; dangling 3 has
+    # hub 0; orphan-source 4 has auth 0.
+    assert got[3][0] == 0.0
+    assert got[4][1] == 0.0
+    assert got[0][0] == max(h for h, _ in got.values())
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    from frontier_engine.graph import hits
+
+    once = spark.createDataFrame(EDGES, ["src", "dst"])
+    dup = spark.createDataFrame(EDGES + EDGES[:3], ["src", "dst"])
+    a = sorted(map(tuple, hits(once, 2).collect()))
+    b = sorted(map(tuple, hits(dup, 2).collect()))
+    assert a == b
+
+
+def test_link_census_intra_cross_null(spark):
+    from frontier_engine.graph import link_census
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "a"), ("a", "a"), ("a", "b"), ("a", None),
+            ("b", "c"),
+        ],
+        "src_host string, dst_host string",
+    )
+    got = {r["host"]: r.asDict() for r in link_census(edges).collect()}
+    a = got["a"]
+    assert (a["n_links"], a["n_intra"], a["n_cross"]) == (4, 2, 2)
+    assert a["n_dst_hosts"] == 2  # null dst excluded
+    assert abs(a["intra_ratio"] - 0.5) < 1e-15
+    b = got["b"]
+    assert (b["n_links"], b["n_intra"], b["n_cross"], b["n_dst_hosts"]) == (
+        1, 0, 1, 1,
+    )
+
+
+def test_anchor_stats_topk_ties_and_drops(spark):
+    from frontier_engine.graph import anchor_stats
+
+    edges = spark.createDataFrame(
+        [
+            # target t: "beta" x2, "alpha" x2 (tie -> alpha first), "z" x1
+            ("s", "t", "beta"), ("s2", "t", "beta"),
+            ("s", "t", "alpha"), ("s3", "t", "alpha"),
+            ("s", "t", "z"),
+            # empty/null anchors dropped entirely
+            ("s", "u", ""), ("s", "u", None),
+            ("s", "u", "only"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    rows = anchor_stats(edges, k=2).collect()
+    by_dst = {}
+    for r in rows:
+        by_dst.setdefault(r["dst"], []).append((r["rank"], r["anchor"], r["n"]))
+    assert sorted(by_dst["t"]) == [(1, "alpha", 2), (2, "beta", 2)]
+    assert sorted(by_dst["u"]) == [(1, "only", 1)]
