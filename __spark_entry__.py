@@ -1060,6 +1060,42 @@ def q_politeness_audit(spark, sf):
     return hostctl.politeness_audit(log, delays)
 
 
+def q_dust_params(spark, sf):
+    """DUST rewrite-rule mining: per-(host, query parameter), does the
+    parameter's value ever change content? URLs derive deterministically
+    from events — host h<user_id%5>, path /p<event_id%7>, params
+    page=<event_id%3> (content-bearing) and sess=<event_id%13>
+    (session id, content-irrelevant), with the param ORDER swapped on
+    even event_ids to exercise residual canonicalization (sorted kept
+    params). fprint = host*1000 + path*10 + page — independent of sess
+    by construction, so 'sess' must come out strip=true and 'page'
+    strip=false (its multi-value groups change the fingerprint). Only
+    the distinct-keys-per-URL explode expands rows; two map-side
+    combined aggregates do the rest."""
+    from frontier_engine import hostctl
+
+    e = _t(spark, sf, "events")
+    h = (F.col("user_id") % 5).cast("string")
+    p = (F.col("event_id") % 7).cast("string")
+    page = (F.col("event_id") % 3).cast("string")
+    sess = (F.col("event_id") % 13).cast("string")
+    qs = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("page="), page, F.lit("&sess="), sess),
+    ).otherwise(F.concat(F.lit("sess="), sess, F.lit("&page="), page))
+    pages = e.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit("/p"), p, F.lit("?"), qs
+        ).alias("url"),
+        (
+            (F.col("user_id") % 5) * 1000
+            + (F.col("event_id") % 7) * 10
+            + (F.col("event_id") % 3)
+        ).cast("long").alias("fprint"),
+    )
+    return hostctl.dust_params(pages, min_evidence=2)
+
+
 def q_hits(spark, sf):
     """Hub/authority scores for frontier prioritization: 5-iteration
     HITS (Kleinberg, L1-normalized half-steps — pure IEEE folds, no
@@ -1182,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_detection": q_trap_detection,
         "mirror_hosts": q_mirror_hosts,
         "politeness_audit": q_politeness_audit,
+        "dust_params": q_dust_params,
         "hits": q_hits,
         "link_census": q_link_census,
         "anchor_stats": q_anchor_stats,
@@ -2209,6 +2246,64 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN gap < dd THEN 1 ELSE 0 END) = 0)
                        AS compliant
             FROM j GROUP BY host
+        """,
+        "dust_params": r"""
+            WITH pages AS (
+                SELECT 'https://h' || CAST(user_id % 5 AS VARCHAR)
+                       || '/p' || CAST(event_id % 7 AS VARCHAR) || '?'
+                       || CASE WHEN event_id % 2 = 0
+                               THEN 'page=' || CAST(event_id % 3 AS VARCHAR)
+                                    || '&sess=' || CAST(event_id % 13 AS VARCHAR)
+                               ELSE 'sess=' || CAST(event_id % 13 AS VARCHAR)
+                                    || '&page=' || CAST(event_id % 3 AS VARCHAR)
+                          END AS url,
+                       CAST((user_id % 5) * 1000 + (event_id % 7) * 10
+                            + (event_id % 3) AS BIGINT) AS fprint
+                FROM events),
+            parsed AS (
+                SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+                           AS host,
+                       regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+                       list_filter(string_split(
+                           regexp_extract(url, '\?([^#]*)', 1), '&'),
+                           p -> p <> '') AS params,
+                       fprint
+                FROM pages),
+            expl AS (
+                SELECT host, path, params, fprint,
+                       unnest(list_distinct(list_transform(params,
+                              p -> string_split(p, '=')[1]))) AS param
+                FROM parsed),
+            obs AS (
+                SELECT host, param,
+                       host || path || '?' || array_to_string(list_sort(
+                           list_filter(params,
+                               p -> string_split(p, '=')[1] <> param)), '&')
+                           AS residual,
+                       array_to_string(list_sort(
+                           list_filter(params,
+                               p -> string_split(p, '=')[1] = param)), '&')
+                           AS val,
+                       fprint
+                FROM expl),
+            g AS (
+                SELECT host, param, residual,
+                       count(DISTINCT val) AS nv,
+                       count(DISTINCT fprint) AS nf
+                FROM obs GROUP BY 1, 2, 3)
+            SELECT host, param,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS multi_groups,
+                   CAST(sum(CASE WHEN nv > 1 AND nf = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS irrelevant_groups,
+                   CAST(sum(CASE WHEN nv > 1 THEN nv - 1 ELSE 0 END)
+                        AS BIGINT) AS excess_urls,
+                   (sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) >= 2
+                    AND sum(CASE WHEN nv > 1 AND nf = 1 THEN 1 ELSE 0 END)
+                        = sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)) AS strip
+            FROM g GROUP BY host, param
         """,
         "hits": _hits_oracle_sql(5),
         "link_census": r"""

@@ -34,6 +34,7 @@ __all__ = [
     "url_path_features",
     "mirror_hosts",
     "politeness_audit",
+    "dust_params",
 ]
 
 _PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
@@ -300,3 +301,109 @@ def mirror_hosts(
         )
     )
     return out
+
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def dust_params(
+    pages: DataFrame,
+    url_col: str = "url",
+    fprint_col: str = "fprint",
+    min_evidence: int = 2,
+) -> DataFrame:
+    """Per-(host, query-parameter) content-irrelevance census: learn
+    which URL parameters a crawler can strip.
+
+    The DUST problem ("Do Not Crawl in the DUST: different URLs with
+    similar text", Bar-Yossef et al., WWW 2007; rewrite-rule mining per
+    Dasgupta et al., KDD 2008): session ids, tracking tags and sort
+    toggles mint unbounded distinct URLs over identical content, and no
+    static blocklist keeps up — the rules must be LEARNED per host from
+    fetched evidence. This is the table that feeds the learned side of
+    :mod:`frontier_engine.canon`'s static canonicalizer: a parameter
+    proven content-irrelevant on a host gets stripped before the seen
+    check, collapsing its whole URL subspace.
+
+    Method — for each URL, each distinct parameter key ``k`` yields one
+    observation keyed by the URL's *residual*: host + path + the other
+    params (sorted, so ``?a=1&b=2`` and ``?b=2&a=1`` land in the same
+    group). Within a residual group, the key's observed values vary
+    while everything else is fixed — a controlled experiment. Per
+    (host, key):
+
+    - ``n_groups``            residual groups observed
+    - ``multi_groups``        groups with >1 distinct value for the key
+                              (only these carry evidence)
+    - ``irrelevant_groups``   multi-value groups whose content
+                              fingerprint never changed
+    - ``excess_urls``         URLs a strip rule would have collapsed
+    - ``strip``               the verdict: every multi-value group was
+                              content-constant AND there are at least
+                              ``min_evidence`` such groups
+
+    Parsing is deliberately simple and engine-portable: params =
+    ``split(query, '&')`` dropping empties; key = text before the first
+    ``'='`` (a valueless flag is its own key); a repeated key is
+    treated as one multiset-valued observation. ASCII-lexicographic
+    sorts keep Spark (UTF-16 compare) and byte-compare engines
+    identical on the URL charset.
+
+    Plan shape at 100 TB: the only row-count expansion is the explode
+    over *distinct keys per URL* (bounded by the query string, a small
+    constant); then two hash aggregations with map-side partial combine
+    — (host, key, residual) cardinality, then (host, key) cardinality —
+    both exact-distinct over already-grouped rows. Expression-only:
+    regex extract + higher-order array functions, no Python, no window,
+    no join.
+    """
+    url = F.col(url_col)
+    host = F.regexp_extract(url, _HOST_RE, 1)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    params = F.filter(F.split(query, "&"), lambda p: F.length(p) > 0)
+    keys = F.array_distinct(
+        F.transform(params, lambda p: F.split(p, "=")[0])
+    )
+    exploded = pages.select(
+        host.alias("host"),
+        path.alias("_path"),
+        params.alias("_params"),
+        F.col(fprint_col).alias("_fp"),
+        F.explode(keys).alias("param"),
+    )
+    k = F.col("param")
+    kept = F.filter(F.col("_params"), lambda p: F.split(p, "=")[0] != k)
+    mine = F.filter(F.col("_params"), lambda p: F.split(p, "=")[0] == k)
+    obs = exploded.select(
+        "host",
+        "param",
+        F.concat(
+            F.col("host"),
+            F.col("_path"),
+            F.lit("?"),
+            F.array_join(F.array_sort(kept), "&"),
+        ).alias("_residual"),
+        F.array_join(F.array_sort(mine), "&").alias("_value"),
+        "_fp",
+    )
+    groups = obs.groupBy("host", "param", "_residual").agg(
+        F.countDistinct("_value").cast("long").alias("_nv"),
+        F.countDistinct("_fp").cast("long").alias("_nf"),
+    )
+    multi = F.col("_nv") > 1
+    return groups.groupBy("host", "param").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(multi.cast("long")).cast("long").alias("multi_groups"),
+        F.sum((multi & (F.col("_nf") == 1)).cast("long"))
+        .cast("long")
+        .alias("irrelevant_groups"),
+        F.sum(F.when(multi, F.col("_nv") - 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("excess_urls"),
+    ).withColumn(
+        "strip",
+        (F.col("multi_groups") >= F.lit(min_evidence))
+        & (F.col("irrelevant_groups") == F.col("multi_groups")),
+    )

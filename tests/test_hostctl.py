@@ -175,3 +175,47 @@ def test_politeness_audit_tied_timestamps_deterministic(spark):
     delays = spark.createDataFrame([("h", 100)], "host string, delay_ms long")
     r = hostctl.politeness_audit(log, delays).collect()[0].asDict()
     assert (r["min_gap_ms"], r["violations"], r["compliant"]) == (0, 1, False)
+
+
+def test_dust_params_learns_strip_rule(spark):
+    rows = [
+        # sess is content-irrelevant on h1 (fp fixed per page value)
+        ("http://h1/p?page=1&sess=a", 11),
+        ("http://h1/p?sess=b&page=1", 11),  # order swapped: same residual
+        ("http://h1/p?page=2&sess=c", 12),
+        ("http://h1/p?page=2&sess=d", 12),
+        # repeated key x: one multiset observation per URL, order collapses
+        ("http://h1/r?x=1&x=2&page=9", 30),
+        ("http://h1/r?x=2&x=1&page=9", 30),
+        ("http://h1/r?x=3&page=9", 31),
+        # no-param URLs contribute nothing
+        ("http://h1/q?", 99),
+        ("http://h1/q", 99),
+    ]
+    df = spark.createDataFrame(rows, "url string, fprint long")
+    got = {
+        (r["host"], r["param"]): r.asDict()
+        for r in hostctl.dust_params(df, min_evidence=1).collect()
+    }
+    sess = got[("h1", "sess")]
+    assert (sess["multi_groups"], sess["irrelevant_groups"]) == (2, 2)
+    assert sess["excess_urls"] == 2 and sess["strip"] is True
+    # page never varies within a controlled group here: no evidence
+    page = got[("h1", "page")]
+    assert page["multi_groups"] == 0 and page["strip"] is False
+    # x varies AND changes the fingerprint: evidence AGAINST stripping
+    x = got[("h1", "x")]
+    assert (x["multi_groups"], x["irrelevant_groups"]) == (1, 0)
+    assert x["strip"] is False
+    assert ("h1", "") not in got  # empty params never become a key
+
+
+def test_dust_params_min_evidence_gate(spark):
+    rows = [
+        ("http://h/p?s=1", 5),
+        ("http://h/p?s=2", 5),  # one irrelevant multi-group only
+    ]
+    df = spark.createDataFrame(rows, "url string, fprint long")
+    one = hostctl.dust_params(df, min_evidence=1).collect()[0]
+    two = hostctl.dust_params(df, min_evidence=2).collect()[0]
+    assert one["strip"] is True and two["strip"] is False
