@@ -1096,6 +1096,25 @@ def q_dust_params(spark, sf):
     return hostctl.dust_params(pages, min_evidence=2)
 
 
+def q_shard_plan(spark, sf):
+    """Balanced host→shard plan from observed page mass: the distributed
+    exact prefix sum over host-cardinality weights (range partition →
+    per-partition sums collected as offsets → partition-local cumsum),
+    never a global row sort. Weights derive from events (host =
+    w<user_id % 40>, weight = page count); 8 shards. Every output is a
+    BIGINT fold plus one integer division — engine-exact, and a pytest
+    pins that the plan is identical at any partition count."""
+    from frontier_engine.shardplan import host_shard_plan
+
+    e = _t(spark, sf, "events")
+    weights = e.groupBy(
+        F.concat(F.lit("w"), (F.col("user_id") % 40).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    return host_shard_plan(weights, 8)
+
+
 def q_hits(spark, sf):
     """Hub/authority scores for frontier prioritization: 5-iteration
     HITS (Kleinberg, L1-normalized half-steps — pure IEEE folds, no
@@ -1219,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "politeness_audit": q_politeness_audit,
         "dust_params": q_dust_params,
+        "shard_plan": q_shard_plan,
         "hits": q_hits,
         "link_census": q_link_census,
         "anchor_stats": q_anchor_stats,
@@ -2304,6 +2324,24 @@ def oracle_sql() -> dict[str, str]:
                     AND sum(CASE WHEN nv > 1 AND nf = 1 THEN 1 ELSE 0 END)
                         = sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)) AS strip
             FROM g GROUP BY host, param
+        """,
+        "shard_plan": r"""
+            WITH w AS (
+                SELECT 'w' || CAST(user_id % 40 AS VARCHAR) AS host,
+                       CAST(count(*) AS BIGINT) AS weight
+                FROM events GROUP BY 1),
+            c AS (
+                SELECT host, weight,
+                       CAST(coalesce(sum(weight) OVER (
+                           ORDER BY host
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS cum_before,
+                       CAST(sum(weight) OVER () AS BIGINT) AS total
+                FROM w)
+            SELECT host, weight, cum_before,
+                   CAST(least(7, (cum_before * 8) // total) AS INT) AS shard
+            FROM c
         """,
         "hits": _hits_oracle_sql(5),
         "link_census": r"""
