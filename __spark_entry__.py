@@ -1060,6 +1060,43 @@ def q_politeness_audit(spark, sf):
     return hostctl.politeness_audit(log, delays)
 
 
+def q_crawl_budget(spark, sf):
+    """Per-host crawl budget from the trap census (IRLbot BEAST-style
+    budget enforcement): trap hosts demote to min_budget, everyone else
+    scales with integer content yield base*n_contents DIV n_urls,
+    clamped to [10, 100000]. Same deterministic pages derivation as
+    q_trap_detection (hosts t0..t39; kind 7 = session-id dup-content
+    trap, kind 3 = deep repeated path), so the session-id hosts come
+    out demoted and clean hosts near base. Pure projection over the
+    census aggregate — no extra shuffle."""
+    from frontier_engine import hostctl
+
+    e = _t(spark, sf, "events")
+    hostnum = (F.col("user_id") % 40).cast("string")
+    eid = F.col("event_id").cast("string")
+    kind = (F.col("user_id") % 40) % 8
+    url = F.when(
+        kind == 7,
+        F.concat(
+            F.lit("https://t"), hostnum, F.lit(".example/p?session="), eid
+        ),
+    ).when(
+        kind == 3,
+        F.concat(F.lit("https://t"), hostnum, F.lit(".example/x/x/x/x/p"), eid),
+    ).otherwise(
+        F.concat(F.lit("https://t"), hostnum, F.lit(".example/a/"), eid)
+    )
+    content = F.when(
+        kind == 7, F.concat(F.lit("c"), (F.col("event_id") % 3).cast("string"))
+    ).otherwise(F.concat(F.lit("b"), eid))
+    pages = e.select(
+        F.concat(F.lit("t"), hostnum).alias("host"),
+        url.alias("url"),
+        content.alias("content"),
+    )
+    return hostctl.crawl_budget(hostctl.trap_census(pages))
+
+
 def q_dust_params(spark, sf):
     """DUST rewrite-rule mining: per-(host, query parameter), does the
     parameter's value ever change content? URLs derive deterministically
@@ -1237,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_detection": q_trap_detection,
         "mirror_hosts": q_mirror_hosts,
         "politeness_audit": q_politeness_audit,
+        "crawl_budget": q_crawl_budget,
         "dust_params": q_dust_params,
         "shard_plan": q_shard_plan,
         "hits": q_hits,
@@ -2266,6 +2304,64 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN gap < dd THEN 1 ELSE 0 END) = 0)
                        AS compliant
             FROM j GROUP BY host
+        """,
+        "crawl_budget": r"""
+            WITH pages AS (
+                SELECT 't' || CAST(user_id % 40 AS VARCHAR) AS host,
+                       CASE WHEN (user_id % 40) % 8 = 7
+                            THEN 'https://t' || CAST(user_id % 40 AS VARCHAR)
+                                 || '.example/p?session='
+                                 || CAST(event_id AS VARCHAR)
+                            WHEN (user_id % 40) % 8 = 3
+                            THEN 'https://t' || CAST(user_id % 40 AS VARCHAR)
+                                 || '.example/x/x/x/x/p'
+                                 || CAST(event_id AS VARCHAR)
+                            ELSE 'https://t' || CAST(user_id % 40 AS VARCHAR)
+                                 || '.example/a/'
+                                 || CAST(event_id AS VARCHAR)
+                       END AS url,
+                       CASE WHEN (user_id % 40) % 8 = 7
+                            THEN 'c' || CAST(event_id % 3 AS VARCHAR)
+                            ELSE 'b' || CAST(event_id AS VARCHAR)
+                       END AS content
+                FROM events),
+            feat AS (
+                SELECT host, url, content,
+                       coalesce(regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+                           '') AS path
+                FROM pages),
+            feat2 AS (
+                SELECT host, url, content,
+                       CAST(len(path) - len(replace(path, '/', ''))
+                            AS BIGINT) AS depth,
+                       CAST(coalesce(list_max(list_transform(
+                            list_filter(string_split(path, '/'),
+                                        u -> len(u) > 0),
+                            s -> len(list_filter(
+                                list_filter(string_split(path, '/'),
+                                            v -> len(v) > 0),
+                                w -> w = s)))), 0) AS BIGINT) AS rep
+                FROM feat),
+            agg AS (
+                SELECT host,
+                       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                       CAST(count(DISTINCT content) AS BIGINT) AS n_contents,
+                       CAST(max(depth) AS BIGINT) AS max_depth,
+                       CAST(max(rep) AS BIGINT) AS max_seg_repeat
+                FROM feat2 GROUP BY host),
+            gate AS (
+                SELECT host, n_urls, n_contents,
+                       (n_urls >= 20 AND (n_urls / n_contents >= 5.0
+                            OR max_depth > 16
+                            OR max_seg_repeat > 3)) AS trap
+                FROM agg)
+            SELECT host,
+                   CAST(CASE WHEN trap THEN 10
+                        ELSE greatest(10, least(100000,
+                             1000 * n_contents // greatest(n_urls, 1)))
+                   END AS BIGINT) AS budget
+            FROM gate
         """,
         "dust_params": r"""
             WITH pages AS (

@@ -188,10 +188,18 @@ class DrainResult:
 
 
 def _budget_col(cfg: DrainConfig):
-    return F.greatest(
+    """Per-host epoch budget: the politeness ceiling, optionally capped
+    by an external per-host allocation (``_hb_cap``, e.g. from
+    :func:`frontier_engine.hostctl.crawl_budget`). The cap only ever
+    SHRINKS the budget, which is what lets the precut route table keep
+    using the uncapped politeness budget: its histogram threshold then
+    keeps at least as many rows as the true budget needs — a safe
+    superset, never a wrong cut."""
+    pol = F.greatest(
         F.lit(1),
         F.floor(F.lit(cfg.epoch_seconds) / F.col("crawl_delay")),
     ).cast("int")
+    return F.least(pol, F.coalesce(F.col("_hb_cap"), pol).cast("int"))
 
 
 def _finish(df: DataFrame, rank_col: str) -> DataFrame:
@@ -199,7 +207,7 @@ def _finish(df: DataFrame, rank_col: str) -> DataFrame:
         df.filter(F.col(rank_col) <= F.col("budget"))
         .withColumn("slot", (F.col(rank_col) - 1).cast("int"))
         .withColumn("sched_offset", (F.col(rank_col) - 1) * F.col("crawl_delay"))
-        .drop(rank_col, "budget", "salt", "_mega")
+        .drop(rank_col, "budget", "salt", "_mega", "_hb_cap")
     )
 
 
@@ -359,6 +367,8 @@ def drain_split(
     survivor set (small: ~budget rows/host) is persisted (appended to
     ``cached``) so its window sort runs once, not once per consumer branch.
     """
+    if "_hb_cap" not in allowed.columns:
+        allowed = allowed.withColumn("_hb_cap", F.lit(None).cast("int"))
     if cfg.skew_threshold is None:
         fr = allowed.withColumn("budget", _budget_col(cfg)).withColumn(
             "salt", F.pmod(F.col("url_hash"), F.lit(cfg.max_salts)).cast("int")
@@ -444,6 +454,7 @@ def drain_epoch(
     robots: DataFrame,
     cfg: DrainConfig,
     epoch_ts: str | None = None,
+    host_budgets: DataFrame | None = None,
 ) -> DrainResult:
     """One politeness epoch: → DrainResult(drained, rest, blocked).
 
@@ -452,6 +463,14 @@ def drain_epoch(
     ``epoch_ts`` is None), in original frontier schema, carried to the next
     epoch. ``blocked`` = robots-disallowed rows (dropped from the frontier;
     counted in lineage).
+
+    ``host_budgets`` (optional) is a host-cardinality ``(host, budget)``
+    allocation table — e.g. :func:`frontier_engine.hostctl.crawl_budget`
+    over the trap census — broadcast-joined so each host's epoch budget
+    becomes ``min(politeness budget, allocation)``. Hosts absent from the
+    table keep the pure politeness budget; the cap never raises one. Rows
+    a cap defers stay in ``rest`` (carried forward, not dropped) — budget
+    control demotes, it never discards.
     """
     frontier_cols = [f.name for f in FRONTIER_SCHEMA.fields]
     if epoch_ts is not None:
@@ -464,6 +483,11 @@ def drain_epoch(
     # recomputing beats double-caching 10^8 wide rows.
     cached: list[DataFrame] = []
     allowed, blocked = apply_robots(frontier, robots, cfg)
+    if host_budgets is not None:
+        caps = host_budgets.select(
+            F.col("host"), F.col("budget").cast("int").alias("_hb_cap")
+        )
+        allowed = allowed.join(F.broadcast(caps), "host", "left")
     drained, rest_parts = drain_split(allowed, cfg, cached)
     # rest = the rank complement of the drain (drain_split docstring): no
     # anti-join back against the backlog, so the only full-backlog motion

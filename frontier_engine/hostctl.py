@@ -35,6 +35,7 @@ __all__ = [
     "mirror_hosts",
     "politeness_audit",
     "dust_params",
+    "crawl_budget",
 ]
 
 _PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
@@ -406,4 +407,48 @@ def dust_params(
         "strip",
         (F.col("multi_groups") >= F.lit(min_evidence))
         & (F.col("irrelevant_groups") == F.col("multi_groups")),
+    )
+
+
+def crawl_budget(
+    census: DataFrame,
+    base_budget: int = 1000,
+    min_budget: int = 10,
+    max_budget: int = 100000,
+) -> DataFrame:
+    """Per-host crawl budget allocation from the trap census — the
+    enforcement half of IRLbot's BEAST budget control (Lee et al., WWW
+    2009 §6): the census measures, this decides how many frontier slots
+    each host gets next epoch.
+
+    Policy (deliberately integer-exact so any engine reproduces it):
+
+    - a host flagged ``trap`` is demoted to ``min_budget`` — probation,
+      not a ban, so a mis-flagged host can still earn its way back as
+      fresh evidence arrives (IRLbot demotes, it never blacklists);
+    - otherwise the budget scales with *content yield*:
+      ``base_budget * n_contents div n_urls`` — a duplicate-content
+      server that mints 50 URLs per distinct page gets 1/50th of base,
+      a clean host gets ~base — clamped into
+      ``[min_budget, max_budget]``.
+
+    Output is (host, budget) at host cardinality; pure projection over
+    the census (no shuffle of its own — it pipelines onto the census
+    aggregate). Feed the result to the drain as its per-host token
+    budget in place of a flat constant.
+    """
+    if not (0 < min_budget <= max_budget):
+        raise ValueError("crawl_budget: need 0 < min_budget <= max_budget")
+    yield_budget = F.expr(
+        f"CAST({base_budget} AS BIGINT) * n_contents DIV greatest(n_urls, 1)"
+    )
+    clamped = F.greatest(
+        F.lit(min_budget).cast("long"),
+        F.least(F.lit(max_budget).cast("long"), yield_budget),
+    )
+    return census.select(
+        "host",
+        F.when(F.col("trap"), F.lit(min_budget).cast("long"))
+        .otherwise(clamped)
+        .alias("budget"),
     )

@@ -183,3 +183,40 @@ def test_frontier_from_seeds(spark):
     assert rows[0]["host"] == "a.example"
     assert rows[0]["url"] == canonicalize_py("https://A.Example:443/#x")
     assert rows[0]["host"] == host_of_py("https://a.example/")
+
+
+def test_host_budget_cap(spark):
+    # politeness alone allows 10 fetches (epoch 10s, delay 1s); an
+    # external allocation caps a.example at 3 and leaves b.example alone
+    rows = [(f"https://a.example/p{i}", 1.0, 0, 0) for i in range(20)] + [
+        (f"https://b.example/p{i}", 1.0, 0, 0) for i in range(20)
+    ]
+    fr = _mk_frontier(spark, rows)
+    robots = _mk_robots(spark, ["a.example", "b.example"], delay=1.0)
+    cfg = DrainConfig(epoch_seconds=10.0)
+    caps = spark.createDataFrame(
+        [("a.example", 3), ("zzz.example", 1)], "host string, budget long"
+    )
+    drained, rest, blocked = drain_epoch(fr, robots, cfg, host_budgets=caps)
+    per = {
+        r["host"]: r["n"]
+        for r in drained.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"a.example": 3, "b.example": 10}
+    # capped rows are carried forward, not dropped
+    assert rest.count() == 40 - 13 and blocked.count() == 0
+    # the cap never RAISES a budget above politeness
+    caps_high = spark.createDataFrame(
+        [("a.example", 999)], "host string, budget long"
+    )
+    d2 = drain_epoch(fr, robots, cfg, host_budgets=caps_high).drained
+    assert d2.filter(F.col("host") == "a.example").count() == 10
+    # drained set identical whether the capped host drains via the salted
+    # or unsalted physical path
+    d_salted = drain_epoch(
+        fr, robots, DrainConfig(epoch_seconds=10.0, skew_threshold=None),
+        host_budgets=caps,
+    ).drained
+    a = sorted(r["url"] for r in drained.collect())
+    b = sorted(r["url"] for r in d_salted.collect())
+    assert a == b

@@ -219,3 +219,37 @@ def test_dust_params_min_evidence_gate(spark):
     one = hostctl.dust_params(df, min_evidence=1).collect()[0]
     two = hostctl.dust_params(df, min_evidence=2).collect()[0]
     assert one["strip"] is True and two["strip"] is False
+
+
+def test_crawl_budget_policy(spark):
+    census = spark.createDataFrame(
+        [
+            # clean host, yield 1: full base budget
+            ("clean", 100, 100, False),
+            # dup-content server, 50 urls per content: base/50
+            ("dupey", 5000, 100, False),
+            # flagged trap: demoted to min regardless of yield
+            ("trap", 100, 100, True),
+            # tiny yield clamps up to min
+            ("thin", 100000, 1, False),
+        ],
+        "host string, n_urls long, n_contents long, trap boolean",
+    )
+    got = {
+        r["host"]: r["budget"]
+        for r in hostctl.crawl_budget(
+            census, base_budget=1000, min_budget=10, max_budget=100000
+        ).collect()
+    }
+    assert got == {"clean": 1000, "dupey": 20, "trap": 10, "thin": 10}
+
+
+def test_crawl_budget_rejects_bad_bounds(spark):
+    census = spark.createDataFrame(
+        [("h", 1, 1, False)],
+        "host string, n_urls long, n_contents long, trap boolean",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hostctl.crawl_budget(census, min_budget=0)
