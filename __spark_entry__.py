@@ -1133,6 +1133,56 @@ def q_dust_params(spark, sf):
     return hostctl.dust_params(pages, min_evidence=2)
 
 
+def q_dust_apply(spark, sf):
+    """DUST rule application: mine the per-(host, param) strip rules
+    (same deterministic pages as q_dust_params — 'sess' provably
+    content-irrelevant, 'page' content-bearing), then rewrite every URL
+    by its host's rules and measure the collapse per host: distinct
+    URLs before vs after. sess varies mod 13 and the param order flips
+    on even event_ids, so stripping sess collapses both the session
+    subspace AND the order variants (the lone surviving param has one
+    spelling) — n_after = |paths|x|pages| exactly. One broadcast join
+    (host-cardinality strip sets) + expression-only array surgery; the
+    corpus is never shuffled for the rewrite itself."""
+    from frontier_engine import hostctl
+
+    e = _t(spark, sf, "events")
+    h = (F.col("user_id") % 5).cast("string")
+    p = (F.col("event_id") % 7).cast("string")
+    page = (F.col("event_id") % 3).cast("string")
+    sess = (F.col("event_id") % 13).cast("string")
+    qs = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("page="), page, F.lit("&sess="), sess),
+    ).otherwise(F.concat(F.lit("sess="), sess, F.lit("&page="), page))
+    pages = e.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit("/p"), p, F.lit("?"), qs
+        ).alias("url"),
+        (
+            (F.col("user_id") % 5) * 1000
+            + (F.col("event_id") % 7) * 10
+            + (F.col("event_id") % 3)
+        ).cast("long").alias("fprint"),
+    )
+    rules = hostctl.dust_params(pages, min_evidence=2)
+    rw = hostctl.apply_dust(pages.withColumn("_before", F.col("url")), rules)
+    return (
+        rw.select(
+            F.regexp_extract(
+                "_before", r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1
+            ).alias("host"),
+            F.col("_before"),
+            F.col("url"),
+        )
+        .groupBy("host")
+        .agg(
+            F.countDistinct("_before").cast("long").alias("n_before"),
+            F.countDistinct("url").cast("long").alias("n_after"),
+        )
+    )
+
+
 def q_shard_plan(spark, sf):
     """Balanced host→shard plan from observed page mass: the distributed
     exact prefix sum over host-cardinality weights (range partition →
@@ -1276,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": q_politeness_audit,
         "crawl_budget": q_crawl_budget,
         "dust_params": q_dust_params,
+        "dust_apply": q_dust_apply,
         "shard_plan": q_shard_plan,
         "hits": q_hits,
         "link_census": q_link_census,
@@ -2420,6 +2471,81 @@ def oracle_sql() -> dict[str, str]:
                     AND sum(CASE WHEN nv > 1 AND nf = 1 THEN 1 ELSE 0 END)
                         = sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)) AS strip
             FROM g GROUP BY host, param
+        """,
+        "dust_apply": r"""
+            WITH pages AS (
+                SELECT 'https://h' || CAST(user_id % 5 AS VARCHAR)
+                       || '/p' || CAST(event_id % 7 AS VARCHAR) || '?'
+                       || CASE WHEN event_id % 2 = 0
+                               THEN 'page=' || CAST(event_id % 3 AS VARCHAR)
+                                    || '&sess=' || CAST(event_id % 13 AS VARCHAR)
+                               ELSE 'sess=' || CAST(event_id % 13 AS VARCHAR)
+                                    || '&page=' || CAST(event_id % 3 AS VARCHAR)
+                          END AS url,
+                       CAST((user_id % 5) * 1000 + (event_id % 7) * 10
+                            + (event_id % 3) AS BIGINT) AS fprint
+                FROM events),
+            parsed AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+                           AS host,
+                       regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+                       list_filter(string_split(
+                           regexp_extract(url, '\?([^#]*)', 1), '&'),
+                           p -> p <> '') AS params,
+                       fprint
+                FROM pages),
+            expl AS (
+                SELECT host, path, params, fprint,
+                       unnest(list_distinct(list_transform(params,
+                              p -> string_split(p, '=')[1]))) AS param
+                FROM parsed),
+            obs AS (
+                SELECT host, param,
+                       host || path || '?' || array_to_string(list_sort(
+                           list_filter(params,
+                               p -> string_split(p, '=')[1] <> param)), '&')
+                           AS residual,
+                       array_to_string(list_sort(
+                           list_filter(params,
+                               p -> string_split(p, '=')[1] = param)), '&')
+                           AS val,
+                       fprint
+                FROM expl),
+            g AS (
+                SELECT host, param, residual,
+                       count(DISTINCT val) AS nv,
+                       count(DISTINCT fprint) AS nf
+                FROM obs GROUP BY 1, 2, 3),
+            rules AS (
+                SELECT host, param
+                FROM g GROUP BY host, param
+                HAVING sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) >= 2
+                   AND sum(CASE WHEN nv > 1 AND nf = 1 THEN 1 ELSE 0 END)
+                       = sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)),
+            strips AS (
+                SELECT host, list_sort(list(param)) AS strip_list
+                FROM rules GROUP BY host),
+            rw AS (
+                SELECT p.host, p.url AS before_url,
+                       CASE WHEN len(kept) > 0
+                            THEN prefix || '?' || array_to_string(kept, '&')
+                            ELSE prefix END AS after_url
+                FROM (
+                    SELECT pr.host, pr.url,
+                           regexp_extract(pr.url, '^([^?#]*)', 1) AS prefix,
+                           CASE WHEN s.strip_list IS NULL THEN pr.params
+                                ELSE list_filter(pr.params, q ->
+                                     NOT list_contains(s.strip_list,
+                                         string_split(q, '=')[1]))
+                           END AS kept
+                    FROM parsed pr LEFT JOIN strips s ON pr.host = s.host
+                ) p)
+            SELECT host,
+                   CAST(count(DISTINCT before_url) AS BIGINT) AS n_before,
+                   CAST(count(DISTINCT after_url) AS BIGINT) AS n_after
+            FROM rw GROUP BY host
         """,
         "shard_plan": r"""
             WITH w AS (

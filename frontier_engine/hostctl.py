@@ -36,6 +36,7 @@ __all__ = [
     "politeness_audit",
     "dust_params",
     "crawl_budget",
+    "apply_dust",
 ]
 
 _PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
@@ -452,3 +453,66 @@ def crawl_budget(
         .otherwise(clamped)
         .alias("budget"),
     )
+
+
+def apply_dust(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    sort_params: bool = False,
+) -> DataFrame:
+    """Rewrite URLs by the mined DUST rules — the enforcement half of
+    :func:`dust_params` (Dasgupta et al., KDD 2008 apply rules the same
+    way: learned rewrite → canonical target before the seen check).
+
+    Every query parameter the rules table proves content-irrelevant on
+    a URL's host (``strip = true``) is removed from that URL's query
+    string; a query emptied entirely loses its ``?``. Hosts with no
+    rules pass through byte-identical, so the transform is safe to run
+    unconditionally in front of the frontier's seen filter — that is
+    its whole point: ``?page=2&sess=819`` and ``?sess=23&page=2``
+    collapse to one frontier row instead of minting unbounded session
+    variants. ``sort_params=True`` additionally sorts the surviving
+    parameters, collapsing pure order permutations (off by default:
+    rewriting only what a rule licenses keeps untouched URLs stable).
+
+    Input URLs are expected canonical (fragment-free —
+    :mod:`frontier_engine.canon` strips ``#…``); any fragment present
+    would be dropped by the rewrite.
+
+    Plan shape at 100 TB: one broadcast left join against the
+    host-level strip sets (rules aggregate to host cardinality — tiny
+    vs the corpus) plus expression-only array surgery per row. No
+    shuffle of ``df``, no Python.
+    """
+    strip_sets = (
+        rules.filter(F.col("strip"))
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_set("param")).alias("_strip"))
+        .select(F.col("host").alias("_dust_host"), "_strip")
+    )
+    url = F.col(url_col)
+    j = df.withColumn(
+        "_uh", F.regexp_extract(url, _HOST_RE, 1)
+    ).join(
+        F.broadcast(strip_sets),
+        F.col("_uh") == F.col("_dust_host"),
+        "left",
+    )
+    prefix = F.regexp_extract(url, r"^([^?#]*)", 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    params = F.filter(F.split(query, "&"), lambda p: F.length(p) > 0)
+    kept = F.when(
+        F.col("_strip").isNotNull(),
+        F.filter(
+            params,
+            lambda p: ~F.array_contains(F.col("_strip"), F.split(p, "=")[0]),
+        ),
+    ).otherwise(params)
+    if sort_params:
+        kept = F.array_sort(kept)
+    newq = F.array_join(kept, "&")
+    rewritten = F.when(
+        F.length(newq) > 0, F.concat(prefix, F.lit("?"), newq)
+    ).otherwise(prefix)
+    return j.withColumn(url_col, rewritten).drop("_uh", "_dust_host", "_strip")

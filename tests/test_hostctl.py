@@ -253,3 +253,68 @@ def test_crawl_budget_rejects_bad_bounds(spark):
 
     with _pytest.raises(ValueError):
         hostctl.crawl_budget(census, min_budget=0)
+
+
+def test_apply_dust_rewrites(spark):
+    rules = spark.createDataFrame(
+        [("h1", "sess", True), ("h1", "page", False), ("h2", "x", False)],
+        "host string, param string, strip boolean",
+    )
+    df = spark.createDataFrame(
+        [
+            # strip param present (either position)
+            ("https://h1/p?page=2&sess=9", "a"),
+            ("https://h1/p?sess=9&page=2", "b"),
+            # query becomes empty -> '?' dropped
+            ("https://h1/q?sess=1", "c"),
+            # no query at all -> untouched
+            ("https://h1/r", "d"),
+            # host with rules but none strip=true -> untouched
+            ("https://h2/p?x=1&y=2", "e"),
+            # host absent from rules -> byte-identical
+            ("https://h3/p?sess=5&z=", "f"),
+        ],
+        "url string, tag string",
+    )
+    got = {r["tag"]: r["url"] for r in hostctl.apply_dust(df, rules).collect()}
+    assert got == {
+        "a": "https://h1/p?page=2",
+        "b": "https://h1/p?page=2",
+        "c": "https://h1/q",
+        "d": "https://h1/r",
+        "e": "https://h2/p?x=1&y=2",
+        "f": "https://h3/p?sess=5&z=",
+    }
+    # extra columns and row count preserved
+    out = hostctl.apply_dust(df, rules)
+    assert out.columns == ["url", "tag"] and out.count() == 6
+
+
+def test_apply_dust_sort_params(spark):
+    rules = spark.createDataFrame(
+        [("h1", "sess", True)], "host string, param string, strip boolean"
+    )
+    df = spark.createDataFrame(
+        [("https://h1/p?c=3&a=1&sess=0&b=2",)], "url string"
+    )
+    plain = hostctl.apply_dust(df, rules).collect()[0]["url"]
+    srt = hostctl.apply_dust(df, rules, sort_params=True).collect()[0]["url"]
+    assert plain == "https://h1/p?c=3&a=1&b=2"
+    assert srt == "https://h1/p?a=1&b=2&c=3"
+
+
+def test_apply_dust_end_to_end_mined(spark):
+    # mine rules from evidence, then apply: the session subspace collapses
+    rows = []
+    for path in ("x", "y"):
+        for page in (1, 2):
+            for sess in range(4):
+                rows.append(
+                    (f"https://h/{path}?page={page}&sess={sess}",
+                     f"{path}{page}")
+                )
+    df = spark.createDataFrame(rows, "url string, fprint string")
+    rules = hostctl.dust_params(df, min_evidence=2)
+    rw = hostctl.apply_dust(df, rules)
+    assert rw.select("url").distinct().count() == 4  # 2 paths x 2 pages
+    assert df.select("url").distinct().count() == 16
