@@ -1183,6 +1183,42 @@ def q_dust_apply(spark, sf):
     )
 
 
+def q_surt(spark, sf):
+    """SURT keying (the Common Crawl / OpenWayback CDX index sort key):
+    URLs derive deterministically from events — host h<user_id%10>
+    .example with a 'www.' prefix on even event_ids (SURT strips it),
+    port :8080 on event_id%5==0 (SURT keeps it), path /p<event_id%7>,
+    and params a=<user_id%3>, b=<event_id%4> with the order flipped on
+    event_id%3==0 (SURT sorts them). Grouping by the key therefore
+    collapses www- and param-order-variants while keeping port
+    variants distinct — n_urls > 1 per key is the collapse evidence.
+    Expression-only (canon.surt_col, whole-stage codegen) + one
+    aggregate."""
+    from frontier_engine.canon import surt_col
+
+    e = _t(spark, sf, "events")
+    u10 = (F.col("user_id") % 10).cast("string")
+    www = F.when(F.col("event_id") % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    port = F.when(F.col("event_id") % 5 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    a = F.concat(F.lit("a="), (F.col("user_id") % 3).cast("string"))
+    b = F.concat(F.lit("b="), (F.col("event_id") % 4).cast("string"))
+    qs = F.when(F.col("event_id") % 3 == 0, F.concat(b, F.lit("&"), a)).otherwise(
+        F.concat(a, F.lit("&"), b)
+    )
+    url = F.concat(
+        F.lit("https://"), www, F.lit("h"), u10, F.lit(".example"), port,
+        F.lit("/p"), (F.col("event_id") % 7).cast("string"), F.lit("?"), qs,
+    )
+    return (
+        e.select(url.alias("url"), surt_col(url).alias("surt"))
+        .groupBy("surt")
+        .agg(
+            F.countDistinct("url").cast("long").alias("n_urls"),
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        )
+    )
+
+
 def q_shard_plan(spark, sf):
     """Balanced host→shard plan from observed page mass: the distributed
     exact prefix sum over host-cardinality weights (range partition →
@@ -1327,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "dust_params": q_dust_params,
         "dust_apply": q_dust_apply,
+        "surt": q_surt,
         "shard_plan": q_shard_plan,
         "hits": q_hits,
         "link_census": q_link_census,
@@ -2546,6 +2583,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT before_url) AS BIGINT) AS n_before,
                    CAST(count(DISTINCT after_url) AS BIGINT) AS n_after
             FROM rw GROUP BY host
+        """,
+        "surt": r"""
+            WITH pages AS (
+                SELECT 'https://'
+                       || CASE WHEN event_id % 2 = 0 THEN 'www.' ELSE '' END
+                       || 'h' || CAST(user_id % 10 AS VARCHAR) || '.example'
+                       || CASE WHEN event_id % 5 = 0 THEN ':8080' ELSE '' END
+                       || '/p' || CAST(event_id % 7 AS VARCHAR) || '?'
+                       || CASE WHEN event_id % 3 = 0
+                               THEN 'b=' || CAST(event_id % 4 AS VARCHAR)
+                                    || '&a=' || CAST(user_id % 3 AS VARCHAR)
+                               ELSE 'a=' || CAST(user_id % 3 AS VARCHAR)
+                                    || '&b=' || CAST(event_id % 4 AS VARCHAR)
+                          END AS url
+                FROM events),
+            np AS (
+                SELECT url,
+                       regexp_replace(regexp_extract(url,
+                           '^[a-z]+://([^/?#]+)', 1), '^.*@', '') AS hostport,
+                       regexp_extract(url,
+                           '^[a-z]+://[^/?#]+([^#]*)', 1) AS rest
+                FROM pages),
+            hp AS (
+                SELECT url, rest,
+                       regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                       regexp_replace(hostport, ':[0-9]+$', '') AS host
+                FROM np),
+            hw AS (
+                SELECT url, rest, port,
+                       CASE WHEN len(regexp_replace(host,
+                                     '^www[0-9]*\.', '')) > 0
+                            THEN regexp_replace(host, '^www[0-9]*\.', '')
+                            ELSE host END AS host2
+                FROM hp),
+            parts AS (
+                SELECT url, port,
+                       array_to_string(list_reverse(
+                           string_split(host2, '.')), ',') AS revhost,
+                       string_split(rest, '?')[1] AS path,
+                       list_sort(list_filter(string_split(
+                           regexp_extract(rest, '\?(.*)', 1), '&'),
+                           p -> p <> '')) AS params
+                FROM hw),
+            keyed AS (
+                SELECT url,
+                       lower(revhost
+                             || CASE WHEN port = '' THEN ''
+                                     ELSE ':' || port END
+                             || ')'
+                             || CASE WHEN len(params) > 0
+                                     THEN path || '?'
+                                          || array_to_string(params, '&')
+                                     ELSE path END) AS surt
+                FROM parts)
+            SELECT surt,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(count(*) AS BIGINT) AS n_fetches
+            FROM keyed GROUP BY surt
         """,
         "shard_plan": r"""
             WITH w AS (

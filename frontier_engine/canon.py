@@ -204,6 +204,85 @@ def url_hash2_col(canonical_url: Column) -> Column:
     return F.xxhash64(F.lit("fe-h2"), canonical_url)
 
 
+def surt_py(canonical_url: str) -> str:
+    """SURT key (Sort-friendly URI Reordering Transform) of a canonical
+    URL — the sort key of the Common Crawl / OpenWayback CDX URL index
+    (format: ``com,example)/path?a=1&b=2``).
+
+    Reversing the host components makes one domain's pages — and one
+    *organization's* subdomains — lexicographically contiguous, so a
+    range-sharded index answers "every page under example.com" with a
+    range scan instead of a full scan. Transform (matching the CDX
+    convention): drop scheme and userinfo; strip one leading
+    ``www``/``www<digits>`` label (unless that empties the host);
+    reverse the remaining labels joined with commas; keep a non-default
+    port (``com,example:8080)``); append ``)`` + path; sort query
+    parameters (dropping empty ``&&`` tokens, ``?`` dropped when none
+    survive); lowercase the whole key. Non-http(s) input → ``""``.
+
+    Python twin of :func:`surt_col` — the pair must agree byte-for-byte
+    (property-tested in tests/test_canon.py) because the oracle index
+    and the engine index must sort identically.
+    """
+    m = _URL_RE.match(canonical_url)
+    if not m:
+        return ""
+    netloc = m.group(2)
+    at = netloc.rfind("@")
+    if at >= 0:
+        netloc = netloc[at + 1 :]
+    pm = re.search(r":([0-9]+)$", netloc)
+    host, port = (netloc[: pm.start()], pm.group(1)) if pm else (netloc, "")
+    stripped = re.sub(r"^www[0-9]*\.", "", host)
+    if stripped:
+        host = stripped
+    key = ",".join(reversed(host.split(".")))
+    if port:
+        key += ":" + port
+    rest = m.group(3)
+    q = rest.find("?")
+    if q >= 0:
+        path, query = rest[:q], rest[q + 1 :]
+        params = sorted(p for p in query.split("&") if p)
+        rest = path + ("?" + "&".join(params) if params else "")
+    return (key + ")" + rest).lower()
+
+
+def surt_col(canonical_url: Column) -> Column:
+    """Column-expression twin of :func:`surt_py` (whole-stage codegen —
+    no Python per row when keying 10^10 index entries)."""
+    netloc = F.regexp_extract(canonical_url, _URL_PATTERN, 2)
+    hostport = F.regexp_replace(netloc, "^.*@", "")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.regexp_replace(hostport, ":[0-9]+$", "")
+    stripped = F.regexp_replace(host, "^www[0-9]*\\.", "")
+    host2 = F.when(F.length(stripped) > 0, stripped).otherwise(host)
+    revhost = F.array_join(F.reverse(F.split(host2, "\\.")), ",")
+    rest = F.regexp_extract(canonical_url, _URL_PATTERN, 3)
+    path = F.when(
+        rest.contains("?"), F.substring_index(rest, "?", 1)
+    ).otherwise(rest)
+    # (?s): a canonical URL can carry internal newlines in its query
+    query = F.regexp_extract(rest, "(?s)\\?(.*)", 1)
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: F.length(p) > 0)
+    )
+    restq = F.when(
+        F.size(params) > 0,
+        F.concat(path, F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(path)
+    key = F.lower(
+        F.concat(
+            revhost,
+            F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+            F.lit(")"),
+            restq,
+        )
+    )
+    scheme = F.regexp_extract(canonical_url, _URL_PATTERN, 1)
+    return F.when(scheme == "", F.lit("")).otherwise(key)
+
+
 def url_features_col(url: Column) -> dict[str, Column]:
     """URL-level quality signals for crawl/corpus filtering (the
     RefinedWeb-style URL filter, Penedo et al. 2023 §3.1: score URLs

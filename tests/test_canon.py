@@ -128,3 +128,48 @@ def test_url_features_col_signals(spark):
     assert (r2["host"], r2["path_depth"], r2["n_params"]) == ("b.example", 1, 0)
     r3 = out["https://c.example/1234567890"]
     assert r3["digit_ratio"] == 10 / len("https://c.example/1234567890")
+
+
+SURT_CASES = [
+    "https://www.example.com/path/Page?b=2&a=1",
+    "https://example.com/",
+    "http://www2.example.co.uk/x",
+    "https://sub.www.example.com/y",     # www not leading: kept
+    "http://example.com:8080/p?z=1",
+    "https://user@www.example.com/a",
+    "https://www.com/",                  # strip would empty-ish: 'com' left
+    "http://www./",                      # strip WOULD empty: kept
+    "https://example.com/p?",            # empty query: '?' dropped
+    "https://example.com/p?&&a=1&&",     # empty params dropped
+    "https://example.com/UPPER/Case?B=x&A=y",
+    "http://h/p",                        # single-label host
+    "not a url",
+    "ftp://host/x",
+    "https://example.com/p?one",         # valueless param
+]
+
+
+def test_surt_matches_oracle(spark):
+    from frontier_engine.canon import canonicalize_py, surt_col, surt_py
+
+    urls = [canonicalize_py(u) for u in SURT_CASES + CASES + _random_urls(seed=13)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r["s"] for r in df.select(surt_col(F.col("url")).alias("s")).collect()]
+    for u, g in zip(urls, got):
+        assert g == surt_py(u), u
+
+
+def test_surt_values(spark):
+    from frontier_engine.canon import surt_py
+
+    assert surt_py("https://www.example.com/path/Page?b=2&a=1") == (
+        "com,example)/path/page?a=1&b=2"
+    )
+    assert surt_py("http://example.com:8080/p?z=1") == "com,example:8080)/p?z=1"
+    assert surt_py("https://example.com/p?") == "com,example)/p"
+    assert surt_py("https://sub.www.example.com/y") == "com,example,www,sub)/y"
+    assert surt_py("not a url") == ""
+    # an organization's pages sort contiguously: every example.com
+    # subdomain key begins with the reversed apex
+    for u in ("https://a.example.com/", "https://b.example.com/x"):
+        assert surt_py(u).startswith("com,example,")
