@@ -87,6 +87,19 @@ class CrawlConfig:
     rank_iterations: int = 3
     rank_damping: float = 0.85
     rank_weight: float = 1.0
+    # IRLbot-style adaptive budget enforcement (BEAST, Lee et al. WWW 2009
+    # §6; hostctl.trap_census → hostctl.crawl_budget): every budget_every
+    # epochs, refresh the per-host trap census over the records fetched in
+    # epochs BEFORE the refresh point and cap each host's drain budget at
+    # its allocation (a cap only ever shrinks the politeness budget;
+    # deferred rows stay in the frontier). The census cutoff is derived
+    # from the epoch number and reads only committed snapshot tables, so a
+    # resumed crawl recomputes byte-identical caps. None = off (the
+    # default; crawl-equivalence-vs-oracle tests run uncapped).
+    budget_every: int | None = None
+    budget_base: int = 1000
+    budget_min: int = 10
+    budget_max: int = 100000
     drain: DrainConfig = field(default_factory=DrainConfig)
     seen: SeenConfig = field(default_factory=SeenConfig)
 
@@ -214,12 +227,45 @@ def run_crawl(
     total_drained = 0
     total_records = 0
     epochs_run = 0
+    host_caps: DataFrame | None = None
+    caps_cutoff = -1  # census refresh point the current caps were built at
 
     while True:
         if cfg.max_epochs is not None and epochs_run >= cfg.max_epochs:
             break
 
-        drain_res = drain_epoch(frontier, robots, cfg.drain, epoch_ts=_epoch_ts(cfg, epoch))
+        if cfg.budget_every is not None:
+            cutoff = (epoch // cfg.budget_every) * cfg.budget_every
+            if cutoff > 0 and cutoff != caps_cutoff:
+                from .hostctl import crawl_budget, trap_census
+
+                hist = store.read(spark, "records")
+                if hist is not None:
+                    if host_caps is not None:
+                        host_caps.unpersist()
+                    # census over epochs strictly before the refresh point:
+                    # the cutoff is a pure function of the epoch number, so
+                    # a resumed crawl rebuilds the same caps from the same
+                    # committed rows
+                    host_caps = crawl_budget(
+                        trap_census(
+                            hist.filter(F.col("epoch") < cutoff).select(
+                                "host", "url", F.col("text").alias("content")
+                            )
+                        ),
+                        base_budget=cfg.budget_base,
+                        min_budget=cfg.budget_min,
+                        max_budget=cfg.budget_max,
+                    ).persist()
+                    caps_cutoff = cutoff
+
+        drain_res = drain_epoch(
+            frontier,
+            robots,
+            cfg.drain,
+            epoch_ts=_epoch_ts(cfg, epoch),
+            host_budgets=host_caps,
+        )
         drained, rest, blocked = drain_res
         drained = drained.persist()
         n_drained = drained.count()
@@ -476,6 +522,8 @@ def run_crawl(
 
     if pages_persisted:
         pages.unpersist()
+    if host_caps is not None:
+        host_caps.unpersist()
     return {
         "epochs_run": epochs_run,
         "last_epoch": epoch - 1,

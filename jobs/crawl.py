@@ -52,6 +52,14 @@ def main(argv=None):
                          "frontier priorities (OPIC-style crawl ordering)")
     ap.add_argument("--rank-weight", type=float, default=1.0,
                     help="priority += rank-weight * pagerank on refresh epochs")
+    ap.add_argument("--budget-every", type=int, default=None,
+                    help="every N epochs, refresh the per-host trap census "
+                         "over fetched records and cap each host's drain "
+                         "budget at its allocation (IRLbot BEAST-style)")
+    ap.add_argument("--budget-base", type=int, default=1000,
+                    help="budget for a clean host (scaled by content yield)")
+    ap.add_argument("--budget-min", type=int, default=10,
+                    help="budget a trap host is demoted to")
     args = ap.parse_args(argv)
 
     from frontier_engine import fixtures
@@ -72,6 +80,9 @@ def main(argv=None):
         recrawl_after_epochs=args.recrawl_epochs,
         rank_every=args.rank_every,
         rank_weight=args.rank_weight,
+        budget_every=args.budget_every,
+        budget_base=args.budget_base,
+        budget_min=args.budget_min,
         drain=DrainConfig(epoch_seconds=args.epoch_seconds),
     )
     robots_path = paths["robots"]
