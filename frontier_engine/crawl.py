@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import canon
-from .extract import links_udf, text_udf
+from .extract import links_udf, text_meta_udf
 from .frontier import FRONTIER_SCHEMA, DrainConfig, drain_epoch, frontier_from_seeds
 from .seen import (
     SeenConfig,
@@ -280,18 +280,37 @@ def run_crawl(
         ok_urls = ok.select("url")
         missing = drained.join(ok_urls, "url", "left_anti")
 
-        # --- extraction (vectorized pandas UDF; byte-identical invariant)
-        records_inc = ok.select(
-            "url",
-            "url_hash",
-            "host",
-            "depth",
-            "warc_ts",
-            "lang",
-            text_udf(F.col("html")).alias("text"),
-            F.lit(epoch).alias("epoch"),
-            "slot",
-            "sched_offset",
+        # --- extraction (vectorized pandas UDF; byte-identical invariant).
+        # REP page-level compliance: a meta-robots noindex page is fetched,
+        # scheduled and link-expanded (unless it also says nofollow — the
+        # shared extractor handles that), but never stored in records —
+        # one combined Arrow pass produces text + the verdict.
+        records_inc = (
+            ok.select(
+                "url",
+                "url_hash",
+                "host",
+                "depth",
+                "warc_ts",
+                "lang",
+                text_meta_udf(F.col("html")).alias("_tm"),
+                F.lit(epoch).alias("epoch"),
+                "slot",
+                "sched_offset",
+            )
+            .filter(~F.col("_tm").getField("noindex"))
+            .select(
+                "url",
+                "url_hash",
+                "host",
+                "depth",
+                "warc_ts",
+                "lang",
+                F.col("_tm").getField("text").alias("text"),
+                "epoch",
+                "slot",
+                "sched_offset",
+            )
         )
 
         schedule_inc = drained.select(

@@ -30,7 +30,44 @@ _SCRIPT_STYLE_RE = re.compile(r"(?is)<(script|style|noscript)[^>]*>.*?</\1\s*>")
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 _TAG_RE = re.compile(r"(?s)<[^>]*>")
 _WS_RE = re.compile(r"\s+")
-_HREF_RE = re.compile(r"(?is)<a\s[^>]*?href\s*=\s*[\"']([^\"'#][^\"']*)[\"']")
+_A_TAG_RE = re.compile(r"(?is)<a(\s[^>]*)>")
+_HREF_IN_RE = re.compile(r"(?is)href\s*=\s*[\"']([^\"'#][^\"']*)[\"']")
+_REL_IN_RE = re.compile(r"(?is)rel\s*=\s*[\"']([^\"']*)[\"']")
+_META_ROBOTS_RE = re.compile(
+    r"(?is)<meta\s[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*>"
+)
+_META_CONTENT_RE = re.compile(r"(?is)content\s*=\s*[\"']([^\"']*)[\"']")
+_DIRECTIVE_SPLIT_RE = re.compile(r"[\s,]+")
+
+
+def meta_robots_py(html_bytes: bytes | None) -> frozenset[str]:
+    """Directives of every ``<meta name=robots>`` tag, lowercased
+    (``noindex``, ``nofollow``, ``none``, …) — the Robots Exclusion
+    Protocol's page-level channel (Google/Bing robots-meta semantics;
+    robots.txt covers fetch permission, this covers what a compliant
+    crawler may do WITH a fetched page)."""
+    if not html_bytes:
+        return frozenset()
+    s = html_bytes.decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub(" ", s)
+    out: set[str] = set()
+    for tag in _META_ROBOTS_RE.findall(s):
+        m = _META_CONTENT_RE.search(tag)
+        if m:
+            for d in _DIRECTIVE_SPLIT_RE.split(m.group(1).strip().lower()):
+                if d:
+                    out.add(d)
+    # 'none' is the spec'd shorthand for 'noindex, nofollow'
+    if "none" in out:
+        out.update(("noindex", "nofollow"))
+    return frozenset(out)
+
+
+def noindex_py(html_bytes: bytes | None) -> bool:
+    """True when the page forbids indexing (meta robots ``noindex``):
+    a compliant crawler may follow its links but must not keep the page
+    in the served/indexed corpus."""
+    return "noindex" in meta_robots_py(html_bytes)
 
 
 def extract_text_py(html_bytes: bytes | None) -> str:
@@ -47,20 +84,37 @@ def extract_text_py(html_bytes: bytes | None) -> str:
 
 
 def extract_links_py(html_bytes: bytes | None, base_url: str) -> list[str]:
-    """Ordered, de-duplicated list of absolute out-links.
+    """Ordered, de-duplicated list of absolute out-links, REP-compliant.
 
     Order is first-occurrence document order (the reference crawls menu links
     in DOM order — /root/reference/crawler/stores/cooponline.py:497-511); the
     engine relies on this being deterministic, not on the order itself.
+
+    Robots-meta semantics: a page-level ``<meta name=robots
+    content=nofollow>`` yields no links at all; a per-link
+    ``rel="nofollow"`` (any token position, also ``ugc``/``sponsored``
+    carriers with nofollow present) drops that link. Shared verbatim by
+    the engine UDF and the Python oracle, so compliance is part of the
+    byte-identical crawl-equivalence contract, not a divergence risk.
     """
     if html_bytes is None:
         return []
     s = html_bytes.decode("utf-8", errors="replace")
     s = _COMMENT_RE.sub(" ", s)
+    if "nofollow" in meta_robots_py(html_bytes):
+        return []
     out: list[str] = []
     seen: set[str] = set()
-    for href in _HREF_RE.findall(s):
-        href = _html.unescape(href.strip())
+    for attrs in _A_TAG_RE.findall(s):
+        hm = _HREF_IN_RE.search(attrs)
+        if hm is None:
+            continue
+        rm = _REL_IN_RE.search(attrs)
+        if rm is not None and "nofollow" in _DIRECTIVE_SPLIT_RE.split(
+            rm.group(1).strip().lower()
+        ):
+            continue
+        href = _html.unescape(hm.group(1).strip())
         if href.startswith(("javascript:", "mailto:", "data:")):
             continue
         absu = urljoin(base_url, href)
@@ -78,6 +132,28 @@ def extract_links_py(html_bytes: bytes | None, base_url: str) -> list[str]:
 @F.pandas_udf(T.StringType())
 def text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_py)
+
+
+_TEXT_META_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("noindex", T.BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(_TEXT_META_TYPE)
+def text_meta_udf(html: pd.Series) -> pd.DataFrame:
+    """Text + the noindex verdict in ONE Arrow pass over html (the crawl
+    loop needs both per fetched page; two separate UDFs would decode the
+    corpus twice)."""
+    return pd.DataFrame(
+        {
+            "text": html.map(extract_text_py),
+            "noindex": html.map(noindex_py),
+        },
+        index=html.index,
+    )
 
 
 def links_udf_factory():

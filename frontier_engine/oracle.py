@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 
 from .canon import canonicalize_py, host_of_py, path_of_py, pathq_of_py
 from .robots import rule_matches_py
-from .extract import extract_links_py, extract_text_py
+from .extract import extract_links_py, extract_text_py, noindex_py
 
 
 @dataclass
@@ -168,7 +168,8 @@ def run_oracle(
                         _Entry(e.url, e.priority * cfg.retry_decay, e.depth, epoch + 1, attempts)
                     )
                 continue
-            res.records[e.url] = extract_text_py(html)
+            if not noindex_py(html):
+                res.records[e.url] = extract_text_py(html)
             for raw in extract_links_py(html, e.url):
                 cu = canonicalize_py(raw)
                 if not host_of_py(cu):
