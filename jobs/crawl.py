@@ -60,6 +60,11 @@ def main(argv=None):
                     help="budget for a clean host (scaled by content yield)")
     ap.add_argument("--budget-min", type=int, default=10,
                     help="budget a trap host is demoted to")
+    ap.add_argument("--cdx-out", default=None,
+                    help="after the crawl, build a SURT-keyed CDX-style "
+                         "URL index over the captured records in this dir")
+    ap.add_argument("--cdx-shards", type=int, default=16,
+                    help="number of balanced key-range shards for --cdx-out")
     args = ap.parse_args(argv)
 
     from frontier_engine import fixtures
@@ -144,6 +149,24 @@ def main(argv=None):
         )
         summary["warc_shards"] = len(manifest)
         summary["warc_records"] = sum(m["n_records"] for m in manifest)
+
+    if args.cdx_out:
+        # index what the crawl captured: SURT-keyed, range-sharded,
+        # manifest-pruned (an archive without its CDX index is
+        # unqueryable — Common Crawl ships the two together)
+        from frontier_engine.cdx import build_cdx
+        from frontier_engine.snapshot import SnapshotStore
+
+        store = SnapshotStore(args.warehouse)
+        captures = store.read(spark, "records").select(
+            "url", "warc_ts", "epoch", "lang"
+        )
+        cdx_manifest = build_cdx(
+            captures, args.cdx_out, n_shards=args.cdx_shards,
+            keep_cols=("epoch", "lang"),
+        )
+        summary["cdx_shards"] = len(cdx_manifest)
+        summary["cdx_entries"] = sum(m["n"] for m in cdx_manifest)
 
     print(json.dumps(summary))
     spark.stop()

@@ -106,3 +106,26 @@ def test_entries_drop_garbage(spark):
     ).select("url", F.col("ts").cast("timestamp").alias("warc_ts"))
     got = cdx.cdx_entries(df).collect()
     assert len(got) == 1 and got[0]["surt_host"] == "example,ok"
+
+
+def test_crawl_cli_builds_cdx(spark, tmp_path):
+    """--cdx-out on the crawl CLI indexes exactly the captured records."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wh = str(tmp_path / "wh")
+    out = str(tmp_path / "cdxidx")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "crawl.py"),
+         "--tier", "mini", "--warehouse", wh, "--max-epochs", "2",
+         "--cores", "4", "--cdx-out", out, "--cdx-shards", "4"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["cdx_entries"] == summary["total_records"] > 0
+    assert os.path.exists(os.path.join(out, "_cluster.json"))
+    # index rows == records rows, and a domain lookup returns a subset
+    total = cdx.lookup_cdx(spark, out, "").count()
+    assert total == summary["cdx_entries"]
