@@ -1183,6 +1183,29 @@ def q_dust_apply(spark, sf):
     )
 
 
+def q_redirects(spark, sf):
+    """Redirect-chain resolution by pointer doubling (log2(K) self-joins,
+    graph.resolve_redirects). Nodes n<k> for distinct k = event_id % 400;
+    chain edges n<k> -> n<k-1> when k%8 != 0 (so each block of 8 is a
+    chain into terminal n<base>), and blocks with base % 40 == 0 close
+    into an 8-cycle via n<base> -> n<base+7>. With max_hops=8 chain
+    nodes resolve to their terminal with exact hop counts and cycle
+    blocks come out resolved=false/NULL — the oracle re-derives both via
+    a bounded recursive CTE."""
+    from frontier_engine.graph import resolve_redirects
+
+    e = _t(spark, sf, "events")
+    ks = e.select((F.col("event_id") % 400).alias("k")).distinct()
+    n = lambda c: F.concat(F.lit("n"), c.cast("string"))  # noqa: E731
+    chain = ks.filter(F.col("k") % 8 != 0).select(
+        n(F.col("k")).alias("src"), n(F.col("k") - 1).alias("dst")
+    )
+    cyc = ks.filter((F.col("k") % 8 == 0) & (F.col("k") % 40 == 0)).select(
+        n(F.col("k")).alias("src"), n(F.col("k") + 7).alias("dst")
+    )
+    return resolve_redirects(chain.unionByName(cyc), max_hops=8)
+
+
 def q_surt(spark, sf):
     """SURT keying (the Common Crawl / OpenWayback CDX index sort key):
     URLs derive deterministically from events — host h<user_id%10>
@@ -1363,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "dust_params": q_dust_params,
         "dust_apply": q_dust_apply,
+        "redirects": q_redirects,
         "surt": q_surt,
         "shard_plan": q_shard_plan,
         "hits": q_hits,
@@ -2583,6 +2607,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT before_url) AS BIGINT) AS n_before,
                    CAST(count(DISTINCT after_url) AS BIGINT) AS n_after
             FROM rw GROUP BY host
+        """,
+        "redirects": r"""
+            WITH RECURSIVE ks AS (
+                SELECT DISTINCT event_id % 400 AS k FROM events),
+            raw_edges AS (
+                SELECT 'n' || CAST(k AS VARCHAR) AS src,
+                       'n' || CAST(k - 1 AS VARCHAR) AS dst
+                FROM ks WHERE k % 8 <> 0
+                UNION ALL
+                SELECT 'n' || CAST(k AS VARCHAR),
+                       'n' || CAST(k + 7 AS VARCHAR)
+                FROM ks WHERE k % 8 = 0 AND k % 40 = 0),
+            e AS (SELECT src, min(dst) AS dst FROM raw_edges GROUP BY src),
+            walk AS (
+                SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+                UNION ALL
+                SELECT w.src, e2.dst, w.hops + 1
+                FROM walk w JOIN e e2 ON w.cur = e2.src
+                WHERE w.hops < 8),
+            res AS (
+                SELECT w.src, w.cur AS final, w.hops
+                FROM walk w LEFT JOIN e t ON w.cur = t.src
+                WHERE t.src IS NULL)
+            SELECT e.src,
+                   r.final,
+                   CAST(r.hops AS BIGINT) AS hops,
+                   (r.src IS NOT NULL) AS resolved
+            FROM e LEFT JOIN res r ON e.src = r.src
         """,
         "surt": r"""
             WITH pages AS (

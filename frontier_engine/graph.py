@@ -35,6 +35,8 @@ the result is byte-deterministic at any parallelism.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -325,4 +327,78 @@ def frontier_priority_from_ranks(
             + F.lit(weight) * F.coalesce(F.col("_pr"), F.lit(0.0)),
         )
         .drop("_pr")
+    )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve every redirect chain to its final landing URL by pointer
+    doubling — ``ceil(log2(max_hops))`` self-joins instead of
+    ``max_hops`` sequential ones.
+
+    At web scale a quarter of fetches answer 3xx (the reference never
+    sees this — Playwright follows redirects invisibly,
+    /root/reference/crawler/stores/bhx.py:599-649; an archive crawler
+    must resolve them itself to dedup aliases and credit link authority
+    to the landing URL). ``edges`` holds one row per redirecting URL:
+    ``(src, dst)`` — a *function* (one dst per src; duplicate srcs
+    raise upstream data questions, here the min dst wins for
+    determinism).
+
+    Returns one row per src: ``(src, final, hops, resolved)`` —
+    ``resolved`` when a non-redirecting URL is reached within
+    ``max_hops``; cycles and over-long chains yield ``resolved=false``
+    with NULL final/hops (a compliant crawler abandons them, as curl's
+    --max-redirs does).
+
+    Pointer doubling: the state table maps each src to the node reached
+    after following up to 2^k redirects; composing the state with
+    itself doubles k. Each round is ONE hash self-join at
+    redirecting-URL cardinality (terminal URLs never enter the state),
+    eagerly localCheckpoint-ed so round k+1 consumes a materialized
+    table instead of recomputing round k twice (it appears as both
+    probe and build side).
+    """
+    if max_hops < 1:
+        raise ValueError("resolve_redirects: max_hops must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+    )
+    state = e.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
+    ).localCheckpoint()
+    rounds = max(1, math.ceil(math.log2(max_hops))) if max_hops > 1 else 0
+    for _ in range(rounds):
+        g = state.select(
+            F.col("src").alias("_g_src"),
+            F.col("cur").alias("_g_cur"),
+            F.col("hops").alias("_g_hops"),
+        )
+        state = (
+            state.join(g, state["cur"] == g["_g_src"], "left")
+            .select(
+                "src",
+                F.coalesce("_g_cur", "cur").alias("cur"),
+                (
+                    F.col("hops") + F.coalesce("_g_hops", F.lit(0))
+                ).cast("long").alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    is_src = e.select(F.col("src").alias("_t")).withColumn(
+        "_redirects", F.lit(True)
+    )
+    out = state.join(is_src, state["cur"] == is_src["_t"], "left")
+    ok = F.col("_redirects").isNull() & (F.col("hops") <= F.lit(max_hops))
+    return out.select(
+        "src",
+        F.when(ok, F.col("cur")).alias("final"),
+        F.when(ok, F.col("hops")).alias("hops"),
+        ok.alias("resolved"),
     )

@@ -235,3 +235,46 @@ def test_anchor_stats_topk_ties_and_drops(spark):
         by_dst.setdefault(r["dst"], []).append((r["rank"], r["anchor"], r["n"]))
     assert sorted(by_dst["t"]) == [(1, "alpha", 2), (2, "beta", 2)]
     assert sorted(by_dst["u"]) == [(1, "only", 1)]
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    from frontier_engine.graph import resolve_redirects
+
+    edges = [(f"u{i}", f"u{i+1}") for i in range(6)]  # u0→…→u6 (terminal)
+    edges += [("c0", "c1"), ("c1", "c0")]             # 2-cycle
+    edges += [("s", "s")]                             # self-loop
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["src"]: (r["final"], r["hops"], r["resolved"])
+        for r in resolve_redirects(df, max_hops=32).collect()
+    }
+    for i in range(6):
+        assert got[f"u{i}"] == ("u6", 6 - i, True)
+    assert got["c0"] == (None, None, False)
+    assert got["c1"] == (None, None, False)
+    assert got["s"] == (None, None, False)
+
+
+def test_resolve_redirects_max_hops_exact(spark):
+    from frontier_engine.graph import resolve_redirects
+
+    # chain of length 5: resolved at max_hops=5, unresolved at 4
+    edges = [(f"v{i}", f"v{i+1}") for i in range(5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    at5 = {r["src"]: r["resolved"] for r in resolve_redirects(df, max_hops=5).collect()}
+    at4 = {r["src"]: r["resolved"] for r in resolve_redirects(df, max_hops=4).collect()}
+    assert at5["v0"] is True and at4["v0"] is False
+    assert at4["v1"] is True  # length-4 tail still resolves
+    # max_hops=1 resolves only direct-to-terminal redirects
+    at1 = {r["src"]: r["resolved"] for r in resolve_redirects(df, max_hops=1).collect()}
+    assert at1 == {"v0": False, "v1": False, "v2": False, "v3": False, "v4": True}
+
+
+def test_resolve_redirects_rejects_bad_hops(spark):
+    import pytest as _pytest
+
+    from frontier_engine.graph import resolve_redirects
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        resolve_redirects(df, max_hops=0)
