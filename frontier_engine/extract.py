@@ -38,6 +38,22 @@ _META_ROBOTS_RE = re.compile(
 )
 _META_CONTENT_RE = re.compile(r"(?is)content\s*=\s*[\"']([^\"']*)[\"']")
 _DIRECTIVE_SPLIT_RE = re.compile(r"[\s,]+")
+_ASCII_LOWER = bytes.maketrans(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZ", b"abcdefghijklmnopqrstuvwxyz"
+)
+# meta robots is only valid inside <head>; bound the scan there (or to a
+# cap when no <body> marker exists) so the per-page cost is a memchr +
+# a small translate, not a full-page regex
+_HEAD_CAP = 16384
+
+
+def _head_region(hb: bytes) -> bytes:
+    end = hb.find(b"<body")
+    if end < 0:
+        end = hb.find(b"<BODY")
+    if end < 0:
+        end = min(len(hb), _HEAD_CAP)
+    return hb[:end]
 
 
 def meta_robots_py(html_bytes: bytes | None) -> frozenset[str]:
@@ -48,7 +64,14 @@ def meta_robots_py(html_bytes: bytes | None) -> frozenset[str]:
     crawler may do WITH a fetched page)."""
     if not html_bytes:
         return frozenset()
-    s = html_bytes.decode("utf-8", errors="replace")
+    # bytes-level fast path over the head region only: no case-folded
+    # 'robots' substring → no robots meta tag ('robots' case folds are
+    # pure ASCII, so the translate+find scan is exhaustive there). The
+    # overwhelming majority of pages return here without ever decoding.
+    region = _head_region(html_bytes)
+    if b"robots" not in region.translate(_ASCII_LOWER):
+        return frozenset()
+    s = region.decode("utf-8", errors="replace")
     s = _COMMENT_RE.sub(" ", s)
     out: set[str] = set()
     for tag in _META_ROBOTS_RE.findall(s):
