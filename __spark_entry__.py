@@ -1183,6 +1183,29 @@ def q_dust_apply(spark, sf):
     )
 
 
+def q_opic(spark, sf):
+    """Synchronous-batch OPIC (Abiteboul et al., WWW 2003) — the online
+    crawl-importance estimate: 3 rounds of cash distribution with a
+    uniform virtual-root rebate for dangling nodes, over the same
+    deterministic ~100-node orders-derived graph as q_pagerank. Returns
+    (node, cash, history) rounded to 6 decimals; total cash is invariant
+    at 1 and banked history grows by exactly 1 per round (the pytest
+    pins both plus exact values vs a pure-python twin). One hash join +
+    one map-side-combined sum per round; the DuckDB oracle unrolls the
+    same 3 rounds as chained CTEs."""
+    from frontier_engine.graph import opic
+
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return opic(edges, iterations=3).select(
+        "node", F.round("cash", 6).alias("cash"),
+        F.round("history", 6).alias("history"),
+    )
+
+
 def q_redirects(spark, sf):
     """Redirect-chain resolution by pointer doubling (log2(K) self-joins,
     graph.resolve_redirects). Nodes n<k> for distinct k = event_id % 400;
@@ -1386,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "dust_params": q_dust_params,
         "dust_apply": q_dust_apply,
+        "opic": q_opic,
         "redirects": q_redirects,
         "surt": q_surt,
         "shard_plan": q_shard_plan,
@@ -2607,6 +2631,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT before_url) AS BIGINT) AS n_before,
                    CAST(count(DISTINCT after_url) AS BIGINT) AS n_after
             FROM rw GROUP BY host
+        """,
+        "opic": r"""
+            WITH e AS (
+                SELECT DISTINCT o_custkey % 100 AS src,
+                                o_orderkey % 100 AS dst
+                FROM orders WHERE o_custkey % 100 <> o_orderkey % 100),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                   FROM e GROUP BY src),
+            w AS (SELECT e.src, e.dst, 1.0 / od.deg AS w
+                  FROM e JOIN od ON e.src = od.src),
+            s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS cash,
+                          0.0 AS history FROM nodes),
+            p0 AS (SELECT coalesce(sum(s.cash), 0) AS pot FROM s0 s
+                   LEFT JOIN od o ON s.node = o.src WHERE o.src IS NULL),
+            i0 AS (SELECT w.dst AS node, sum(s.cash * w.w) AS i
+                   FROM w JOIN s0 s ON w.src = s.node GROUP BY w.dst),
+            s1 AS (SELECT s.node,
+                          coalesce(i.i, 0)
+                              + (SELECT pot FROM p0) / (SELECT n FROM nn)
+                              AS cash,
+                          s.history + s.cash AS history
+                   FROM s0 s LEFT JOIN i0 i ON s.node = i.node),
+            p1 AS (SELECT coalesce(sum(s.cash), 0) AS pot FROM s1 s
+                   LEFT JOIN od o ON s.node = o.src WHERE o.src IS NULL),
+            i1 AS (SELECT w.dst AS node, sum(s.cash * w.w) AS i
+                   FROM w JOIN s1 s ON w.src = s.node GROUP BY w.dst),
+            s2 AS (SELECT s.node,
+                          coalesce(i.i, 0)
+                              + (SELECT pot FROM p1) / (SELECT n FROM nn)
+                              AS cash,
+                          s.history + s.cash AS history
+                   FROM s1 s LEFT JOIN i1 i ON s.node = i.node),
+            p2 AS (SELECT coalesce(sum(s.cash), 0) AS pot FROM s2 s
+                   LEFT JOIN od o ON s.node = o.src WHERE o.src IS NULL),
+            i2 AS (SELECT w.dst AS node, sum(s.cash * w.w) AS i
+                   FROM w JOIN s2 s ON w.src = s.node GROUP BY w.dst),
+            s3 AS (SELECT s.node,
+                          coalesce(i.i, 0)
+                              + (SELECT pot FROM p2) / (SELECT n FROM nn)
+                              AS cash,
+                          s.history + s.cash AS history
+                   FROM s2 s LEFT JOIN i2 i ON s.node = i.node)
+            SELECT CAST(node AS BIGINT) AS node,
+                   round(cash, 6) AS cash,
+                   round(history, 6) AS history
+            FROM s3
         """,
         "redirects": r"""
             WITH RECURSIVE ks AS (

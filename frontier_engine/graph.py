@@ -402,3 +402,94 @@ def resolve_redirects(
         F.when(ok, F.col("hops")).alias("hops"),
         ok.alias("resolved"),
     )
+
+
+def opic(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous-batch OPIC (On-line Page Importance Computation,
+    Abiteboul/Preda/Cobena, WWW 2003) — the crawl-ordering importance
+    estimate a frontier can maintain WHILE crawling, unlike PageRank's
+    offline fixpoint.
+
+    Every node starts with cash ``1/N``. Each round, every node
+    distributes its whole cash equally across its outlinks and banks it
+    in its history (``H += C``); dangling nodes pay their cash to the
+    virtual root, which redistributes it uniformly to all N nodes
+    (OPIC's virtual page that links everywhere). Total cash is invariant
+    at 1, so ``history + cash`` after k rounds estimates importance with
+    no damping parameter. Returns ``(node, cash, history)``.
+
+    Plan shape: outdegree weights are joined onto the edge list ONCE;
+    each round is one hash join + one map-side-combined sum keyed by
+    dst (identical to :func:`pagerank`'s round shape) plus a 1-row
+    dangling-pot aggregate broadcast back — no driver action inside the
+    loop; state is eagerly localCheckpoint-ed to cut iterative lineage.
+
+    Determinism: same float-sum caveat as :func:`pagerank` — callers
+    needing cross-engine hash equality round (the query layer uses 6
+    decimals).
+    """
+    if iterations < 1:
+        raise ValueError("opic: iterations must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        n = nodes.count()
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        weighted = (
+            e.join(outdeg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+            .persist()
+        )
+        has_out = outdeg.select(F.col("src").alias("node")).withColumn(
+            "_linked", F.lit(True)
+        )
+        state = (
+            nodes.withColumn("cash", F.lit(1.0 / n))
+            .withColumn("history", F.lit(0.0))
+            .localCheckpoint()
+        )
+        try:
+            for _ in range(iterations):
+                dangling = (
+                    state.join(has_out, "node", "left")
+                    .filter(F.col("_linked").isNull())
+                    .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_pot"))
+                )
+                contrib = (
+                    weighted.join(
+                        state.select(F.col("node").alias("src"), "cash"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("cash") * F.col("w")).alias("_in"))
+                )
+                state = (
+                    state.join(contrib, "node", "left")
+                    .crossJoin(F.broadcast(dangling))
+                    .select(
+                        "node",
+                        (
+                            F.coalesce(F.col("_in"), F.lit(0.0))
+                            + F.col("_pot") / F.lit(float(n))
+                        ).alias("cash"),
+                        (F.col("history") + F.col("cash")).alias("history"),
+                    )
+                    .localCheckpoint()
+                )
+            return state
+        finally:
+            weighted.unpersist()
+    finally:
+        e.unpersist()

@@ -4,6 +4,7 @@ reference (numpy), plus the frontier-priority blend."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from frontier_engine.graph import frontier_priority_from_ranks, pagerank
@@ -278,3 +279,47 @@ def test_resolve_redirects_rejects_bad_hops(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError):
         resolve_redirects(df, max_hops=0)
+
+
+def test_opic_invariants_and_values(spark):
+    from frontier_engine.graph import opic
+
+    # a→b, b→a, a→c; c dangling (pays the virtual root)
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: (r["cash"], r["history"])
+        for r in opic(df, iterations=4).collect()
+    }
+
+    # pure-python twin of the synchronous-batch semantics
+    nodes = ["a", "b", "c"]
+    out = {"a": ["b", "c"], "b": ["a"]}
+    cash = {v: 1 / 3 for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for _ in range(4):
+        pot = sum(c for v, c in cash.items() if v not in out)
+        new = {v: pot / 3 for v in nodes}
+        for u, dsts in out.items():
+            for d in dsts:
+                new[d] += cash[u] / len(dsts)
+        for v in nodes:
+            hist[v] += cash[v]
+        cash = new
+    for v in nodes:
+        assert got[v][0] == pytest.approx(cash[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(hist[v], abs=1e-12)
+    # OPIC invariants: total cash stays 1; banked history grows 1/round
+    assert sum(c for c, _ in got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(h for _, h in got.values()) == pytest.approx(4.0, abs=1e-12)
+
+
+def test_opic_rejects_bad_iterations(spark):
+    import pytest as _pytest
+
+    from frontier_engine.graph import opic
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        opic(df, iterations=0)
