@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from . import canon
 from .shardplan import host_shard_plan
 
-__all__ = ["cdx_entries", "build_cdx", "lookup_cdx"]
+__all__ = ["cdx_entries", "build_cdx", "lookup_cdx", "latest_captures"]
 
 # lexicographic upper fence for a prefix range: no valid SURT character
 # sorts above ￿, so [prefix, prefix + FENCE] covers every key the
@@ -167,3 +167,25 @@ def lookup_cdx(spark: SparkSession, path: str, prefix: str) -> DataFrame:
     if prefix:
         out = out.filter(F.col("surt").startswith(prefix))
     return out
+
+
+def latest_captures(spark: SparkSession, path: str, prefix: str = "") -> DataFrame:
+    """Newest capture per SURT under ``prefix`` — the CDX "latest" query
+    a recrawl/diff pipeline asks constantly ("what do we already hold for
+    this site, and from when?").
+
+    One map-side-combined ``max(struct(ts, …))`` per key over the
+    manifest-pruned shards — no window sort, and the partial aggregate
+    means a mega-site's captures combine inside each scan task before
+    anything shuffles. Deterministic: struct comparison orders by ts
+    first, remaining columns break exact-timestamp ties the same way on
+    any engine.
+    """
+    df = lookup_cdx(spark, path, prefix)
+    rest = ["ts"] + [c for c in df.columns if c not in ("surt", "ts")]
+    packed = df.groupBy("surt").agg(
+        F.max(F.struct(*[F.col(c) for c in rest])).alias("_m")
+    )
+    return packed.select(
+        "surt", *[F.col(f"_m.{c}").alias(c) for c in rest]
+    )

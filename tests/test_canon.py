@@ -173,3 +173,32 @@ def test_surt_values(spark):
     # subdomain key begins with the reversed apex
     for u in ("https://a.example.com/", "https://b.example.com/x"):
         assert surt_py(u).startswith("com,example,")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_surt_url = st.builds(
+    lambda www, host, port, path, q: f"https://{www}{host}{port}{path}{q}",
+    st.sampled_from(["", "www.", "www2.", "WWW.", "www10."]),
+    st.from_regex(r"[a-z0-9]([a-z0-9.\-]{0,15}[a-z0-9])?", fullmatch=True),
+    st.sampled_from(["", ":8080", ":1", ":443"]),
+    st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,8}){0,3}", fullmatch=True),
+    st.from_regex(r"(\?[a-z0-9=&]{0,14})?", fullmatch=True),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(urls=st.lists(_surt_url, min_size=1, max_size=8))
+def test_surt_spark_python_parity_property(spark, urls):
+    """surt_col and surt_py agree on arbitrary www/port/path/query shapes
+    — one key semantic, two implementations (the CDX index sorts by it,
+    so a single divergent byte would mis-shard a capture)."""
+    from frontier_engine.canon import canonicalize_py, surt_col, surt_py
+
+    canon_urls = sorted({canonicalize_py(u) for u in urls})
+    df = spark.createDataFrame([(u,) for u in canon_urls], ["url"])
+    got = [
+        r["s"] for r in df.select(surt_col(F.col("url")).alias("s")).collect()
+    ]
+    assert got == [surt_py(u) for u in canon_urls]

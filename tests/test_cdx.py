@@ -129,3 +129,44 @@ def test_crawl_cli_builds_cdx(spark, tmp_path):
     # index rows == records rows, and a domain lookup returns a subset
     total = cdx.lookup_cdx(spark, out, "").count()
     assert total == summary["cdx_entries"]
+
+
+def test_latest_captures(spark, tmp_path):
+    out = str(tmp_path / "cdx_lat")
+    rows = []
+    for d in (3, 1, 7, 5):  # four captures of the same URL, shuffled order
+        rows.append((f"https://re.example/page", f"2024-02-{d:02d}T00:00:00"))
+    rows.append(("https://re.example/other", "2024-01-01T00:00:00"))
+    pages = spark.createDataFrame(rows, "url string, ts string").select(
+        "url", F.col("ts").cast("timestamp").alias("warc_ts")
+    )
+    cdx.build_cdx(pages, out, n_shards=2)
+    got = {
+        r["surt"]: r["ts"]
+        for r in cdx.latest_captures(spark, out, "example,re)").collect()
+    }
+    assert len(got) == 2
+    assert got["example,re)/page"].day == 7  # newest of the four wins
+
+
+def test_warc_roundtrip_feeds_cdx(spark, tmp_path):
+    """Common-Crawl interop end-to-end: archive pages as .warc.gz shards,
+    re-ingest them, and the index built from the re-ingested shards is
+    identical to the index built from the original table."""
+    from frontier_engine.warc import read_warc, write_warc
+
+    pages = _pages(spark, n_hosts=5, per_host=8)
+    wdir = str(tmp_path / "warc")
+    write_warc(pages.select("url", "warc_ts", "html")
+               if "html" in pages.columns else
+               pages.withColumn("html", F.encode(F.col("url"), "utf-8"))
+               .select("url", "warc_ts", "html"),
+               wdir)
+    back = read_warc(spark, wdir).select("url", "warc_ts")
+    a, b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    ma = cdx.build_cdx(pages.select("url", "warc_ts"), a, n_shards=3)
+    mb = cdx.build_cdx(back, b, n_shards=3)
+    assert ma == mb
+    ka = sorted(tuple(r) for r in cdx.lookup_cdx(spark, a, "").select("surt", "ts", "url").collect())
+    kb = sorted(tuple(r) for r in cdx.lookup_cdx(spark, b, "").select("surt", "ts", "url").collect())
+    assert ka == kb and len(ka) == 40
