@@ -191,10 +191,10 @@ def _budget_col(cfg: DrainConfig):
     """Per-host epoch budget: the politeness ceiling, optionally capped
     by an external per-host allocation (``_hb_cap``, e.g. from
     :func:`frontier_engine.hostctl.crawl_budget`). The cap only ever
-    SHRINKS the budget, which is what lets the precut route table keep
-    using the uncapped politeness budget: its histogram threshold then
-    keeps at least as many rows as the true budget needs — a safe
-    superset, never a wrong cut."""
+    SHRINKS the budget. The precut route table applies the SAME
+    least/coalesce (see ``_route_table``), so a capped host's histogram
+    threshold keeps ~cap survivors — the cut stays exact under caps, not
+    merely a safe superset."""
     pol = F.greatest(
         F.lit(1),
         F.floor(F.lit(cfg.epoch_seconds) / F.col("crawl_delay")),
@@ -258,16 +258,36 @@ def _route_table(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
     bin_expr = _precut_bin_col(nb) if nb else F.lit(0).cast("long")
     w_host = Window.partitionBy("host")
     w_cum = w_host.orderBy(F.col("_bin").desc())
+    if "_hb_cap" not in allowed.columns:
+        allowed = allowed.withColumn("_hb_cap", F.lit(None).cast("int"))
     return (
         allowed.groupBy(F.col("host"), bin_expr.alias("_bin"))
-        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("crawl_delay").alias("_delay"))
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min("crawl_delay").alias("_delay"),
+            F.min("_hb_cap").alias("_cap"),
+        )
         .withColumn("_cum", F.sum("_cnt").over(w_cum))
+        # the threshold budget is the TRUE per-host budget: politeness,
+        # shrunk by an external allocation cap when one exists (same
+        # least/coalesce as _budget_col) — so a budget-capped host's
+        # pre-cut drops down to ~cap survivors instead of keeping the
+        # uncapped-politeness superset through the window sort
         .withColumn(
-            "_b",
+            "_pol",
             F.greatest(
                 F.lit(1.0),
                 F.floor(F.lit(cfg.epoch_seconds) / F.min("_delay").over(w_host)),
             ).cast("long"),
+        )
+        .withColumn(
+            "_b",
+            F.least(
+                F.col("_pol"),
+                F.coalesce(
+                    F.min("_cap").over(w_host).cast("long"), F.col("_pol")
+                ),
+            ),
         )
         .withColumn("_total", F.sum("_cnt").over(w_host))
         .groupBy("host")
