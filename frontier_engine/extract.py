@@ -18,6 +18,7 @@ trafilatura-style tag-stripping extractor.
 
 from __future__ import annotations
 
+import codecs as _codecs
 import html as _html
 import re
 from urllib.parse import urljoin
@@ -54,6 +55,68 @@ def _head_region(hb: bytes) -> bytes:
     if end < 0:
         end = min(len(hb), _HEAD_CAP)
     return hb[:end]
+
+
+_CHARSET_RE = re.compile(
+    r"(?is)charset\s*=\s*[\"']?\s*([A-Za-z0-9._\-]+)"
+)
+# charset labels seen in the wild → Python codec names (WHATWG encoding
+# labels; the long tail maps per spec — e.g. HTML5 says latin-1 content
+# is PROCESSED as windows-1252)
+_CHARSET_ALIASES = {
+    "iso-8859-1": "cp1252",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "us-ascii": "cp1252",
+    "ascii": "cp1252",
+    "windows-1252": "cp1252",
+    "iso-8859-15": "iso-8859-15",
+    "utf8": "utf-8",
+}
+
+
+def sniff_charset_py(html_bytes: bytes | None) -> str:
+    """Charset of an HTML payload: BOM first (authoritative per WHATWG),
+    then a ``charset=`` declaration in the head region (``<meta
+    charset=…>`` or the http-equiv Content-Type form), else UTF-8.
+
+    ~20% of real web pages are not UTF-8 (Common Crawl's own stats);
+    decoding them as UTF-8-with-replacement destroys every non-ASCII
+    character. Bytes-level fast path: no ``charset`` substring in the
+    head region → default, no decode, no regex.
+    """
+    if not html_bytes:
+        return "utf-8"
+    if html_bytes.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if html_bytes.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if html_bytes.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    region = _head_region(html_bytes)
+    if b"charset" not in region.translate(_ASCII_LOWER):
+        return "utf-8"
+    m = _CHARSET_RE.search(region.decode("latin-1"))
+    if not m:
+        return "utf-8"
+    label = m.group(1).strip().lower()
+    codec = _CHARSET_ALIASES.get(label, label)
+    try:
+        # codecs.lookup, not b"".decode(...): CPython short-circuits
+        # empty-bytes decode without validating the codec name
+        _codecs.lookup(codec)
+    except (LookupError, ValueError):
+        return "utf-8"
+    return codec
+
+
+def decode_html_py(html_bytes: bytes | None) -> str:
+    """Decode an HTML payload by its sniffed charset (errors → U+FFFD).
+    Shared by the engine UDFs and the oracle — charset handling is part
+    of the byte-identical text contract, not an engine-side detail."""
+    if html_bytes is None:
+        return ""
+    return html_bytes.decode(sniff_charset_py(html_bytes), errors="replace")
 
 
 def meta_robots_py(html_bytes: bytes | None) -> frozenset[str]:
@@ -94,10 +157,11 @@ def noindex_py(html_bytes: bytes | None) -> bool:
 
 
 def extract_text_py(html_bytes: bytes | None) -> str:
-    """Deterministic tag-stripping text extraction (shared engine+oracle)."""
+    """Deterministic tag-stripping text extraction (shared engine+oracle);
+    decodes by sniffed charset (BOM / meta declaration, UTF-8 default)."""
     if html_bytes is None:
         return ""
-    s = html_bytes.decode("utf-8", errors="replace")
+    s = decode_html_py(html_bytes)
     s = _SCRIPT_STYLE_RE.sub(" ", s)
     s = _COMMENT_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
@@ -122,7 +186,7 @@ def extract_links_py(html_bytes: bytes | None, base_url: str) -> list[str]:
     """
     if html_bytes is None:
         return []
-    s = html_bytes.decode("utf-8", errors="replace")
+    s = decode_html_py(html_bytes)
     s = _COMMENT_RE.sub(" ", s)
     if "nofollow" in meta_robots_py(html_bytes):
         return []

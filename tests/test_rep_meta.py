@@ -138,3 +138,44 @@ def test_crawl_respects_meta_robots(spark, tmp_path):
     )
     assert dict(ores.records) == recs
     assert {u for (_, _, _, u) in ores.schedule} == sched
+
+
+def test_charset_sniffing():
+    from frontier_engine.extract import decode_html_py, sniff_charset_py
+
+    # BOMs are authoritative
+    assert sniff_charset_py("﻿hi".encode("utf-8")) == "utf-8-sig"
+    # BOM-less utf-16 bytes have no marker to sniff: default stands
+    assert sniff_charset_py("hi".encode("utf-16-le")) == "utf-8"
+    # utf-16 with BOM
+    assert sniff_charset_py(b"\xff\xfeh\x00i\x00") == "utf-16-le"
+    assert sniff_charset_py(b"\xfe\xff\x00h\x00i") == "utf-16-be"
+    # meta charset declaration, either form, any case
+    assert sniff_charset_py(b"<meta charset='ISO-8859-1'>") == "cp1252"
+    assert sniff_charset_py(
+        b"<meta http-equiv=Content-Type content='text/html; CHARSET=windows-1252'>"
+    ) == "cp1252"
+    # unknown label / no declaration -> utf-8
+    assert sniff_charset_py(b"<meta charset='klingon-9'>") == "utf-8"
+    assert sniff_charset_py(b"<html><body>plain</body></html>") == "utf-8"
+    assert sniff_charset_py(None) == "utf-8"
+
+
+def test_cp1252_page_decodes_correctly():
+    from frontier_engine.extract import extract_text_py
+
+    body = "café résumé señor".encode("cp1252")
+    page = b"<html><head><meta charset=iso-8859-1></head><body>" + body + b"</body></html>"
+    assert extract_text_py(page) == "caf\xe9 r\xe9sum\xe9 se\xf1or"
+    # the SAME bytes without the declaration mojibake under utf-8-replace —
+    # pinning that the declaration is what fixes it
+    plain = b"<html><body>" + body + b"</body></html>"
+    assert "�" in extract_text_py(plain)
+
+
+def test_undeclared_utf8_unchanged():
+    from frontier_engine.extract import extract_text_py
+
+    # the pre-charset behavior on undeclared pages is preserved bit-for-bit
+    page = "<html><body>Sữa tươi 180ml</body></html>".encode("utf-8")
+    assert extract_text_py(page) == "Sữa tươi 180ml"
