@@ -1183,6 +1183,45 @@ def q_dust_apply(spark, sf):
     )
 
 
+def q_pld_stats(spark, sf):
+    """Pay-level-domain aggregation (IRLbot budgets per PLD, not per
+    host): hosts derive from events across plain and multi-part public
+    suffixes — registrant r<user_id%20>, TLD rotating .com/.co.uk/
+    .com.vn/.io by user_id%4, subdomain ''/www./s<event_id%5>. by
+    event_id%3 — then canon.registrable_domain_col collapses every
+    subdomain of one registrant+suffix into one PLD row with distinct-
+    host and page counts. 'example.co.uk' must NOT collapse to 'co.uk';
+    the oracle re-implements the suffix rule with list slicing."""
+    from frontier_engine.canon import registrable_domain_col
+
+    e = _t(spark, sf, "events")
+    tld = (
+        F.when(F.col("user_id") % 4 == 0, F.lit(".com"))
+        .when(F.col("user_id") % 4 == 1, F.lit(".co.uk"))
+        .when(F.col("user_id") % 4 == 2, F.lit(".com.vn"))
+        .otherwise(F.lit(".io"))
+    )
+    sub = (
+        F.when(F.col("event_id") % 3 == 0, F.lit(""))
+        .when(F.col("event_id") % 3 == 1, F.lit("www."))
+        .otherwise(
+            F.concat(F.lit("s"), (F.col("event_id") % 5).cast("string"), F.lit("."))
+        )
+    )
+    host = F.concat(
+        sub, F.lit("r"), (F.col("user_id") % 20).cast("string"), tld
+    )
+    return (
+        e.select(host.alias("host"))
+        .select("host", registrable_domain_col(F.col("host")).alias("pld"))
+        .groupBy("pld")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+        )
+    )
+
+
 def q_opic(spark, sf):
     """Synchronous-batch OPIC (Abiteboul et al., WWW 2003) — the online
     crawl-importance estimate: 3 rounds of cash distribution with a
@@ -1409,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "dust_params": q_dust_params,
         "dust_apply": q_dust_apply,
+        "pld_stats": q_pld_stats,
         "opic": q_opic,
         "redirects": q_redirects,
         "surt": q_surt,
@@ -2631,6 +2671,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT before_url) AS BIGINT) AS n_before,
                    CAST(count(DISTINCT after_url) AS BIGINT) AS n_after
             FROM rw GROUP BY host
+        """,
+        "pld_stats": r"""
+            WITH hosts AS (
+                SELECT (CASE WHEN event_id % 3 = 0 THEN ''
+                             WHEN event_id % 3 = 1 THEN 'www.'
+                             ELSE 's' || CAST(event_id % 5 AS VARCHAR) || '.'
+                        END)
+                       || 'r' || CAST(user_id % 20 AS VARCHAR)
+                       || (CASE WHEN user_id % 4 = 0 THEN '.com'
+                                WHEN user_id % 4 = 1 THEN '.co.uk'
+                                WHEN user_id % 4 = 2 THEN '.com.vn'
+                                ELSE '.io' END) AS host
+                FROM events),
+            lab AS (SELECT host, string_split(host, '.') AS ls FROM hosts),
+            pld AS (
+                SELECT host,
+                       CASE WHEN len(ls) <= 2 THEN host
+                            WHEN array_to_string(ls[-2:], '.')
+                                 IN ('co.uk', 'com.vn')
+                            THEN array_to_string(ls[-3:], '.')
+                            ELSE array_to_string(ls[-2:], '.')
+                       END AS pld
+                FROM lab)
+            SELECT pld,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(count(*) AS BIGINT) AS n_pages
+            FROM pld GROUP BY pld
         """,
         "opic": r"""
             WITH e AS (

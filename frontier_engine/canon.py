@@ -315,3 +315,61 @@ def url_features_col(url: Column) -> dict[str, Column]:
         ),
         "url_len": F.length(url).cast("long"),
     }
+
+
+# PSL-lite: the common multi-part public suffixes. The full Public Suffix
+# List is a runtime data file; a crawler that can't ship it still must not
+# treat 'co.uk' as a registrable domain (IRLbot computes its STAR budgets
+# per pay-level domain for exactly this reason — Lee et al., WWW 2009 §6).
+# Curated from the PSL's highest-traffic entries; unknown suffixes fall
+# back to the last two labels, which is the PSL's own default rule.
+_MULTIPART_SUFFIXES = sorted(
+    {
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+        "com.au", "net.au", "org.au", "edu.au", "gov.au",
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+        "com.br", "net.br", "org.br", "gov.br",
+        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+        "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+        "com.mx", "com.ar", "com.tr", "com.tw", "com.hk", "com.sg",
+        "com.my", "com.ph", "com.pk", "com.eg", "com.sa", "com.ua",
+        "co.kr", "or.kr", "co.za", "co.nz", "org.nz", "net.nz",
+        "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+        "co.id", "or.id", "ac.id", "co.th", "or.th", "ac.th",
+    }
+)
+_IPV4_RE_STR = r"^\d{1,3}(\.\d{1,3}){3}$"
+_IPV4_RE = re.compile(_IPV4_RE_STR)
+
+
+def registrable_domain_py(host: str) -> str:
+    """Pay-level / registrable domain of a host: the unit crawl budgets,
+    politeness escalation and spam control aggregate over (every
+    subdomain of one registrant is one actor). Last two labels, or three
+    when the last two are a known multi-part public suffix; IPv4
+    literals and one-label hosts pass through. Python twin of
+    :func:`registrable_domain_col` (byte-parity-tested)."""
+    if not host or _IPV4_RE.match(host):
+        return host
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    if ".".join(labels[-2:]) in _MULTIPART_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def registrable_domain_col(host: Column) -> Column:
+    """Column-expression twin of :func:`registrable_domain_py`
+    (whole-stage codegen; the suffix set folds into an array literal)."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
+    multi = F.array(*[F.lit(s) for s in _MULTIPART_SUFFIXES])
+    return (
+        F.when(host.isNull() | (host == "") | host.rlike(_IPV4_RE_STR), host)
+        .when(n <= 2, host)
+        .when(F.array_contains(multi, last2), last3)
+        .otherwise(last2)
+    )

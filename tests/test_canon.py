@@ -202,3 +202,42 @@ def test_surt_spark_python_parity_property(spark, urls):
         r["s"] for r in df.select(surt_col(F.col("url")).alias("s")).collect()
     ]
     assert got == [surt_py(u) for u in canon_urls]
+
+
+def test_registrable_domain_parity_and_values(spark):
+    from frontier_engine.canon import (
+        registrable_domain_col,
+        registrable_domain_py,
+    )
+
+    cases = [
+        "www.example.com", "example.com", "a.b.c.example.co.uk",
+        "shop.example.co.uk", "example.co.uk", "co.uk", "uk",
+        "deep.sub.example.com.vn", "example.ac.jp", "only-label",
+        "192.168.10.1", "x.co.za", "www.gov.uk", "", "a.b.io",
+    ]
+    want = {
+        "www.example.com": "example.com",
+        "example.com": "example.com",
+        "a.b.c.example.co.uk": "example.co.uk",
+        "shop.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "co.uk": "co.uk",            # the bare suffix: nothing to register
+        "uk": "uk",
+        "deep.sub.example.com.vn": "example.com.vn",
+        "example.ac.jp": "example.ac.jp",
+        "only-label": "only-label",
+        "192.168.10.1": "192.168.10.1",
+        "x.co.za": "x.co.za",
+        "www.gov.uk": "www.gov.uk",  # 3 labels ending in a multipart suffix
+        "": "",
+        "a.b.io": "b.io",
+    }
+    for h in cases:
+        assert registrable_domain_py(h) == want[h], h
+    df = spark.createDataFrame([(h,) for h in cases], ["h"])
+    got = [
+        r["d"]
+        for r in df.select(registrable_domain_col(F.col("h")).alias("d")).collect()
+    ]
+    assert got == [registrable_domain_py(h) for h in cases]
