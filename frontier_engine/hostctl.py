@@ -37,6 +37,7 @@ __all__ = [
     "dust_params",
     "crawl_budget",
     "apply_dust",
+    "host_caps_from_pld",
 ]
 
 _PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
@@ -516,3 +517,29 @@ def apply_dust(
         F.length(newq) > 0, F.concat(prefix, F.lit("?"), newq)
     ).otherwise(prefix)
     return j.withColumn(url_col, rewritten).drop("_uh", "_dust_host", "_strip")
+
+
+def host_caps_from_pld(pld_budgets: DataFrame, hosts: DataFrame) -> DataFrame:
+    """Expand pay-level-domain budgets to the host-keyed cap table the
+    drain consumes: every host inherits its registrable domain's budget.
+
+    IRLbot's STAR budgets are per PLD — a spammer minting
+    ``a.spam.com … z.spam.com`` must share ONE allocation, not get a
+    fresh per-host budget each (Lee et al., WWW 2009 §6). Build the
+    census over ``registrable_domain_col(host)``, run
+    :func:`crawl_budget` on it (its ``host`` column then holds PLDs),
+    and expand here against the frontier's distinct hosts. One broadcast
+    join at host cardinality; hosts whose PLD has no budget row are
+    absent from the output (→ pure politeness budget downstream).
+    """
+    from .canon import registrable_domain_col
+
+    plds = pld_budgets.select(
+        F.col("host").alias("_pld"), F.col("budget")
+    )
+    h = hosts.select("host").distinct()
+    return (
+        h.withColumn("_hp", registrable_domain_col(F.col("host")))
+        .join(F.broadcast(plds), F.col("_hp") == F.col("_pld"))
+        .select("host", "budget")
+    )

@@ -318,3 +318,52 @@ def test_apply_dust_end_to_end_mined(spark):
     rw = hostctl.apply_dust(df, rules)
     assert rw.select("url").distinct().count() == 4  # 2 paths x 2 pages
     assert df.select("url").distinct().count() == 16
+
+
+def test_host_caps_from_pld(spark):
+    # census keyed by PLD -> budgets; every subdomain inherits its PLD's cap
+    pld_budgets = spark.createDataFrame(
+        [("spam.com", 10), ("good.co.uk", 500)], "host string, budget long"
+    )
+    hosts = spark.createDataFrame(
+        [("a.spam.com",), ("b.spam.com",), ("spam.com",),
+         ("www.good.co.uk",), ("other.io",)],
+        "host string",
+    )
+    got = {
+        r["host"]: r["budget"]
+        for r in hostctl.host_caps_from_pld(pld_budgets, hosts).collect()
+    }
+    assert got == {
+        "a.spam.com": 10,
+        "b.spam.com": 10,
+        "spam.com": 10,
+        "www.good.co.uk": 500,
+    }  # other.io absent -> politeness budget downstream
+
+
+def test_pld_budget_drains_shared_allocation(spark):
+    # end-to-end: a PLD cap feeds drain_epoch and throttles every subdomain
+    from frontier_engine.frontier import DrainConfig, drain_epoch, frontier_from_seeds
+
+    seeds = spark.createDataFrame(
+        [(f"https://{s}.spam.com/p{i}", 1.0) for s in "ab" for i in range(20)],
+        "url string, priority double",
+    )
+    fr = frontier_from_seeds(seeds)
+    robots = spark.createDataFrame(
+        [("a.spam.com", 1.0, []), ("b.spam.com", 1.0, [])],
+        "host string, crawl_delay double, disallow_prefixes array<string>",
+    )
+    caps = hostctl.host_caps_from_pld(
+        spark.createDataFrame([("spam.com", 3)], "host string, budget long"),
+        fr.select("host"),
+    )
+    res = drain_epoch(fr, robots, DrainConfig(epoch_seconds=10.0), host_budgets=caps)
+    import pyspark.sql.functions as F
+
+    per = {
+        r["host"]: r["n"]
+        for r in res.drained.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"a.spam.com": 3, "b.spam.com": 3}
