@@ -100,6 +100,14 @@ class CrawlConfig:
     budget_base: int = 1000
     budget_min: int = 10
     budget_max: int = 100000
+    # census scope: only records from the last budget_window epochs before
+    # the refresh point feed the trap census. None = full history — exact
+    # but rescans an ever-growing table; at 10^10 URLs a bounded trailing
+    # window is the production posture (recent behavior is what predicts
+    # the next epoch, and `records` is partitioned by epoch-correlated
+    # snapshots so the window prunes the scan). Still resume-deterministic:
+    # the window is a pure function of the epoch number.
+    budget_window: int | None = None
     drain: DrainConfig = field(default_factory=DrainConfig)
     seen: SeenConfig = field(default_factory=SeenConfig)
 
@@ -243,13 +251,19 @@ def run_crawl(
                 if hist is not None:
                     if host_caps is not None:
                         host_caps.unpersist()
-                    # census over epochs strictly before the refresh point:
-                    # the cutoff is a pure function of the epoch number, so
+                    # census over epochs strictly before the refresh point
+                    # (optionally only the trailing budget_window of them):
+                    # both bounds are pure functions of the epoch number, so
                     # a resumed crawl rebuilds the same caps from the same
                     # committed rows
+                    in_scope = F.col("epoch") < cutoff
+                    if cfg.budget_window is not None:
+                        in_scope = in_scope & (
+                            F.col("epoch") >= cutoff - cfg.budget_window
+                        )
                     host_caps = crawl_budget(
                         trap_census(
-                            hist.filter(F.col("epoch") < cutoff).select(
+                            hist.filter(in_scope).select(
                                 "host", "url", F.col("text").alias("content")
                             )
                         ),

@@ -115,3 +115,31 @@ def test_budget_run_is_deterministic(spark, tmp_path):
         )
         shas.append(sorted((r["epoch"], r["host"], r["slot"], r["url"]) for r in rows))
     assert shas[0] == shas[1] and len(shas[0]) > 0
+
+
+def test_budget_window_bounds_census(spark, tmp_path):
+    """With a 1-epoch trailing window, the census forgets old evidence:
+    a trap host that stops minting duplicate URLs earns its budget back
+    once the offending epochs age out of the window."""
+    pages, seeds, robots = _write_corpus(spark, str(tmp_path / "corpus"))
+    cfg = CrawlConfig(
+        max_depth=0,
+        max_epochs=4,
+        max_fetch_attempts=1,
+        budget_every=1,
+        budget_min=5,
+        budget_window=1,
+        drain=DrainConfig(epoch_seconds=20.0),
+        seen=SeenConfig(n_buckets=8, bits_per_bucket=1 << 14),
+    )
+    run_crawl(spark, pages, seeds, robots, str(tmp_path / "whw"), cfg)
+    per = _per_epoch_host_counts(spark, str(tmp_path / "whw"))
+    # epoch 1: census over epoch 0 (20 trap urls, 1 content) -> demoted
+    assert per[(0, "trap.example")] == 20
+    assert per[(1, "trap.example")] == 5
+    # epoch 2: census over epoch 1 only — 5 urls < min_urls evidence floor,
+    # so the trap flag drops and content yield over 5/1 gives base*1/5=200
+    # -> politeness budget (20) applies again: probation, not a ban
+    assert per[(2, "trap.example")] == 20
+    # clean host unaffected throughout
+    assert per[(0, "clean.example")] == 20 and per[(1, "clean.example")] == 20
