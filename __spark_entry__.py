@@ -1034,6 +1034,45 @@ def q_mirror_hosts(spark, sf):
     )
 
 
+def q_mirror_families(spark, sf):
+    """Mirror replica selection: the pairwise mirror table (same derived
+    pages as q_mirror_hosts) grouped into families by connected
+    components over STRING host vertices, canonical = lexicographic min
+    per family — the 'crawl one replica' decision Bharat & Broder's
+    detector exists to feed. The oracle closes the pair graph with a
+    recursive reachability CTE and takes min reachable host."""
+    from frontier_engine import hostctl
+
+    d = _t(spark, sf, "documents")
+    tens = F.expr("doc_id div 10")
+    content = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("boiler"))
+        .when(
+            (F.col("doc_id") % 10).isin(3, 8),
+            F.concat(F.lit("shared:"), (tens % 4).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 2,
+            F.concat(F.lit("part:"), (tens % 6).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 7,
+            F.concat(F.lit("part:"), (tens % 8).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+    )
+    pages = d.select(
+        F.concat(F.lit("m"), (F.col("doc_id") % 10).cast("string")).alias(
+            "host"
+        ),
+        content.alias("content"),
+    )
+    pairs = hostctl.mirror_hosts(
+        pages, min_overlap=2, min_jaccard=0.5, max_fp_hosts=4
+    )
+    return hostctl.mirror_families(pairs)
+
+
 def q_politeness_audit(spark, sf):
     """Politeness-compliance audit over an observed fetch log — the
     operational twin of the T1 scheduler: per-host inter-fetch gaps vs
@@ -1444,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "trap_detection": q_trap_detection,
         "mirror_hosts": q_mirror_hosts,
+        "mirror_families": q_mirror_families,
         "politeness_audit": q_politeness_audit,
         "crawl_budget": q_crawl_budget,
         "dust_params": q_dust_params,
@@ -2451,6 +2491,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON ov.host_b = sb.host
             WHERE overlap >= 2
               AND overlap / (sa.n + sb.n - overlap) >= 0.5
+        """,
+        "mirror_families": r"""
+            WITH RECURSIVE pages AS (
+                SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) AS host,
+                       CASE WHEN doc_id % 7 = 0 THEN 'boiler'
+                            WHEN doc_id % 10 IN (3, 8)
+                            THEN 'shared:' || CAST((doc_id // 10) % 4 AS VARCHAR)
+                            WHEN doc_id % 10 = 2
+                            THEN 'part:' || CAST((doc_id // 10) % 6 AS VARCHAR)
+                            WHEN doc_id % 10 = 7
+                            THEN 'part:' || CAST((doc_id // 10) % 8 AS VARCHAR)
+                            ELSE 'doc:' || CAST(doc_id AS VARCHAR)
+                       END AS content
+                FROM documents),
+            fp AS (SELECT DISTINCT host, content FROM pages),
+            rare AS (
+                SELECT host, content FROM fp
+                WHERE content IN (
+                    SELECT content FROM fp
+                    GROUP BY content HAVING count(*) <= 4)),
+            sizes AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n
+                FROM rare GROUP BY host),
+            ov AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       CAST(count(*) AS BIGINT) AS overlap
+                FROM rare a JOIN rare b
+                  ON a.content = b.content AND a.host < b.host
+                GROUP BY a.host, b.host),
+            pairs AS (
+                SELECT host_a, host_b
+                FROM ov
+                JOIN sizes sa ON ov.host_a = sa.host
+                JOIN sizes sb ON ov.host_b = sb.host
+                WHERE overlap >= 2
+                  AND overlap / (sa.n + sb.n - overlap) >= 0.5),
+            und AS (
+                SELECT host_a AS src, host_b AS dst FROM pairs
+                UNION
+                SELECT host_b, host_a FROM pairs),
+            reach AS (
+                SELECT src AS v, src AS r FROM und
+                UNION
+                SELECT reach.v, u.dst FROM reach JOIN und u ON reach.r = u.src)
+            SELECT v AS host, min(r) AS canonical
+            FROM reach GROUP BY v
         """,
         "politeness_audit": r"""
             WITH log AS (

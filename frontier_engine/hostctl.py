@@ -38,6 +38,7 @@ __all__ = [
     "crawl_budget",
     "apply_dust",
     "host_caps_from_pld",
+    "mirror_families",
 ]
 
 _PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
@@ -543,3 +544,29 @@ def host_caps_from_pld(pld_budgets: DataFrame, hosts: DataFrame) -> DataFrame:
         .join(F.broadcast(plds), F.col("_hp") == F.col("_pld"))
         .select("host", "budget")
     )
+
+
+def mirror_families(
+    pairs: DataFrame,
+    host_a: str = "host_a",
+    host_b: str = "host_b",
+) -> DataFrame:
+    """Mirror pairs → replica families with a canonical pick: the step
+    that turns :func:`mirror_hosts`' pairwise output into action. A
+    crawl keeps ONE replica per family (Bharat & Broder's stated use)
+    — everything else goes to the frontier's blocklist anti-join (F2).
+
+    Families are connected components over the pair graph
+    (:func:`frontier_engine.textops.connected_components` with string
+    vertices); ``canonical`` = the lexicographically smallest host in
+    the family (deterministic on any engine — no hash involved).
+    Returns ``(host, canonical)`` for every host that appears in a
+    pair; ``host != canonical`` is the drop set.
+    """
+    from .textops import connected_components
+
+    labels = connected_components(
+        pairs.select(host_a, host_b), id_a=host_a, id_b=host_b,
+        id_type="string",
+    )
+    return labels.select(F.col("v").alias("host"), F.col("label").alias("canonical"))

@@ -642,6 +642,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 30,
+    id_type: str = "long",
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs: the step that
     turns pairwise dedup output into CLUSTERS so a pipeline can pick one
@@ -663,7 +664,9 @@ def connected_components(
     convergence probe is a count, not a collect. Raises after
     ``max_iters`` rounds rather than looping forever on bad input.
     """
-    a, b = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    # id_type: any orderable Spark type — "long" for doc ids, "string"
+    # for host names (hash-min degenerates to lexicographic-min labels)
+    a, b = F.col(id_a).cast(id_type), F.col(id_b).cast(id_type)
     und = (
         edges.select(a.alias("src"), b.alias("dst"))
         .union(edges.select(b.alias("src"), a.alias("dst")))

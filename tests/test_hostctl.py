@@ -367,3 +367,26 @@ def test_pld_budget_drains_shared_allocation(spark):
         for r in res.drained.groupBy("host").agg(F.count("*").alias("n")).collect()
     }
     assert per == {"a.spam.com": 3, "b.spam.com": 3}
+
+
+def test_mirror_families_canonical_pick(spark):
+    pairs = spark.createDataFrame(
+        # family 1: chain b—a, b—c (transitive); family 2: y—z
+        [("b.example", "a.example"), ("b.example", "c.example"),
+         ("z.example", "y.example")],
+        "host_a string, host_b string",
+    )
+    fam = {
+        r["host"]: r["canonical"]
+        for r in hostctl.mirror_families(pairs).collect()
+    }
+    assert fam == {
+        "a.example": "a.example",
+        "b.example": "a.example",
+        "c.example": "a.example",
+        "y.example": "y.example",
+        "z.example": "y.example",
+    }
+    # the drop set feeds the frontier blocklist: everything non-canonical
+    drop = {h for h, c in fam.items() if h != c}
+    assert drop == {"b.example", "c.example", "z.example"}
