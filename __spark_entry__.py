@@ -1425,6 +1425,101 @@ def q_anchor_stats(spark, sf):
     return GR.anchor_stats(edges, k=2)
 
 
+BM25_TERMS = ["filter", "hash", "query"]
+
+
+def q_bm25_search(spark, sf):
+    """BM25 ranked retrieval over term-frequency postings (index.tf_postings
+    + index.bm25): the full-text ranking upgrade of the reference's
+    websearch_to_tsquery lookup (init.sql:149-156). Corpus stats and the
+    per-term idf table are broadcast; only isin-filtered candidate
+    postings flow through the scoring join. Scores round to 6 decimals
+    (the per-doc sum folds 3 doubles — cross-engine drift ≤ ulps)."""
+    from frontier_engine import index as IX
+
+    d = _t(spark, sf, "documents")
+    tf = IX.tf_postings(d, n=1)
+    out = IX.bm25(tf, BM25_TERMS, k1=1.2, b=0.75)
+    return out.select("doc_id", "n_terms", F.round("score", 6).alias("score"))
+
+
+_MIME_PREFIX_HEX = [
+    "89504E470D0A1A0A",          # PNG magic
+    "FFD8FFE000104A464946",      # JPEG SOI + APP0/JFIF
+    "474946383961",              # GIF89a
+    "52494646DEADBEEF57415645",  # RIFF <size> WAVE
+    "000000186674797069736F6D",  # MP4: [size] ftyp isom
+    "424DDEADBEEF",              # BMP
+    "255044462D312E37",          # %PDF-1.7
+    "1F8B08",                    # gzip
+    "3C21444F43545950452068746D6C3E",  # <!DOCTYPE html>
+    "",                          # bare text -> octet-stream
+]
+
+
+def q_mime_sniff(spark, sf):
+    """Content-type triage by magic bytes (multimodal.sniff_mime_col): the
+    expression-only CASE a crawler runs on every fetched body before
+    routing to the right decode path. Payloads plant a rotating real
+    signature prefix (doc_id % 10: PNG/JPEG/GIF/WAV-in-RIFF/MP4-ftyp/BMP/
+    PDF/gzip/HTML/none) ahead of the document's own bytes, so every probe
+    offset — including the RIFF inner fourcc at offset 9 and ftyp at
+    offset 5 — is exercised and hash-checked against the same CASE over
+    hex(payload) in DuckDB."""
+    d = _t(spark, sf, "documents")
+    prefixes = F.array(*[F.lit(h) for h in _MIME_PREFIX_HEX])
+    payload = F.concat(
+        F.unhex(F.element_at(prefixes, (F.col("doc_id") % 10 + 1).cast("int"))),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    return d.select(
+        "doc_id", MM.sniff_mime_col(payload).alias("mime")
+    )
+
+
+def q_char_entropy(spark, sf):
+    """Character-entropy gibberish signal (textops.char_entropy): Shannon
+    entropy of the codepoint distribution per document via one vectorized
+    np.unique pass per Arrow batch — 3 scalars/doc out, no corpus-char
+    explode. n_chars/n_distinct_chars are exact integers (a strong gate on
+    the distribution itself); entropy_bits rounds to 6 decimals (libm
+    log2 agrees cross-engine to ulps)."""
+    d = _t(spark, sf, "documents")
+    out = TX.char_entropy(d)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+    )
+
+
+def q_degree_hist(spark, sf):
+    """Link-graph degree distribution (graph.degree_hist): floor(log2(deg))
+    histogram per direction — the power-law census over the same
+    events-derived edge set as link_census (null dst = unparseable target,
+    excluded). Integer-exact: the bucket is BIGINT bit length, no libm."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("src"),
+        F.when(
+            F.col("event_id") % 11 != 0,
+            F.concat(F.lit("h"), (F.col("event_id") % 23).cast("string")),
+        ).alias("dst"),
+    )
+    return GR.degree_hist(edges)
+
+
+def q_vocab_coverage(spark, sf):
+    """Vocabulary-fit census (textops.vocab_coverage): per-doc OOV rate
+    against the corpus' own top-10 token vocabulary (count DESC, token ASC
+    tie-break → deterministic). Vocabulary derived once and broadcast;
+    oov_rate is one integer division in float64 — bit-identical, no
+    rounding needed."""
+    d = _t(spark, sf, "documents")
+    return TX.vocab_coverage(d, vocab_size=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -1496,6 +1591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "link_census": q_link_census,
         "anchor_stats": q_anchor_stats,
+        "bm25_search": q_bm25_search,
+        "mime_sniff": q_mime_sniff,
+        "char_entropy": q_char_entropy,
+        "degree_hist": q_degree_hist,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -2993,5 +3093,108 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.9) AS p90_chars,
                    CAST(max(n_chars) AS BIGINT) AS max_chars
             FROM documents GROUP BY lang
+        """,
+        "bm25_search": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS ngram FROM documents),
+            tf AS (SELECT doc_id, ngram, CAST(count(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, ngram),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                             avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            hits AS (SELECT * FROM tf
+                     WHERE ngram IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})),
+            dfq AS (SELECT ngram, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                    FROM hits GROUP BY ngram),
+            idf AS (SELECT ngram,
+                           ln(CAST(1.0 AS DOUBLE)
+                              + (s.n_docs - df + CAST(0.5 AS DOUBLE))
+                                / (df + CAST(0.5 AS DOUBLE))) AS idf
+                    FROM dfq, stats s),
+            scored AS (SELECT h.doc_id,
+                              i.idf * (CAST(h.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                              / (CAST(h.tf AS DOUBLE)
+                                 + CAST(1.2 AS DOUBLE)
+                                   * (CAST(0.25 AS DOUBLE)
+                                      + CAST(0.75 AS DOUBLE)
+                                        * CAST(dl.dl AS DOUBLE) / s.avgdl)) AS contrib
+                       FROM hits h
+                       JOIN dl USING (doc_id)
+                       JOIN idf i ON i.ngram = h.ngram, stats s)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(sum(contrib), 6) AS score
+            FROM scored GROUP BY doc_id
+        """,
+        "mime_sniff": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       hex(from_hex(([{", ".join(f"'{h}'" for h in _MIME_PREFIX_HEX)}])[CAST(doc_id % 10 + 1 AS INT)])
+                           || encode(text)) AS hx
+                FROM documents)
+            SELECT doc_id, CASE
+                WHEN substring(hx, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+                WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+                WHEN substring(hx, 1, 12) IN ('474946383761', '474946383961')
+                     THEN 'image/gif'
+                WHEN substring(hx, 1, 8) = '52494646'
+                     AND substring(hx, 17, 8) = '57415645' THEN 'audio/x-wav'
+                WHEN substring(hx, 1, 8) = '52494646'
+                     AND substring(hx, 17, 8) = '41564920' THEN 'video/x-msvideo'
+                WHEN substring(hx, 9, 8) = '66747970' THEN 'video/mp4'
+                WHEN substring(hx, 1, 4) = '424D' THEN 'image/bmp'
+                WHEN substring(hx, 1, 8) = '25504446' THEN 'application/pdf'
+                WHEN substring(hx, 1, 4) = '1F8B' THEN 'application/gzip'
+                WHEN substring(hx, 1, 8) = '504B0304' THEN 'application/zip'
+                WHEN substring(hx, 1, 16) = '3C21444F43545950'
+                     OR substring(hx, 1, 10) IN ('3C68746D6C', '3C48544D4C')
+                     THEN 'text/html'
+                ELSE 'application/octet-stream' END AS mime
+            FROM p
+        """,
+        "char_entropy": r"""
+            WITH c AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents),
+            cnt AS (
+                SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+                FROM c GROUP BY doc_id, ch),
+            agg AS (
+                SELECT doc_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS d,
+                       sum(c * log2(c)) AS s
+                FROM cnt GROUP BY doc_id)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                   d AS n_distinct_chars,
+                   round(log2(n) - s / n, 6) AS entropy_bits
+            FROM agg
+        """,
+        "degree_hist": r"""
+            WITH e AS (
+                SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS src,
+                       CASE WHEN event_id % 11 <> 0
+                            THEN 'h' || CAST(event_id % 23 AS VARCHAR) END AS dst
+                FROM events),
+            o AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src),
+            i AS (SELECT dst AS node, count(*) AS degree FROM e
+                  WHERE dst IS NOT NULL GROUP BY dst)
+            SELECT 'out' AS direction,
+                   CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM o GROUP BY bucket
+            UNION ALL
+            SELECT 'in', CAST(length(bin(degree)) - 1 AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM i GROUP BY CAST(length(bin(degree)) - 1 AS BIGINT)
+        """,
+        "vocab_coverage": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            v AS (SELECT token FROM (
+                      SELECT token, count(*) AS n FROM t GROUP BY token)
+                  ORDER BY n DESC, token ASC LIMIT 10),
+            j AS (SELECT t.doc_id,
+                         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+                  FROM t LEFT JOIN v ON v.token = t.token)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(oov) AS BIGINT) AS n_oov,
+                   CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+            FROM j GROUP BY doc_id
         """,
     }

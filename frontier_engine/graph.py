@@ -493,3 +493,36 @@ def opic(
             weighted.unpersist()
     finally:
         e.unpersist()
+
+
+def degree_hist(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Web-graph degree distribution: ``(direction, bucket, n_nodes)`` where
+    ``bucket = floor(log2(degree))`` — the power-law census (Broder et al.
+    2000 report web in/out degrees as Zipfian; a crawl whose histogram
+    bends away from the expected slope has a frontier bias or a trap).
+
+    Exact integer arithmetic throughout: the bucket is
+    ``length(bin(degree)) − 1`` (BIGINT bit length, no libm), so the
+    output hashes identically in any engine. Two map-side-combined
+    aggregates per direction — first at node cardinality, then at bucket
+    cardinality (≤ 64 rows per direction); nothing is sorted and nothing
+    corpus-sized shuffles twice."""
+
+    def hist(col: str, direction: str) -> DataFrame:
+        deg = (
+            edges.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        return (
+            deg.select(
+                (F.length(F.bin(F.col("degree"))) - 1).cast("long").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .select(F.lit(direction).alias("direction"), "bucket", "n_nodes")
+        )
+
+    return hist(src, "out").unionByName(hist(dst, "in"))

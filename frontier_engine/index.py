@@ -136,3 +136,96 @@ def match_counts(postings: DataFrame, terms: list[str]) -> DataFrame:
     reference's ``websearch_to_tsquery`` lookup (init.sql:149-156)."""
     hits = postings.filter(F.col("ngram").isin(terms))
     return hits.groupBy("doc_id").agg(F.countDistinct("ngram").alias("n_terms"))
+
+
+def tf_postings(
+    docs: DataFrame,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term-FREQUENCY postings ``(doc_id, ngram, tf)`` — the ranked-retrieval
+    companion to :func:`build_postings` (which is presence-only). One
+    explode of the token n-gram stream followed by one map-side-combined
+    count; nothing but (doc, term, count) triples ever shuffles, so the
+    build cost is bounded by corpus token volume, not corpus bytes."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_ngrams_col(F.col(text_col), n)).alias("ngram"),
+    )
+    return exploded.groupBy("doc_id", "ngram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25(
+    postings_tf: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009) over tf postings:
+    ``(doc_id, n_terms, score)`` for every document matching at least one
+    query term, ``score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``
+    with the Lucene idf ``ln(1 + (N−df+0.5)/(df+0.5))`` (always ≥ 0).
+
+    Scale shape: document lengths and the corpus stats (N, avgdl) are ONE
+    map-side-combined aggregate over the postings; the per-term df/idf
+    table is query-term-sized and broadcast; the candidate set is the
+    isin-filtered postings (index-pruned when the postings come from the
+    :func:`write_index` layout — the filter is a pushed-down ngram
+    predicate). The candidates ⋈ doc-length join shuffles on doc_id at
+    query-RESULT cardinality (AQE broadcasts the candidate side when the
+    result set is small), never at corpus cardinality.
+
+    Float determinism: per-(doc, term) contributions are pure IEEE scalar
+    ops, identical in any engine; the final per-doc sum folds ≤ len(terms)
+    doubles, so cross-engine addition-order drift is ≤ a few ulps — round
+    the score for hash-stable comparisons (the `bm25_search` query rounds
+    to 6 decimals)."""
+    dl = postings_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = postings_tf.filter(F.col("ngram").isin(terms))
+    dfq = hits.groupBy("ngram").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    # query-term-sized: broadcast the idf table (and the 1-row stats)
+    idf = (
+        dfq.crossJoin(F.broadcast(stats))
+        .select(
+            "ngram",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        hits.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), "ngram")
+        .select(
+            "doc_id",
+            "ngram",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("contrib").alias("score"),
+    )

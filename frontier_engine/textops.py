@@ -1631,3 +1631,136 @@ def corpus_stats(
             F.max("nch").cast("long").alias("max_chars"),
         )
     )
+
+
+# ------------------------------------------------- char entropy (gibberish)
+
+
+def char_entropy_udf():
+    """Arrow-batched pandas UDF: text → struct(n_chars, n_distinct_chars,
+    entropy_bits). Shannon entropy of the codepoint distribution — the
+    classic gibberish / binary-junk / keyboard-mash signal (low entropy =
+    repeated filler, high entropy ≈ random bytes; natural language sits in
+    a narrow band, so both tails are drop candidates in a web-text
+    pipeline, cf. the C4/Gopher heuristic filter families).
+
+    Per doc the distribution is computed by ONE vectorized
+    ``np.unique(counts)`` over the UTF-32 codepoint view — no per-char
+    Python loop, no corpus-char-sized explode/shuffle (the expression-only
+    alternative shuffles every character of every document; this streams
+    each Arrow batch once and emits 3 scalars/doc). ``entropy_bits`` is
+    ``log2(n) − Σ c·log2(c) / n`` in float64: pure libm — cross-engine
+    agreement is within a few ulps, so hash-stable consumers round (the
+    `char_entropy` query rounds to 6 decimals)."""
+    schema = T.StructType(
+        [
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_distinct_chars", T.LongType()),
+            T.StructField("entropy_bits", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _entropy(texts: pd.Series) -> pd.DataFrame:
+        n_out, d_out, h_out = [], [], []
+        for s in texts:
+            if s is None or len(s) == 0:
+                n_out.append(0)
+                d_out.append(0)
+                h_out.append(0.0)
+                continue
+            cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            _, counts = np.unique(cps, return_counts=True)
+            n = float(cps.size)
+            c = counts.astype(np.float64)
+            h = np.log2(n) - float((c * np.log2(c)).sum()) / n
+            n_out.append(int(cps.size))
+            d_out.append(int(counts.size))
+            h_out.append(float(h))
+        return pd.DataFrame(
+            {"n_chars": n_out, "n_distinct_chars": d_out, "entropy_bits": h_out}
+        )
+
+    return _entropy
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, entropy_bits) per document."""
+    s = df.select(
+        F.col(id_col).alias("doc_id"),
+        char_entropy_udf()(F.col(text_col)).alias("s"),
+    )
+    return s.select("doc_id", "s.n_chars", "s.n_distinct_chars", "s.entropy_bits")
+
+
+# ------------------------------------------------- vocabulary coverage / OOV
+
+
+def vocab_topk(
+    df: DataFrame, vocab_size: int, text_col: str = "text"
+) -> DataFrame:
+    """The corpus' top-``vocab_size`` whitespace tokens by frequency
+    (count DESC, token ASC tie-break → deterministic at any parallelism).
+    One token explode + map-side-combined count at vocabulary cardinality,
+    then a global ``orderBy().limit()`` — Spark plans that as TakeOrdered
+    (per-partition top-k, merged on the driver), NOT a single-partition
+    sort of the vocabulary."""
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) >= 1,
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(
+        vocab_size
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus' own top-V
+    token vocabulary: ``(doc_id, n_tokens, n_oov, oov_rate)`` — the
+    tokenizer-fit / OOV-rate census run before committing a vocabulary to
+    a pretraining corpus (a high OOV tail = wrong tokenizer or wrong
+    corpus slice). ``oov_rate`` is ONE integer division in float64 —
+    bit-identical in any engine.
+
+    Scale shape: the vocabulary is derived once (:func:`vocab_topk`,
+    vocabulary-cardinality dataflow) and broadcast; the per-doc pass is
+    one token explode + a broadcast left join + one map-side-combined
+    aggregate at document cardinality. Nothing corpus-sized is ever
+    sorted."""
+    vocab = vocab_topk(df, vocab_size, text_col=text_col)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) >= 1,
+            )
+        ).alias("token"),
+    )
+    tagged = toks.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("_inv"))),
+        "token",
+        "left",
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        (
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )

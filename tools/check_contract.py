@@ -73,11 +73,19 @@ def compare(sf_dir: str, only: list[str] | None = None, spark=None) -> int:
             print(f"FAIL {name}: columns {scols} vs {dcols}")
             failures += 1
             continue
+        # None-safe sort: SQL NULLs surface as Python None, which has no
+        # ordering vs str/int — key each value as (is_null, value) so NULL
+        # rows sort last within equal prefixes instead of raising
+        def _key(t):
+            return tuple((v is None, v) for v in t)
+
         s_set = sorted(
-            tuple(_norm(row[c]) for c in scols) for row in srows
+            (tuple(_norm(row[c]) for c in scols) for row in srows), key=_key
         )
         d_pylist = ddf.to_pylist()
-        d_set = sorted(tuple(_norm(r[c]) for c in dcols) for r in d_pylist)
+        d_set = sorted(
+            (tuple(_norm(r[c]) for c in dcols) for r in d_pylist), key=_key
+        )
         if len(s_set) != len(d_set):
             print(f"FAIL {name}: rowcount {len(s_set)} vs {len(d_set)}")
             failures += 1
