@@ -1510,6 +1510,54 @@ def q_degree_hist(spark, sf):
     return GR.degree_hist(edges)
 
 
+BPE_MERGES = [
+    # rank-ordered; includes a 3-deep cascade (h+a -> ha+s -> has+h) so the
+    # oracle's replace chain must fire in exactly this order to match
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+    ("t", "a"), ("b", "a"), ("l", "e"),
+]
+
+
+def q_bpe_encode(spark, sf):
+    """BPE tokenizer APPLICATION (textops.bpe_token_counts — the apply half
+    of the bpe_pairs training statistic): per-doc word and BPE-token
+    accounting under a rank-ordered merge list. Vocabulary-first: the
+    merge loop runs per DISTINCT word; the token stream only ever sees an
+    integer join-back. The DuckDB oracle recomputes the identical
+    semantics as a chain of delimited string replaces, so merge ORDER
+    (incl. the 3-deep cascade) is inside the hash check. Exact integers —
+    no rounding."""
+    d = _t(spark, sf, "documents")
+    return TX.bpe_token_counts(d, BPE_MERGES)
+
+
+def _bpe_oracle_sql() -> str:
+    """Delimited-replace-chain twin of textops.bpe_encode_word: each word
+    becomes <c><c>...<c> and each merge (l, r) in rank order is ONE
+    replace('<l><r>' -> '<lr>') — non-overlapping left-to-right in both
+    engines; token count = number of '<' delimiters left."""
+    expr = (
+        "array_to_string(list_transform(string_split(word, ''),"
+        " c -> '<' || c || '>'), '')"
+    )
+    for left, right in BPE_MERGES:
+        expr = f"replace({expr}, '<{left}><{right}>', '<{left}{right}>')"
+    return f"""
+            WITH w AS (
+                SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+            enc AS (
+                SELECT doc_id, {expr} AS s FROM w),
+            tok AS (
+                SELECT doc_id,
+                       CAST(len(s) - len(replace(s, '<', '')) AS BIGINT) AS n_tok
+                FROM enc)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+            FROM tok GROUP BY doc_id
+        """
+
+
 def q_vocab_coverage(spark, sf):
     """Vocabulary-fit census (textops.vocab_coverage): per-doc OOV rate
     against the corpus' own top-10 token vocabulary (count DESC, token ASC
@@ -1596,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "degree_hist": q_degree_hist,
         "vocab_coverage": q_vocab_coverage,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -3197,4 +3246,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
             FROM j GROUP BY doc_id
         """,
+        "bpe_encode": _bpe_oracle_sql(),
     }

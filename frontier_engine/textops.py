@@ -1764,3 +1764,70 @@ def vocab_coverage(
             / F.count(F.lit(1)).cast("double")
         ).alias("oov_rate"),
     )
+
+
+# ------------------------------------------------- BPE tokenizer application
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference semantics for BPE application (Sennrich et al. 2016 apply
+    step, rank-order variant): start from the codepoint sequence; for each
+    merge ``(left, right)`` in rank order, fuse all non-overlapping
+    left-to-right adjacent occurrences. Deterministic, total, and exactly
+    reproducible as a chain of delimited string ``replace``s — which is
+    how the DuckDB oracle recomputes it."""
+    seq = list(word)
+    for left, right in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge list and account tokens per document:
+    ``(doc_id, n_words, n_bpe_tokens)`` — the tokenizer-application half of
+    the BPE story (:func:`bpe_pair_counts` is the training half), i.e. the
+    "how many tokens is this corpus under this tokenizer" pass every
+    pretraining-data budget starts from.
+
+    Vocabulary-first, like the trainer: the corpus aggregates to
+    ``(doc_id, word, count)`` once (map-side combined), the merge loop runs
+    per DISTINCT word (vocabulary cardinality — the expensive Python work
+    never touches the token stream), and the per-word token counts join
+    back by word (AQE broadcasts the vocabulary side when small). Exact
+    integers throughout — hash-stable with no rounding."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) >= 1
+    )
+    wc = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = wc.select("word").distinct()
+
+    merges_local = [tuple(m) for m in merges]
+
+    @F.pandas_udf(T.LongType())
+    def _ntok(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: len(bpe_encode_word(w, merges_local)))
+
+    vtok = vocab.select("word", _ntok(F.col("word")).alias("n_tok"))
+    joined = wc.join(vtok, "word")
+    return joined.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(F.col("n") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"),
+    )

@@ -179,3 +179,36 @@ class TestVocabCoverage:
             toks = text.lower().split()
             oov = sum(1 for t in toks if t not in vocab)
             assert got[i] == (len(toks), oov, pytest.approx(oov / len(toks)))
+
+
+class TestBpeApply:
+    MERGES = [("a", "b"), ("ab", "c"), ("x", "x")]
+
+    def test_reference_semantics(self):
+        from frontier_engine.textops import bpe_encode_word
+
+        assert bpe_encode_word("abc", self.MERGES) == ["abc"]
+        # cascade requires rank order: a+b first, then ab+c
+        assert bpe_encode_word("abcabc", self.MERGES) == ["abc", "abc"]
+        # non-overlapping left-to-right: xxx -> [xx, x], xxxx -> [xx, xx]
+        assert bpe_encode_word("xxx", self.MERGES) == ["xx", "x"]
+        assert bpe_encode_word("xxxx", self.MERGES) == ["xx", "xx"]
+        # merge never fires across a prior merge's output boundary
+        assert bpe_encode_word("acb", self.MERGES) == ["a", "c", "b"]
+        assert bpe_encode_word("", self.MERGES) == []
+
+    def test_token_counts(self, spark):
+        from frontier_engine.textops import bpe_encode_word, bpe_token_counts
+
+        docs = [(0, "abc xxx abc"), (1, "zzz"), (2, "ab AB xXxX")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_token_counts(df, self.MERGES).collect()
+        }
+        for i, text in docs:
+            words = text.lower().split()
+            want = sum(len(bpe_encode_word(w, self.MERGES)) for w in words)
+            assert got[i] == (len(words), want), (i, got[i])
+        assert got[0] == (3, 4)  # abc=1, xxx=2, abc=1
+        assert got[2] == (3, 4)  # lowercased: ab=1, ab=1, xxxx->[xx,xx]=2
