@@ -148,11 +148,24 @@ def tf_postings(
     companion to :func:`build_postings` (which is presence-only). One
     explode of the token n-gram stream followed by one map-side-combined
     count; nothing but (doc, term, count) triples ever shuffles, so the
-    build cost is bounded by corpus token volume, not corpus bytes."""
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_ngrams_col(F.col(text_col), n)).alias("ngram"),
-    )
+    build cost is bounded by corpus token volume, not corpus bytes.
+
+    The unigram path deliberately avoids higher-order-function lambdas
+    (explode + row filter instead of ``F.filter(arr, lambda ...)``):
+    lambda variables get fresh IDs per invocation, which defeats plan
+    canonicalization — and with it ``ReusedExchange`` — so a consumer
+    that branches over these postings (e.g. :func:`bm25`) would rescan
+    and re-aggregate the corpus once per branch."""
+    if n == 1:
+        exploded = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("ngram"),
+        ).filter(F.length("ngram") >= 1)
+    else:
+        exploded = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(token_ngrams_col(F.col(text_col), n)).alias("ngram"),
+        )
     return exploded.groupBy("doc_id", "ngram").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -169,31 +182,40 @@ def bm25(
     query term, ``score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``
     with the Lucene idf ``ln(1 + (N−df+0.5)/(df+0.5))`` (always ≥ 0).
 
-    Scale shape: document lengths and the corpus stats (N, avgdl) are ONE
-    map-side-combined aggregate over the postings; the per-term df/idf
-    table is query-term-sized and broadcast; the candidate set is the
-    isin-filtered postings (index-pruned when the postings come from the
-    :func:`write_index` layout — the filter is a pushed-down ngram
-    predicate). The candidates ⋈ doc-length join shuffles on doc_id at
-    query-RESULT cardinality (AQE broadcasts the candidate side when the
-    result set is small), never at corpus cardinality.
+    Scale shape: ONE per-doc aggregate builds both the document length and
+    the matched-term array (``collect_list`` skips the NULLs the isin
+    filter leaves, so the array is query-term-bounded, never
+    vocabulary-sized) — candidates are never joined back against a
+    doc-cardinality length table. The corpus stats (N, avgdl) and the
+    per-term idf table collapse to broadcast single-row/map literals; the
+    score is a fold over the per-doc hits array, so after the two corpus
+    aggregates (tf, per-doc) NOTHING shuffles at all. The shared postings
+    subtree is canonicalization-stable (see :func:`tf_postings`), so the
+    stats/df branches collapse to ``ReusedExchange`` instead of rescanning
+    the corpus.
 
     Float determinism: per-(doc, term) contributions are pure IEEE scalar
-    ops, identical in any engine; the final per-doc sum folds ≤ len(terms)
+    ops, identical in any engine; the final per-doc fold adds ≤ len(terms)
     doubles, so cross-engine addition-order drift is ≤ a few ulps — round
     the score for hash-stable comparisons (the `bm25_search` query rounds
     to 6 decimals)."""
-    dl = postings_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
+    perdoc = postings_tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"),
+        F.collect_list(
+            F.when(F.col("ngram").isin(terms), F.struct("ngram", "tf"))
+        ).alias("hits"),
+    )
+    stats = perdoc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    hits = postings_tf.filter(F.col("ngram").isin(terms))
-    dfq = hits.groupBy("ngram").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
+    dfq = (
+        perdoc.select(F.explode("hits").alias("h"))
+        .groupBy(F.col("h.ngram").alias("ngram"))
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
     )
-    # query-term-sized: broadcast the idf table (and the 1-row stats)
-    idf = (
+    # query-term-sized: fold the idf table into ONE broadcast map row
+    idfmap = (
         dfq.crossJoin(F.broadcast(stats))
         .select(
             "ngram",
@@ -203,29 +225,33 @@ def bm25(
                 / (F.col("df") + F.lit(0.5))
             ).alias("idf"),
         )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("ngram", "idf"))
+            ).alias("idfmap")
+        )
     )
-    scored = (
-        hits.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(idf), "ngram")
+    matched = perdoc.filter(F.size("hits") > 0)
+    return (
+        matched.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(idfmap))
         .select(
             "doc_id",
-            "ngram",
-            (
-                F.col("idf")
-                * (F.col("tf") * F.lit(k1 + 1.0))
+            F.size("hits").cast("long").alias("n_terms"),
+            F.aggregate(
+                "hits",
+                F.lit(0.0),
+                lambda acc, h: acc
+                + F.col("idfmap")[h["ngram"]]
+                * (h["tf"] * F.lit(k1 + 1.0))
                 / (
-                    F.col("tf")
+                    h["tf"]
                     + F.lit(k1)
                     * (
                         F.lit(1.0 - b)
                         + F.lit(b) * F.col("dl") / F.col("avgdl")
                     )
-                )
-            ).alias("contrib"),
+                ),
+            ).alias("score"),
         )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.sum("contrib").alias("score"),
     )
