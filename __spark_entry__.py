@@ -1510,6 +1510,17 @@ def q_degree_hist(spark, sf):
     return GR.degree_hist(edges)
 
 
+def q_gopher_gate(spark, sf):
+    """The Gopher quality-rule gate (Rae et al. 2021 §A1.1 thresholds) as
+    one whole-stage-codegen pass (textops.gopher_gate): word count, mean
+    word length, symbol ratio, bullet/ellipsis line fractions, alphabetic
+    word fraction, stop-word floor, and the conjunction `keep`. Every
+    ratio is one exact integer division — bit-identical cross-engine, no
+    rounding anywhere."""
+    d = _t(spark, sf, "documents")
+    return TX.gopher_gate(d)
+
+
 BPE_MERGES = [
     # rank-ordered; includes a 3-deep cascade (h+a -> ha+s -> has+h) so the
     # oracle's replace chain must fire in exactly this order to match
@@ -1645,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_hist": q_degree_hist,
         "vocab_coverage": q_vocab_coverage,
         "bpe_encode": q_bpe_encode,
+        "gopher_gate": q_gopher_gate,
     }
 
 
@@ -3247,4 +3259,39 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "bpe_encode": _bpe_oracle_sql(),
+        "gopher_gate": f"""
+            WITH b AS (
+                SELECT doc_id, text, {_TOKS} AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n,
+                       CAST(greatest(len(toks), 1) AS DOUBLE) AS n1,
+                       coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS wc,
+                       len(text) - len(replace(text, '#', '')) AS n_hash,
+                       (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell,
+                       CAST(greatest(len(lines), 1) AS DOUBLE) AS n_lines,
+                       len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*\u2022]'))) AS n_bullet,
+                       len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)\\s*$'))) AS n_ellline,
+                       len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+                       len(list_filter(toks, t -> list_contains(['the','be','to','of','and','that','have','with'], t))) AS n_stop
+                FROM b)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   CAST(wc AS DOUBLE) / n1 AS mean_word_len,
+                   (n_hash + n_ell) / n1 AS symbol_ratio,
+                   n_bullet / n_lines AS bullet_frac,
+                   n_ellline / n_lines AS ellipsis_line_frac,
+                   n_alpha / n1 AS alpha_word_frac,
+                   CAST(n_stop AS BIGINT) AS n_stopwords,
+                   (n >= 50 AND n <= 100000
+                    AND CAST(wc AS DOUBLE) / n1 >= 3.0 AND CAST(wc AS DOUBLE) / n1 <= 10.0
+                    AND (n_hash + n_ell) / n1 <= 0.1
+                    AND n_bullet / n_lines < 0.9
+                    AND n_ellline / n_lines < 0.3
+                    AND n_alpha / n1 >= 0.8
+                    AND n_stop >= 2) AS keep
+            FROM m
+        """,
     }

@@ -1831,3 +1831,85 @@ def bpe_token_counts(
         F.sum("n").cast("long").alias("n_words"),
         F.sum(F.col("n") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"),
     )
+
+
+# ------------------------------------------------------ Gopher quality rules
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021 §A1.1) as ONE
+    expression-only pass — the published thresholds, not a lookalike:
+
+    - 50 ≤ word count ≤ 100,000
+    - 3 ≤ mean word length ≤ 10
+    - symbol-to-word ratio (``#`` or ``...``) ≤ 0.1
+    - < 90% of lines start with a bullet; < 30% end with an ellipsis
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 of the 8 Gopher stop words (the/be/to/of/and/that/have/with)
+
+    ``keep`` is the conjunction. Every ratio is one exact integer division
+    in float64 (bit-identical cross-engine, no rounding); the whole gate
+    is whole-stage codegen — no UDF, safe on 100 TB of text."""
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: F.length(t) >= 1
+    )
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = word_chars.cast("double") / n1
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell).cast("double") / n1
+    lines = F.split(text, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+        ).cast("double")
+        / n_lines
+    )
+    ell_line_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n1
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS))).cast(
+        "long"
+    )
+    keep = (
+        (n >= 50)
+        & (n <= 100000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac < 0.9)
+        & (ell_line_frac < 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ell_line_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        keep.alias("keep"),
+    )

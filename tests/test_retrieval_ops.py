@@ -212,3 +212,48 @@ class TestBpeApply:
             assert got[i] == (len(words), want), (i, got[i])
         assert got[0] == (3, 4)  # abc=1, xxx=2, abc=1
         assert got[2] == (3, 4)  # lowercased: ab=1, ab=1, xxxx->[xx,xx]=2
+
+
+class TestGopherGate:
+    def _run(self, spark, text):
+        from frontier_engine.textops import gopher_gate
+
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return gopher_gate(df).collect()[0]
+
+    def test_good_doc_keeps(self, spark):
+        text = "the quick brown fox jumps over that lazy dog with vigor and grace to be seen " * 5
+        r = self._run(spark, text)
+        assert r["n_words"] == 80 and r["keep"] is True
+        assert 3.0 <= r["mean_word_len"] <= 10.0
+        assert r["n_stopwords"] == 30  # (the, that, with, and, to, be) x5
+
+    def test_short_doc_drops(self, spark):
+        r = self._run(spark, "the cat sat with that dog")
+        assert r["keep"] is False and r["n_words"] == 6
+
+    def test_symbol_ratio(self, spark):
+        base = "the word and that word with more words to be " * 6  # 60 words
+        r = self._run(spark, base + "# # # # # #")  # 66 words, 6 hashes
+        assert r["symbol_ratio"] == pytest.approx(6 / 66)
+        assert r["keep"] is True  # 6/66 < 0.1
+        r2 = self._run(spark, base + "# " * 8)  # 68 words, 8 hashes
+        assert r2["keep"] is False  # 8/68 > 0.1
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        word_line = "the fox and that dog with more to be said here now"
+        bullets = "\n".join(["- item"] * 19 + [word_line])
+        r = self._run(spark, bullets)
+        assert r["bullet_frac"] == pytest.approx(19 / 20)
+        assert r["keep"] is False
+        ell = "\n".join([word_line + " ..."] * 2 + [word_line] * 3)
+        r2 = self._run(spark, ell)
+        assert r2["ellipsis_line_frac"] == pytest.approx(2 / 5)
+        assert r2["keep"] is False
+
+    def test_alpha_fraction(self, spark):
+        words = "the fox and that dog with stuff to be said " * 5  # 50 words
+        nums = "1 2 3 4 5 6 7 8 9 10 11 12 13"  # 13 pure-number words
+        r = self._run(spark, words + nums)
+        assert r["alpha_word_frac"] == pytest.approx(50 / 63)
+        assert r["keep"] is False  # 50/63 < 0.8
