@@ -108,6 +108,20 @@ class CrawlConfig:
     # snapshots so the window prunes the scan). Still resume-deterministic:
     # the window is a pure function of the epoch number.
     budget_window: int | None = None
+    # Mirror-replica suppression (Bharat & Broder WWW 1999 — the
+    # enforcement half of hostctl.mirror_hosts/mirror_families): every
+    # mirror_every epochs, recompute replica families over records fetched
+    # in epochs BEFORE the refresh point and DROP every non-canonical
+    # replica host from the frontier (a broadcast anti-join before the
+    # drain — the F2 blocklist pattern). Dropped rows leave the frontier
+    # permanently (they are not in the drain's carry-over); children that
+    # re-discover a replica are re-dropped at the next epoch's gate. The
+    # census cutoff is a pure function of the epoch number over committed
+    # snapshot tables, so a resumed crawl rebuilds the same drop set.
+    # None = off (the default; equivalence-vs-oracle tests run ungated).
+    mirror_every: int | None = None
+    mirror_min_overlap: int = 2
+    mirror_min_jaccard: float = 0.5
     drain: DrainConfig = field(default_factory=DrainConfig)
     seen: SeenConfig = field(default_factory=SeenConfig)
 
@@ -237,6 +251,8 @@ def run_crawl(
     epochs_run = 0
     host_caps: DataFrame | None = None
     caps_cutoff = -1  # census refresh point the current caps were built at
+    mirror_drop: DataFrame | None = None
+    mirror_cutoff = -1  # refresh point the current drop set was built at
 
     while True:
         if cfg.max_epochs is not None and epochs_run >= cfg.max_epochs:
@@ -273,8 +289,39 @@ def run_crawl(
                     ).persist()
                     caps_cutoff = cutoff
 
+        if cfg.mirror_every is not None:
+            cutoff = (epoch // cfg.mirror_every) * cfg.mirror_every
+            if cutoff > 0 and cutoff != mirror_cutoff:
+                from .hostctl import mirror_families, mirror_hosts
+
+                hist = store.read(spark, "records")
+                if hist is not None:
+                    pairs = mirror_hosts(
+                        hist.filter(F.col("epoch") < cutoff).select(
+                            "host", F.col("text").alias("content")
+                        ),
+                        min_overlap=cfg.mirror_min_overlap,
+                        min_jaccard=cfg.mirror_min_jaccard,
+                    )
+                    if mirror_drop is not None:
+                        mirror_drop.unpersist()
+                    mirror_drop = (
+                        mirror_families(pairs)
+                        .filter(F.col("host") != F.col("canonical"))
+                        .select("host")
+                        .persist()
+                    )
+                    mirror_cutoff = cutoff
+
+        gated = frontier
+        if mirror_drop is not None:
+            # replica blocklist (F2 anti-join): the drop set is
+            # host-cardinality — broadcast; everything on a non-canonical
+            # replica host leaves the frontier here
+            gated = frontier.join(F.broadcast(mirror_drop), "host", "left_anti")
+
         drain_res = drain_epoch(
-            frontier,
+            gated,
             robots,
             cfg.drain,
             epoch_ts=_epoch_ts(cfg, epoch),
@@ -557,6 +604,8 @@ def run_crawl(
         pages.unpersist()
     if host_caps is not None:
         host_caps.unpersist()
+    if mirror_drop is not None:
+        mirror_drop.unpersist()
     return {
         "epochs_run": epochs_run,
         "last_epoch": epoch - 1,

@@ -60,6 +60,10 @@ def main(argv=None):
                     help="budget for a clean host (scaled by content yield)")
     ap.add_argument("--budget-min", type=int, default=10,
                     help="budget a trap host is demoted to")
+    ap.add_argument("--mirror-every", type=int, default=None,
+                    help="every N epochs, recompute mirror-replica families "
+                         "over fetched records and drop non-canonical "
+                         "replica hosts from the frontier (Bharat-Broder)")
     ap.add_argument("--cdx-out", default=None,
                     help="after the crawl, build a SURT-keyed CDX-style "
                          "URL index over the captured records in this dir")
@@ -88,6 +92,7 @@ def main(argv=None):
         budget_every=args.budget_every,
         budget_base=args.budget_base,
         budget_min=args.budget_min,
+        mirror_every=args.mirror_every,
         drain=DrainConfig(epoch_seconds=args.epoch_seconds),
     )
     robots_path = paths["robots"]
