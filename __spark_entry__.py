@@ -592,6 +592,30 @@ def q_dedup_clusters(spark, sf):
     return comp.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def q_dedup_survivors(spark, sf):
+    """Quality-aware survivor selection (textops.select_survivors): the
+    dedup_clusters closure joined with the quality score; per cluster the
+    highest-quality doc survives (ties -> min doc_id) via ONE partial-agg
+    argmax — no window sort, mega-cluster-safe. The oracle recomputes the
+    same pick with a recursive-CTE closure + a rank window."""
+    d = _t(spark, sf, "documents")
+    cand = TX.minhash_candidate_pairs(d, num_perm=128, bands=32, attach_estimate=False)
+    pairs = (
+        TX.ngram_jaccard_pairs(d, cand, k=3, scope_to_pairs=True)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    try:
+        comp = TX.connected_components(pairs)
+    finally:
+        pairs.unpersist()
+    quality = d.select(
+        "doc_id", TX.quality_score_col(F.col("text")).alias("quality")
+    )
+    return TX.select_survivors(comp, quality)
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination (GPT-3 App. C / Dolma overlap filter):
     docs sharing any 3-word shingle with a deterministic eval subset
@@ -1657,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "bpe_encode": q_bpe_encode,
         "gopher_gate": q_gopher_gate,
+        "dedup_survivors": q_dedup_survivors,
     }
 
 
@@ -3259,6 +3284,27 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "bpe_encode": _bpe_oracle_sql(),
+        "dedup_survivors": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL})
+            ), und AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), walk(v, r) AS (
+              SELECT src, src FROM und
+              UNION
+              SELECT w.v, u.dst FROM walk w JOIN und u ON w.r = u.src
+            ), comp AS (
+              SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              FROM walk GROUP BY v
+            ), q AS ({_QUALITY_SQL.strip()})
+            SELECT c.doc_id, c.cluster_id, q.quality,
+                   (row_number() OVER (
+                        PARTITION BY c.cluster_id
+                        ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS keep
+            FROM comp c JOIN q ON q.doc_id = c.doc_id
+        """,
         "gopher_gate": f"""
             WITH b AS (
                 SELECT doc_id, text, {_TOKS} AS toks,

@@ -1913,3 +1913,42 @@ def gopher_gate(
         n_stop.alias("n_stopwords"),
         keep.alias("keep"),
     )
+
+
+# --------------------------------------------- quality-aware survivor select
+
+
+def select_survivors(
+    labels: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware survivor selection over near-dup clusters — the
+    FineWeb/RefinedWeb refinement of "keep min-id per cluster": within
+    each cluster keep the HIGHEST-quality document (ties break to the
+    smallest id, so the pick is deterministic at any parallelism).
+
+    ``labels`` is :func:`connected_components` output ``(v, label)``;
+    ``quality`` is ``(id, score)``. The winner per cluster is one
+    map-side-combined ``max(struct(quality, -id))`` — an argmax with NO
+    window sort, so a mega-cluster (the classic boilerplate component
+    with millions of members) costs a partial aggregate, never a hot
+    sorted partition. Output ``(id, cluster_id, quality, keep)``."""
+    labeled = labels.select(
+        F.col("v").alias(id_col), F.col("label").alias("cluster_id")
+    ).join(quality, id_col)
+    winners = labeled.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col)).alias("neg_id"),
+            )
+        ).alias("w")
+    )
+    return labeled.join(winners, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        quality_col,
+        (F.col(id_col) == -F.col("w.neg_id")).alias("keep"),
+    )

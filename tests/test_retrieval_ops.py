@@ -257,3 +257,26 @@ class TestGopherGate:
         r = self._run(spark, words + nums)
         assert r["alpha_word_frac"] == pytest.approx(50 / 63)
         assert r["keep"] is False  # 50/63 < 0.8
+
+
+class TestSelectSurvivors:
+    def test_argmax_and_ties(self, spark):
+        from frontier_engine.textops import connected_components, select_survivors
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        quality = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.4), (11, 0.4)],
+            "doc_id long, quality double",
+        )
+        comp = connected_components(pairs)
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in select_survivors(comp, quality).collect()
+        }
+        # cluster {1,2,3}: doc 2 wins on quality; cluster {10,11}: quality
+        # tie -> min doc_id (10) wins
+        assert got[2] == (1, True) and got[1][1] is False and got[3][1] is False
+        assert got[10] == (10, True) and got[11] == (10, False)
+        assert sum(1 for _, k in got.values() if k) == 2
