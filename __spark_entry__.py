@@ -592,6 +592,31 @@ def q_dedup_clusters(spark, sf):
     return comp.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def q_containment(spark, sf):
+    """Asymmetric containment dedup (textops.containment_pairs): winnowed
+    fingerprints, stop-fingerprint cap BEFORE the self-join, both directed
+    containments as exact divisions over TRUE (uncapped) set sizes. To
+    plant real containment in the fixture, every doc_id % 10 == 7 doc is
+    augmented with a verbatim quote of doc (doc_id - 7)'s text — the SAME
+    concat runs in the oracle, so the pair (base, quoter) must surface
+    with containment_a ~= 1 for the detection itself to be hash-checked."""
+    d = _t(spark, sf, "documents")
+    base = d.select("doc_id", "text")
+    shifted = base.select(
+        (F.col("doc_id") + 7).alias("doc_id"), F.col("text").alias("qtext")
+    )
+    aug = base.join(F.broadcast(shifted), "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 7) & F.col("qtext").isNotNull(),
+            F.concat(F.col("text"), F.lit(" quoted: "), F.col("qtext")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TX.containment_pairs(aug, min_overlap=2, min_containment=0.8)
+
+
 def q_dedup_survivors(spark, sf):
     """Quality-aware survivor selection (textops.select_survivors): the
     dedup_clusters closure joined with the quality score; per cluster the
@@ -1681,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "bpe_encode": q_bpe_encode,
         "gopher_gate": q_gopher_gate,
+        "containment": q_containment,
         "dedup_survivors": q_dedup_survivors,
     }
 
@@ -3284,6 +3310,53 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "bpe_encode": _bpe_oracle_sql(),
+        "containment": """
+            WITH aug AS (
+              SELECT b.doc_id,
+                     CASE WHEN b.doc_id % 10 = 7 AND o.qtext IS NOT NULL
+                          THEN b.text || ' quoted: ' || o.qtext
+                          ELSE b.text END AS text
+              FROM documents b
+              LEFT JOIN (SELECT doc_id + 7 AS doc_id, text AS qtext
+                         FROM documents) o USING (doc_id)),
+            cps AS (
+              SELECT doc_id, len(text) AS n,
+                     CAST(list_transform(range(1, len(text)+1), i -> unicode(text[i])) AS BIGINT[]) AS cp
+              FROM aug),
+            pos AS (
+              SELECT doc_id, n, cp, unnest(range(1, n - 16 + 2)) AS i
+              FROM cps WHERE n >= 16),
+            kg AS (
+              SELECT doc_id, i,
+                     list_reduce(cp[i:i+15], (acc, c) -> (acc * 257 + c) % 2147483647) AS h
+              FROM pos),
+            wm AS (
+              SELECT doc_id, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+                     max(i) OVER (PARTITION BY doc_id) AS m
+              FROM kg),
+            fps AS (
+              SELECT DISTINCT doc_id, wmin AS fp FROM wm
+              WHERE i <= greatest(m - 7, 1)),
+            sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+            keepfp AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fps GROUP BY fp)
+                       WHERE c <= 50),
+            capped AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keepfp USING (fp)),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS overlap
+              FROM capped a JOIN capped b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT id_a, id_b, overlap,
+                   CAST(overlap AS DOUBLE) / sa.n_fp AS containment_a,
+                   CAST(overlap AS DOUBLE) / sb.n_fp AS containment_b
+            FROM p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            WHERE greatest(CAST(overlap AS DOUBLE) / sa.n_fp,
+                           CAST(overlap AS DOUBLE) / sb.n_fp) >= 0.8
+        """,
         "dedup_survivors": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL})

@@ -1952,3 +1952,81 @@ def select_survivors(
         quality_col,
         (F.col(id_col) == -F.col("w.neg_id")).alias("keep"),
     )
+
+
+# ------------------------------------------------- fingerprint containment
+
+
+def containment_pairs(
+    df: DataFrame,
+    window: int = 8,
+    k: int = 16,
+    min_overlap: int = 2,
+    min_containment: float = 0.5,
+    max_fp_docs: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dup CONTAINMENT over winnowed fingerprints
+    (Broder 1997 §2: resemblance AND containment are the two dup
+    measures; MinHash/SimHash estimate only the symmetric one). A short
+    document quoted inside a long wrapper page has low Jaccard but
+    containment ≈ 1 — this catches the quote/wrapper/boilerplate-inflation
+    duplicates the resemblance family misses.
+
+    Output per unordered pair (``id_a < id_b``): shared-fingerprint
+    ``overlap`` and both directed containments ``overlap / |fp(doc)|``,
+    kept when ``max(c_a, c_b) ≥ min_containment``. Exact integers + one
+    division each — hash-stable with no rounding.
+
+    Scale shape, same defenses as :func:`~frontier_engine.hostctl.mirror_hosts`:
+    fingerprints on more than ``max_fp_docs`` docs (site chrome shared
+    everywhere) are dropped BEFORE the self-join, bounding fanout at
+    ``max_fp_docs²`` per fingerprint instead of docs²; containment
+    denominators stay the TRUE uncapped set sizes, so the cap only
+    removes non-discriminating evidence, never inflates a score."""
+    fp = fingerprint_udf(window=window, k=k, scheme="poly31")
+    fps = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(fp(F.col(text_col))).alias("fp")
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    keepfp = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= max_fp_docs)
+        .select("fp")
+    )
+    capped = fps.join(keepfp, "fp")
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "overlap",
+            (F.col("overlap").cast("double") / F.col("n_a")).alias(
+                "containment_a"
+            ),
+            (F.col("overlap").cast("double") / F.col("n_b")).alias(
+                "containment_b"
+            ),
+        )
+    )
+    return out.filter(
+        F.greatest("containment_a", "containment_b") >= min_containment
+    )

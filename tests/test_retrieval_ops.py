@@ -280,3 +280,39 @@ class TestSelectSurvivors:
         assert got[2] == (1, True) and got[1][1] is False and got[3][1] is False
         assert got[10] == (10, True) and got[11] == (10, False)
         assert sum(1 for _, k in got.values() if k) == 2
+
+
+class TestContainment:
+    def test_quote_detected_asymmetric(self, spark):
+        from frontier_engine.textops import containment_pairs
+
+        quote = "the exact phrase that gets quoted verbatim in a wrapper page"
+        wrapper = (
+            "completely different framing text around a citation block "
+            + quote
+            + " followed by yet more unrelated wrapper prose and comments "
+            + "stretching the host document far beyond the quoted span size"
+        )
+        other = "an unrelated document about something else entirely here"
+        df = spark.createDataFrame(
+            [(1, quote), (2, wrapper), (3, other)], "doc_id long, text string"
+        )
+        rows = containment_pairs(df, min_overlap=1, min_containment=0.5).collect()
+        got = {(r["id_a"], r["id_b"]): r for r in rows}
+        assert (1, 2) in got and len(got) == 1
+        r = got[(1, 2)]
+        # the quote is (nearly) fully contained in the wrapper, but the
+        # wrapper is NOT contained in the quote — the asymmetry Jaccard
+        # would miss
+        assert r["containment_a"] >= 0.8
+        assert r["containment_b"] < 0.5
+        assert r["overlap"] >= 1
+
+    def test_stop_fingerprint_cap(self, spark):
+        from frontier_engine.textops import containment_pairs
+
+        # identical boilerplate on every doc; cap 2 < 4 docs drops all
+        # shared fingerprints before the self-join -> no pairs
+        docs = [(i, "identical shared boilerplate chrome on every page") for i in range(4)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        assert containment_pairs(df, max_fp_docs=2).collect() == []
