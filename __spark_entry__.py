@@ -592,6 +592,47 @@ def q_dedup_clusters(spark, sf):
     return comp.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def q_image_dedup(spark, sf):
+    """Perceptual image dedup (multimodal.dhash_features): deterministic
+    36x32 grayscale images (pixel = (seed*7 + (x + seed%7)*3 + y*11
+    + x*y*(1 + seed%5)) % 256 — seed-interacting, so distinct seeds give
+    distinct gradient structure: 377 distinct hashes over 400 distinct
+    seeds at sf0.01,
+    r=g=b) are encoded as REAL 24-bit BMPs, so the engine's actual
+    decode path sits INSIDE the hash check — the oracle recomputes the
+    9x8 block means and dHash bits straight from the closed form, and
+    they only match if decode(encode(pixels)) reproduces every pixel.
+    Visual dups planted via seed sharing (doc_id % 5 == 4 reuses
+    doc_id - 1's image) must land in the same dup group."""
+    import numpy as np
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def make_imgs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for i in pdf["doc_id"]:
+                seed = int(i) - (1 if int(i) % 5 == 4 else 0)
+                x = np.arange(36)[None, :, None]
+                y = np.arange(32)[:, None, None]
+                v = (
+                    (seed * 7 + (x + seed % 7) * 3 + y * 11
+                     + x * y * (1 + seed % 5)) % 256
+                ).astype(np.uint8)
+                payloads.append(MM.encode_bmp(np.broadcast_to(v, (32, 36, 3))))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(make_imgs, schema="media_id long, payload binary")
+    h = MM.dhash_features(media)
+    w = Window.partitionBy("dhash")
+    return h.select(
+        "media_id", "dhash", F.count(F.lit(1)).over(w).cast("long").alias("dup_group_size")
+    )
+
+
 def q_containment(spark, sf):
     """Asymmetric containment dedup (textops.containment_pairs): winnowed
     fingerprints, stop-fingerprint cap BEFORE the self-join, both directed
@@ -1706,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "bpe_encode": q_bpe_encode,
         "gopher_gate": q_gopher_gate,
+        "image_dedup": q_image_dedup,
         "containment": q_containment,
         "dedup_survivors": q_dedup_survivors,
     }
@@ -3310,6 +3352,41 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "bpe_encode": _bpe_oracle_sql(),
+        "image_dedup": """
+            WITH g AS (
+              SELECT doc_id,
+                     doc_id - CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS seed
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     list_transform(range(0, 72), c ->
+                       list_sum(list_transform(range(0, 16), t ->
+                         (seed * 7
+                          + ((c % 9) * 4 + t % 4 + seed % 7) * 3
+                          + ((c // 9) * 4 + t // 4) * 11
+                          + ((c % 9) * 4 + t % 4) * ((c // 9) * 4 + t // 4)
+                            * (1 + seed % 5))
+                         % 256)) / 16.0) AS gm
+              FROM g),
+            b AS (
+              SELECT doc_id,
+                     list_sum(list_transform(range(0, 32), k ->
+                       CASE WHEN gm[(k // 8) * 9 + (k % 8) + 1]
+                               > gm[(k // 8) * 9 + (k % 8) + 2]
+                            THEN 1::BIGINT << k ELSE 0 END)) AS lo,
+                     list_sum(list_transform(range(32, 64), k ->
+                       CASE WHEN gm[(k // 8) * 9 + (k % 8) + 1]
+                               > gm[(k // 8) * 9 + (k % 8) + 2]
+                            THEN 1::BIGINT << (k - 32) ELSE 0 END)) AS hi
+              FROM m),
+            h AS (
+              SELECT doc_id AS media_id,
+                     lower(lpad(hex(hi), 8, '0') || lpad(hex(lo), 8, '0')) AS dhash
+              FROM b)
+            SELECT media_id, dhash,
+                   CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS dup_group_size
+            FROM h
+        """,
         "containment": """
             WITH aug AS (
               SELECT b.doc_id,

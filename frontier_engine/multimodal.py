@@ -407,3 +407,68 @@ def sniff_mime_py(payload: bytes) -> str:
                 continue
             return mime
     return "application/octet-stream"
+
+
+DHASH_SCHEMA = "media_id long, width int, height int, dhash string"
+
+
+def dhash_features(
+    df: DataFrame,
+    grid_w: int = 9,
+    grid_h: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual image hash (dHash) over DECODED pixels — the visual
+    near-dup key an image-dedup pass groups on (identical renderings hash
+    equal regardless of container/byte-level differences; the gradient
+    structure survives re-encoding). Per image: decode via the real codec
+    dispatcher → grayscale (channel mean) → block-mean downscale to a
+    ``grid_w × grid_h`` grid → 1 bit per horizontal neighbor pair
+    (``g[y,x] > g[y,x+1]``), emitted as a 16-hex-char string built from
+    two 32-bit halves (no signed-64 overflow, engine/SQL-safe).
+
+    Determinism: when block edges divide the image (``w % grid_w == 0``,
+    ``h % grid_h == 0`` — enforced; non-conforming or undecodable rows are
+    dropped per-row like every decode op here) and blocks are
+    power-of-two sized, the block mean is an exact float64 (integer sum /
+    power of two), so the bit pattern is reproducible bit-for-bit by an
+    independent engine. mapInPandas, one Arrow batch at a time; pixels
+    never shuffle — only (id, 16-char hash) rows leave the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, out = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    kind, w, h, body = _decode(bytes(payload))
+                    if kind != "image" or w % grid_w or h % grid_h:
+                        continue
+                    px = body.reshape(h, w, -1).astype(np.float64)
+                    gray = px.mean(axis=2)
+                    bw, bh = w // grid_w, h // grid_h
+                    g = gray.reshape(grid_h, bh, grid_w, bw).mean(axis=(1, 3))
+                    bits = g[:, :-1] > g[:, 1:]
+                    flat = bits.reshape(-1)
+                    lo = hi = 0
+                    for k in range(min(64, flat.size)):
+                        if flat[k]:
+                            if k < 32:
+                                lo |= 1 << k
+                            else:
+                                hi |= 1 << (k - 32)
+                    ids.append(int(mid))
+                    ws.append(int(w))
+                    hs.append(int(h))
+                    out.append(f"{hi:08x}{lo:08x}")
+                except (ValueError, NotImplementedError):
+                    continue
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "dhash": out}
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, schema=DHASH_SCHEMA)

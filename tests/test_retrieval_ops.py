@@ -316,3 +316,34 @@ class TestContainment:
         docs = [(i, "identical shared boilerplate chrome on every page") for i in range(4)]
         df = spark.createDataFrame(docs, "doc_id long, text string")
         assert containment_pairs(df, max_fp_docs=2).collect() == []
+
+
+class TestDhash:
+    def test_identical_pixels_same_hash_container_free(self, spark):
+        import numpy as np
+
+        from frontier_engine import codecs
+        from frontier_engine import multimodal as MM
+
+        # same rendering through two DIFFERENT containers (BMP vs PNG)
+        # must hash equal — the whole point of a perceptual key
+        rng = (np.arange(32)[:, None] * 11 + np.arange(36)[None, :] * 3) % 256
+        px = np.broadcast_to(rng[:, :, None], (32, 36, 3)).astype(np.uint8)
+        bmp = MM.encode_bmp(px)
+        png = codecs.encode_png(np.ascontiguousarray(px))
+        df = spark.createDataFrame(
+            [(1, bmp), (2, png), (3, MM.encode_bmp(255 - px))],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r["dhash"] for r in MM.dhash_features(df).collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]  # inverted gradient flips the bits
+        assert len(rows[1]) == 16 and int(rows[1], 16) >= 0
+
+    def test_bad_rows_dropped(self, spark):
+        from frontier_engine import multimodal as MM
+
+        df = spark.createDataFrame(
+            [(1, b"not an image"), (2, None)], "media_id long, payload binary"
+        )
+        assert MM.dhash_features(df).collect() == []
