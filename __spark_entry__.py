@@ -592,6 +592,25 @@ def q_dedup_clusters(spark, sf):
     return comp.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def q_trustrank(spark, sf):
+    """TrustRank spam demotion (graph.trustrank): personalized-teleport
+    PageRank from a trusted seed set (node % 10 == 0) over the same
+    orders-derived 100-node graph as q_pagerank. The DuckDB oracle
+    unrolls the identical 5 iterations as chained CTEs; trust rounds to
+    6 decimals (accumulated IEEE error ~1e-13 at this scale)."""
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % 10 == 0)
+    out = GR.trustrank(edges, seeds, iterations=5, damping=0.85)
+    return out.select("node", F.round("trust", 6).alias("trust"))
+
+
 def q_image_dedup(spark, sf):
     """Perceptual image dedup (multimodal.dhash_features): deterministic
     36x32 grayscale images (pixel = (seed*7 + (x + seed%7)*3 + y*11
@@ -1747,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "bpe_encode": q_bpe_encode,
         "gopher_gate": q_gopher_gate,
+        "trustrank": q_trustrank,
         "image_dedup": q_image_dedup,
         "containment": q_containment,
         "dedup_survivors": q_dedup_survivors,
@@ -1784,6 +1804,42 @@ def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+def _trustrank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB twin of graph.trustrank over the
+    q_trustrank edge/seed derivation (same CAST-to-DOUBLE discipline as
+    the pagerank oracle)."""
+    d = repr(damping)
+    ctes = [
+        "e AS (SELECT DISTINCT (o_custkey % 100) AS src,"
+        " (o_orderkey % 100) AS dst FROM orders"
+        " WHERE (o_custkey % 100) <> (o_orderkey % 100))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        "we AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.d AS w"
+        " FROM e JOIN deg ON deg.src = e.src)",
+        "seeds AS (SELECT node FROM nodes WHERE node % 10 = 0)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds)",
+        "r0 AS (SELECT node, CASE WHEN node IN (SELECT node FROM seeds)"
+        " THEN CAST(1.0 AS DOUBLE) / ns.n ELSE CAST(0.0 AS DOUBLE) END AS r0"
+        " FROM nodes, ns)",
+        "t0 AS (SELECT node, r0 AS trust FROM r0)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"t{k} AS (SELECT r0.node AS node,"
+            f" (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) * r0.r0"
+            f" + CAST({d} AS DOUBLE) * coalesce(sum(t.trust * we.w),"
+            f" CAST(0.0 AS DOUBLE)) AS trust"
+            f" FROM r0 LEFT JOIN we ON we.dst = r0.node"
+            f" LEFT JOIN t{k - 1} t ON t.node = we.src"
+            f" GROUP BY r0.node, r0.r0)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(trust, 6) AS trust FROM t{iters}"
     )
 
 
@@ -3352,6 +3408,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "bpe_encode": _bpe_oracle_sql(),
+        "trustrank": _trustrank_oracle_sql(),
         "image_dedup": """
             WITH g AS (
               SELECT doc_id,

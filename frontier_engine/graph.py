@@ -526,3 +526,91 @@ def degree_hist(
         )
 
     return hist(src, "out").unionByName(hist(dst, "in"))
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    with the teleport mass personalized to a hand-vetted trusted seed set
+    — trust flows out along links, so spam farms far from any seed score
+    ≈ 0 and get demoted in the frontier, the inverse-PageRank use the
+    paper describes. ``t = (1−d)·r₀ + d·Aᵀt`` with ``r₀ = 1/|S|`` on
+    seeds (restricted to graph nodes), 0 elsewhere; ``t₀ = r₀``.
+
+    Same scale shape as :func:`pagerank`: the 1/deg edge weights are
+    joined ONCE, each round is one hash join + one map-side-combined sum,
+    lineage is localCheckpoint-cut per round; the seed count is a
+    broadcast 1-row aggregate. Cross-engine hash equality: round (the
+    query layer rounds to 6 decimals)."""
+    if iterations < 1:
+        raise ValueError("trustrank: iterations must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        weighted = (
+            e.join(outdeg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+            .persist()
+        )
+        seedset = (
+            seeds.select(F.col(seed_col).alias("node")).distinct().join(nodes, "node")
+        )
+        n_seeds = seedset.agg(
+            F.count(F.lit(1)).cast("double").alias("n_seeds")
+        )
+        reset = (
+            nodes.join(seedset.withColumn("_s", F.lit(1)), "node", "left")
+            .crossJoin(F.broadcast(n_seeds))
+            .select(
+                "node",
+                F.when(
+                    F.col("_s").isNotNull(), F.lit(1.0) / F.col("n_seeds")
+                )
+                .otherwise(F.lit(0.0))
+                .alias("r0"),
+            )
+            .localCheckpoint()
+        )
+        ranks = reset.select("node", F.col("r0").alias("trust")).localCheckpoint()
+        try:
+            for _ in range(iterations):
+                contrib = (
+                    weighted.join(
+                        ranks.withColumnRenamed("node", "src"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("trust") * F.col("w")).alias("_in"))
+                )
+                ranks = (
+                    reset.join(contrib, "node", "left")
+                    .select(
+                        "node",
+                        (
+                            F.lit(1.0 - damping) * F.col("r0")
+                            + F.lit(damping)
+                            * F.coalesce(F.col("_in"), F.lit(0.0))
+                        ).alias("trust"),
+                    )
+                    .localCheckpoint()
+                )
+            return ranks
+        finally:
+            weighted.unpersist()
+    finally:
+        e.unpersist()

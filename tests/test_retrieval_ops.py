@@ -347,3 +347,53 @@ class TestDhash:
             [(1, b"not an image"), (2, None)], "media_id long, payload binary"
         )
         assert MM.dhash_features(df).collect() == []
+
+
+class TestTrustRank:
+    def test_matches_dense_reference_and_demotes_spam(self, spark):
+        import numpy as np
+
+        from frontier_engine.graph import trustrank
+
+        # trusted hub 0 -> {1,2}; 1<->2; spam island 8<->9 unreachable
+        # from any seed
+        edges = [(0, 1), (0, 2), (1, 2), (2, 1), (8, 9), (9, 8)]
+        seeds = [0]
+        nodes = sorted({u for e in edges for u in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        A = np.zeros((n, n))
+        deg = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        for u, v in edges:
+            A[idx[v], idx[u]] = 1.0 / deg[u]
+        r0 = np.zeros(n)
+        for s in seeds:
+            r0[idx[s]] = 1.0 / len(seeds)
+        t = r0.copy()
+        for _ in range(5):
+            t = 0.15 * r0 + 0.85 * (A @ t)
+
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        s_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+        got = {
+            r["node"]: r["trust"]
+            for r in trustrank(e_df, s_df, iterations=5).collect()
+        }
+        for node in nodes:
+            assert got[node] == pytest.approx(t[idx[node]], abs=1e-12), node
+        # spam island gets exactly zero trust; linked-from-seed nodes don't
+        assert got[8] == 0.0 and got[9] == 0.0
+        assert got[1] > 0 and got[2] > 0 and got[0] > 0
+
+    def test_seed_outside_graph_ignored(self, spark):
+        from frontier_engine.graph import trustrank
+
+        e_df = spark.createDataFrame([(0, 1)], "src long, dst long")
+        s_df = spark.createDataFrame([(0,), (42,)], "node long")
+        got = {r["node"]: r["trust"] for r in trustrank(e_df, s_df, iterations=2).collect()}
+        # only node 0 is a graph node -> |S| = 1, all teleport mass on it
+        # t0 = [1, 0]; iter1: t = [0.15, 0.85]; iter2: t = [0.15, 0.1275]
+        assert got[0] == pytest.approx(0.15, abs=1e-12)
+        assert got[1] == pytest.approx(0.85 * 0.15, abs=1e-12)
