@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from frontier_engine import ann, graph as GR, ops, textops as TX  # noqa: E402
 from frontier_engine import multimodal as MM  # noqa: E402
+from frontier_engine import sketch as SK  # noqa: E402
 from frontier_engine.frontier import DrainConfig, drain_epoch  # noqa: E402
 from frontier_engine.seen import SeenConfig, empty_state, filter_unseen, update_state, with_bucket  # noqa: E402
 
@@ -1688,6 +1689,43 @@ def q_vocab_coverage(spark, sf):
     return TX.vocab_coverage(d, vocab_size=10)
 
 
+def q_hll_distinct(spark, sf):
+    """Per-lineage-cell distinct-URL census as a HyperLogLog sketch
+    (Flajolet et al. 2007) — the sub-linear, MERGEABLE form of the
+    north-star's per-partition "URLs emitted/deduped" lineage counter.
+    Engine-exact (not just statistically equivalent): portable md5-prefix
+    hash, integer bit-length ranks, harmonic sum kept as an exact BIGINT
+    (``s_scaled``), one IEEE divide for the estimate, libm ln only in the
+    small-range correction (rounded 6 dp, repo convention). The exact
+    distinct count and the relative error ride along, so the oracle
+    checks the sketch's accuracy claim too, not just its arithmetic.
+    Synthesized URL key = host-bucketed user x event (10^4 distinct at
+    sf0.01 -> raw-estimator path; 10^3 at sf0.001 -> linear-counting
+    path: both branches oracle-covered across the driver's SFs)."""
+    e = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example/e"),
+        F.col("event_id").cast("string"),
+    )
+    d = e.select("event_type", url.alias("url"))
+    est = SK.hll_distinct(d, ["event_type"], "url", p=8)
+    exact = d.groupBy("event_type").agg(
+        F.countDistinct("url").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "v_zero",
+        "s_scaled",
+        "est",
+        "n_exact",
+        F.round(
+            (F.col("est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -1770,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": q_image_dedup,
         "containment": q_containment,
         "dedup_survivors": q_dedup_survivors,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -3546,5 +3585,20 @@ def oracle_sql() -> dict[str, str]:
                     AND n_alpha / n1 >= 0.8
                     AND n_stop >= 2) AS keep
             FROM m
+        """,
+        "hll_distinct": f"""
+            WITH hll AS ({SK.hll_oracle_sql(
+                "SELECT event_type, 'https://h' || CAST(user_id % 50 AS VARCHAR)"
+                " || '.example/e' || CAST(event_id AS VARCHAR) AS url FROM events",
+                ["event_type"], "url", p=8)}),
+            x AS (
+                SELECT event_type,
+                       CAST(count(DISTINCT 'https://h' || CAST(user_id % 50 AS VARCHAR)
+                            || '.example/e' || CAST(event_id AS VARCHAR)) AS BIGINT)
+                           AS n_exact
+                FROM events GROUP BY event_type)
+            SELECT hll.event_type, v_zero, s_scaled, est, n_exact,
+                   round((est - n_exact) / n_exact, 6) AS rel_err
+            FROM hll JOIN x USING (event_type)
         """,
     }

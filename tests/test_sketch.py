@@ -1,0 +1,69 @@
+"""HyperLogLog sketch (frontier_engine.sketch): merge semantics, both
+estimator branches, and the engine-exactness contract (integer sketch
+state; estimate within the published error bound)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from frontier_engine import sketch as SK
+
+
+def _urls(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("https://example.com/p"), F.col("id").cast("string")).alias(
+            "u"
+        ),
+    )
+
+
+def test_merge_equals_union(spark):
+    """Register-wise max over two epochs == sketch of the union — the
+    lineage roll-up property the whole module exists for."""
+    a = _urls(spark, 800, 0)
+    b = _urls(spark, 800, 400)  # overlaps a on [400, 800)
+    ra = SK.hll_registers(a, ["g"], "u", p=8)
+    rb = SK.hll_registers(b, ["g"], "u", p=8)
+    merged = SK.hll_estimate(SK.hll_merge(ra, rb, ["g"]), ["g"], p=8)
+    union = SK.hll_distinct(a.unionByName(b), ["g"], "u", p=8)
+    mrow = merged.collect()[0].asDict()
+    urow = union.collect()[0].asDict()
+    assert mrow == urow  # exact integer state, not approximately equal
+
+
+def test_raw_branch_accuracy(spark):
+    """Large cardinality (v_zero == 0): raw harmonic estimator, within
+    5 standard errors of 1.04/sqrt(m)."""
+    n = 5000
+    out = SK.hll_distinct(_urls(spark, n), ["g"], "u", p=8).collect()[0]
+    assert out["v_zero"] == 0
+    se = 1.04 / math.sqrt(256)
+    assert abs(out["est"] - n) / n < 5 * se
+
+
+def test_linear_branch_accuracy(spark):
+    """Small cardinality: linear-counting branch, much tighter."""
+    n = 120
+    out = SK.hll_distinct(_urls(spark, n), ["g"], "u", p=8).collect()[0]
+    assert out["v_zero"] > 0
+    assert abs(out["est"] - n) / n < 0.15
+
+
+def test_state_is_integer_and_bounded(spark):
+    """s_scaled stays an exact BIGINT <= m * 2^(W+1) — the cross-engine
+    fingerprint can never lose precision."""
+    out = SK.hll_distinct(_urls(spark, 1000), ["g"], "u", p=8).collect()[0]
+    assert isinstance(out["s_scaled"], int)
+    assert 0 < out["s_scaled"] <= 256 * (1 << 53)
+
+
+def test_p_out_of_range_raises(spark):
+    try:
+        SK.hll_registers(_urls(spark, 1), ["g"], "u", p=2)
+    except ValueError as e:
+        assert "out of range" in str(e)
+    else:
+        raise AssertionError("p=2 should raise")
