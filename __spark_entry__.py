@@ -1689,6 +1689,32 @@ def q_vocab_coverage(spark, sf):
     return TX.vocab_coverage(d, vocab_size=10)
 
 
+def q_boilerplate(spark, sf):
+    """Per-host boilerplate strip (CCNet/jusText signal): a paragraph
+    occurring in >= 3 distinct documents of the SAME host is template
+    noise — strip every copy, not all-but-one (contrast paragraph_dedup,
+    which keeps first occurrences corpus-wide). Same deterministic
+    3-word-chunk derivation as q_paragraph_dedup; the tiny shared fixture
+    vocabulary makes real per-source repeats. Doc-frequency is a
+    two-level partial aggregate (distinct (host,hash,doc) -> count), the
+    oracle counts the paragraph strings themselves, so hash collisions
+    would surface. Output includes the reassembled clean_text, so chunk
+    ORDER is oracle-checked too."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(3.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 3 + 1, 3), " "),
+    )
+    aug = d.select(
+        "doc_id", "source", F.array_join(paras, "\n").alias("text")
+    )
+    return TX.boilerplate_strip(
+        aug, host_col="source", sep="\n", min_docs=3
+    )
+
+
 def q_hll_distinct(spark, sf):
     """Per-lineage-cell distinct-URL census as a HyperLogLog sketch
     (Flajolet et al. 2007) — the sub-linear, MERGEABLE form of the
@@ -1809,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "dedup_survivors": q_dedup_survivors,
         "hll_distinct": q_hll_distinct,
+        "boilerplate": q_boilerplate,
     }
 
 
@@ -3600,5 +3627,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT hll.event_type, v_zero, s_scaled, est, n_exact,
                    round((est - n_exact) / n_exact, 6) AS rel_err
             FROM hll JOIN x USING (event_type)
+        """,
+        "boilerplate": """
+            WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                       FROM documents),
+            p AS (
+                SELECT doc_id, source,
+                       list_transform(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT)),
+                                      i -> array_to_string(ws[i*3+1 : i*3+3], ' ')) AS paras
+                FROM w),
+            ex0 AS (
+                SELECT doc_id, source,
+                       CAST(unnest(range(0, len(paras))) AS INT) AS pos,
+                       unnest(paras) AS para
+                FROM p),
+            ex AS (SELECT * FROM ex0 WHERE len(trim(para)) > 0),
+            dfq AS (
+                SELECT source, para,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+                FROM ex GROUP BY source, para),
+            m AS (
+                SELECT ex.*, (df_docs >= 3) AS boiler
+                FROM ex JOIN dfq USING (source, para))
+            SELECT doc_id, source,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   coalesce(string_agg(CASE WHEN NOT boiler THEN para END,
+                                       chr(10) ORDER BY pos), '') AS clean_text
+            FROM m GROUP BY doc_id, source
         """,
     }

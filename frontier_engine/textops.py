@@ -835,6 +835,80 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    sep: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-host boilerplate removal — the CCNet/jusText signal that
+    document-level AND corpus-level paragraph dedup both miss: a nav bar,
+    cookie banner, or footer repeats across *most pages of its own site*
+    but is unique to that site, so corpus-wide first-occurrence dedup
+    keeps one copy per crawl while every page of the host still carries
+    it into training data.  Rule: a paragraph is boilerplate on host H if
+    it occurs in >= ``min_docs`` DISTINCT documents of H; strip all its
+    occurrences there (no first-copy exemption — boilerplate is noise,
+    not content).
+
+    Returns (id_col, host_col, n_chunks, n_boiler, clean_text) with
+    ``clean_text`` the surviving paragraphs rejoined in document order
+    ('' if everything was boilerplate).
+
+    Scale shape: doc-frequency is a two-level aggregate — distinct
+    (host, hash, doc) with map-side combine collapses a banner repeated
+    on a million pages to one row per task per doc, then a second
+    partial-agg count; never a count-distinct over raw occurrences and
+    never a window.  The boilerplate set per host is tiny (it IS the
+    template), so the join back is AQE-broadcastable; reassembly sorts
+    each doc's own chunks only (array_sort over a per-doc list, no
+    cross-doc sort).  Dedup identity is xxhash64(paragraph) — the oracle
+    counts the strings themselves, so a collision would surface as a
+    mismatch.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.col(host_col).alias("__host"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "pos", "paragraph"
+            ),
+        )
+        .filter(F.length(F.trim(F.col("paragraph"))) > 0)
+        .withColumn("h", F.xxhash64("paragraph"))
+    )
+    docfreq = (
+        paras.select("__host", "h", id_col)
+        .distinct()
+        .groupBy("__host", "h")
+        .agg(F.count("*").cast("long").alias("df_docs"))
+    )
+    marked = paras.join(docfreq, ["__host", "h"]).withColumn(
+        "boiler", F.col("df_docs") >= min_docs
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("boiler"),
+                F.struct(F.col("pos").alias("p"), F.col("paragraph").alias("t")),
+            )
+        )
+    )
+    return (
+        marked.groupBy(id_col, "__host")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.col("boiler").cast("long")).alias("n_boiler"),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), sep
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("__host", host_col)
+    )
+
+
 # ------------------------------------------------- encoding repair
 
 

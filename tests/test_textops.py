@@ -730,3 +730,41 @@ def test_corpus_stats_exact_quantiles(spark):
     assert (en["min_chars"], en["median_chars"], en["max_chars"]) == (10, 20.0, 30)
     # even count interpolates: p50 of {7, 9} = 8.0
     assert out["vi"]["median_chars"] == 8.0
+
+
+def test_boilerplate_strip_per_host(spark):
+    """The host-local banner is stripped EVERYWHERE on its host (no
+    first-copy exemption), never on the host where it's rare, and
+    clean_text preserves original paragraph order."""
+    from frontier_engine.textops import boilerplate_strip
+
+    rows = [
+        # host A: 'banner' on 3 docs -> boilerplate there
+        (1, "A", "banner\nalpha one\nbanner"),
+        (2, "A", "banner\nbeta two"),
+        (3, "A", "gamma three\nbanner"),
+        # host B: same string once -> content there
+        (4, "B", "banner\ndelta four"),
+        (5, "B", "epsilon five"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in boilerplate_strip(df, min_docs=3).collect()
+    }
+    assert out[1]["n_boiler"] == 2 and out[1]["clean_text"] == "alpha one"
+    assert out[2]["clean_text"] == "beta two"
+    assert out[3]["clean_text"] == "gamma three"
+    assert out[4]["n_boiler"] == 0  # rare on B -> kept
+    assert out[4]["clean_text"] == "banner\ndelta four"
+    assert out[5]["clean_text"] == "epsilon five"
+
+
+def test_boilerplate_strip_all_boiler_doc(spark):
+    """A doc that is 100% template reassembles to '' (not NULL)."""
+    from frontier_engine.textops import boilerplate_strip
+
+    rows = [(i, "H", "nav bar") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    out = boilerplate_strip(df, min_docs=3).collect()
+    assert all(r["clean_text"] == "" and r["n_boiler"] == 1 for r in out)
