@@ -1715,6 +1715,18 @@ def q_boilerplate(spark, sf):
     )
 
 
+def q_bigram_surprisal(spark, sf):
+    """Second-order CCNet-style LM quality triage: per-doc conditional
+    surprisal bits(c(prev·)) - bits(c(prev,term)) from corpus-fit bigram
+    counts — catches common-word word-salad that unigram surprisal
+    cannot (order-destroying spam keeps its unigram profile but loses
+    its bigrams). Integer-exact end to end (bit lengths, integer sums,
+    one exact division for the mean); tertiles per (lang, shard) cell as
+    in unigram_surprisal."""
+    d = _t(spark, sf, "documents")
+    return TX.bigram_surprisal(d)
+
+
 def q_hll_distinct(spark, sf):
     """Per-lineage-cell distinct-URL census as a HyperLogLog sketch
     (Flajolet et al. 2007) — the sub-linear, MERGEABLE form of the
@@ -1836,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "hll_distinct": q_hll_distinct,
         "boilerplate": q_boilerplate,
+        "bigram_surprisal": q_bigram_surprisal,
     }
 
 
@@ -3655,5 +3668,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN NOT boiler THEN para END,
                                        chr(10) ORDER BY pos), '') AS clean_text
             FROM m GROUP BY doc_id, source
+        """,
+        "bigram_surprisal": f"""
+            WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+            tokp AS (
+                SELECT doc_id, lang, CAST(doc_id % 16 AS BIGINT) AS shard,
+                       i AS pos, toks[i] AS term
+                FROM base, unnest(range(1, len(toks) + 1)) AS t(i)),
+            big AS (
+                SELECT doc_id, lang, shard,
+                       lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+                       term
+                FROM tokp QUALIFY prev IS NOT NULL),
+            tf AS (
+                SELECT doc_id, lang, shard, prev, term,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM big GROUP BY ALL),
+            c2 AS (
+                SELECT prev, term, CAST(sum(tf) AS BIGINT) AS c2
+                FROM tf GROUP BY prev, term),
+            c1 AS (
+                SELECT prev, CAST(sum(c2) AS BIGINT) AS c1
+                FROM c2 GROUP BY prev),
+            per_doc AS (
+                SELECT doc_id, lang, shard,
+                       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                       CAST(sum(tf * (length(bin(c1)) - length(bin(c2))))
+                            AS BIGINT) AS sum_bits
+                FROM tf JOIN c2 USING (prev, term) JOIN c1 USING (prev)
+                GROUP BY doc_id, lang, shard)
+            SELECT doc_id, lang, shard, n_bigrams, sum_bits,
+                   sum_bits / n_bigrams AS mean_bits,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY lang, shard
+                       ORDER BY sum_bits / n_bigrams DESC, doc_id ASC
+                   ) AS BIGINT) AS bucket
+            FROM per_doc
         """,
     }

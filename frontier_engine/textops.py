@@ -1481,6 +1481,98 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    broadcast_vocab: bool = True,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Conditional (bigram) LM quality scoring — the second-order
+    companion to :func:`unigram_surprisal` and the integer-exact analogue
+    of CCNet's KenLM perplexity triage (Wenzek et al. 2020): score each
+    document by how predictable each token is GIVEN its predecessor,
+    ``-log2 P(w_i | w_{i-1}) ~= bits(c(w_{i-1}·)) - bits(c(w_{i-1} w_i))``
+    where ``bits(c) = floor(log2 c)`` (``length(bin(c)) - 1``) and both
+    counts come from the corpus itself.  Word-salad that sails through a
+    unigram filter (common words, nonsense order) scores high here,
+    because its bigrams are rare while its contexts are common.  Every
+    term is an INTEGER >= 0 (``c2 <= c1`` by construction), so scores
+    reproduce bit-for-bit on any engine — no libm log.
+
+    Head/middle/tail tertiles per (language, shard) cell exactly as in
+    :func:`unigram_surprisal` (CCNet buckets per shard; keeps the window
+    off a whole-language single-partition sort).
+
+    Returns (id_col, lang, shard, n_bigrams, sum_bits, mean_bits,
+    bucket); single-token documents have no bigram and are absent.
+
+    Plan shape at 100 TB: posexplode -> one per-doc window (lag over
+    billions of tiny doc-sized groups — hash partitioned, no skew) ->
+    per-(doc,bigram) tf with map-side combine -> bigram counts over the
+    already-distinct pairs -> context counts as a second partial agg over
+    the bigram vocabulary (never re-reads the corpus) -> vocabulary join
+    (broadcast by default; web bigram vocabularies at the tail are
+    Zipf-light because tf pre-aggregation already collapsed repeats) ->
+    per-doc sum -> ntile over (lang, shard) cells.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    pos_tok = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    byd = Window.partitionBy(id_col).orderBy("pos")
+    big = pos_tok.select(
+        id_col,
+        "lang",
+        "shard",
+        F.lag("term").over(byd).alias("prev"),
+        "term",
+    ).filter(F.col("prev").isNotNull())
+    tf = big.groupBy(id_col, "lang", "shard", "prev", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    c2 = tf.groupBy("prev", "term").agg(F.sum("tf").cast("long").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = c2.join(c1, "prev")
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    per_doc = (
+        tf.join(vocab, ["prev", "term"])
+        .groupBy(id_col, "lang", "shard")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("tf")
+                * (
+                    (F.length(F.bin("c1")) - 1)
+                    - (F.length(F.bin("c2")) - 1)
+                )
+            )
+            .cast("long")
+            .alias("sum_bits"),
+        )
+    )
+    by_cell = Window.partitionBy("lang", "shard").orderBy(
+        (F.col("sum_bits") / F.col("n_bigrams")).desc(), F.col(id_col).asc()
+    )
+    return per_doc.select(
+        id_col,
+        "lang",
+        "shard",
+        "n_bigrams",
+        "sum_bits",
+        (F.col("sum_bits") / F.col("n_bigrams")).alias("mean_bits"),
+        F.ntile(3).over(by_cell).cast("long").alias("bucket"),
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str = "source",

@@ -768,3 +768,27 @@ def test_boilerplate_strip_all_boiler_doc(spark):
     df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
     out = boilerplate_strip(df, min_docs=3).collect()
     assert all(r["clean_text"] == "" and r["n_boiler"] == 1 for r in out)
+
+
+def test_bigram_surprisal_flags_word_salad(spark):
+    """A scrambled doc keeps its unigram profile but loses its bigrams:
+    its conditional surprisal must exceed every natural doc's."""
+    from frontier_engine.textops import bigram_surprisal
+
+    natural = "the cat sat on the mat"
+    rows = [(i, natural, "en") for i in range(8)]
+    rows.append((99, "mat the on sat cat the", "en"))  # same words, shuffled
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r["mean_bits"] for r in bigram_surprisal(df, n_shards=1).collect()}
+    assert out[99] > max(v for k, v in out.items() if k != 99)
+
+
+def test_bigram_surprisal_single_token_doc_absent(spark):
+    from frontier_engine.textops import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "lonely", "en"), (2, "two words", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    ids = {r["doc_id"] for r in bigram_surprisal(df).collect()}
+    assert ids == {2}
