@@ -1727,6 +1727,42 @@ def q_bigram_surprisal(spark, sf):
     return TX.bigram_surprisal(d)
 
 
+def q_soft404(spark, sf):
+    """Soft-404 detection (Bar-Yossef et al., WWW 2004): flag pages
+    near-identical to their host's known-error signature — the standard
+    defense against hosts that answer 200 for missing pages. Signature
+    table is one deterministic template per source; fixture injection
+    plants pure-template pages (doc_id%11==5, jacc=1), partially-
+    polluted pages (%11==7, template prefix + 8 original words), and
+    leaves the rest clean. Token-set Jaccard is an exact integer
+    rational; the whole page side is codegen'd array arithmetic under a
+    broadcast join — zero page-side shuffle."""
+    from frontier_engine import hostctl
+
+    d = _t(spark, sf, "documents")
+    tpl_text = F.concat(
+        F.lit("error 404 page not found on "),
+        F.col("source"),
+        F.lit(" server"),
+    )
+    tpl = d.select("source").distinct().select(
+        "source", tpl_text.alias("template")
+    )
+    first8 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 11 == 5, tpl_text)
+        .when(
+            F.col("doc_id") % 11 == 7,
+            F.concat(F.lit("page not found "), first8),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return hostctl.soft404_detect(aug, tpl, host_col="source")
+
+
 def q_hll_distinct(spark, sf):
     """Per-lineage-cell distinct-URL census as a HyperLogLog sketch
     (Flajolet et al. 2007) — the sub-linear, MERGEABLE form of the
@@ -1849,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "boilerplate": q_boilerplate,
         "bigram_surprisal": q_bigram_surprisal,
+        "soft404": q_soft404,
     }
 
 
@@ -3704,5 +3741,40 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY sum_bits / n_bigrams DESC, doc_id ASC
                    ) AS BIGINT) AS bucket
             FROM per_doc
+        """,
+        "soft404": """
+            WITH aug AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 11 = 5
+                            THEN 'error 404 page not found on ' || source || ' server'
+                            WHEN doc_id % 11 = 7
+                            THEN 'page not found ' ||
+                                 array_to_string(string_split(text, ' ')[1:8], ' ')
+                            ELSE text END AS text
+                FROM documents),
+            tpl AS (
+                SELECT DISTINCT source,
+                       list_distinct(list_filter(string_split_regex(
+                           lower('error 404 page not found on ' || source || ' server'),
+                           '\\s+'), x -> len(x) >= 1)) AS tpl_toks
+                FROM documents),
+            t AS (
+                SELECT doc_id, a.source,
+                       list_distinct(list_filter(string_split_regex(
+                           lower(coalesce(a.text, '')), '\\s+'),
+                           x -> len(x) >= 1)) AS toks,
+                       tpl_toks
+                FROM aug a JOIN tpl USING (source)),
+            m AS (
+                SELECT doc_id, source,
+                       CAST(len(toks) AS BIGINT) AS n_doc_tokens,
+                       CAST(len(tpl_toks) AS BIGINT) AS n_tpl_tokens,
+                       CAST(len(list_intersect(toks, tpl_toks)) AS BIGINT) AS n_common
+                FROM t)
+            SELECT doc_id, source, n_doc_tokens, n_tpl_tokens, n_common,
+                   n_common / (n_doc_tokens + n_tpl_tokens - n_common) AS jacc,
+                   (n_common / (n_doc_tokens + n_tpl_tokens - n_common) >= 0.5)
+                       AS is_soft404
+            FROM m
         """,
     }

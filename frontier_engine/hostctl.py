@@ -570,3 +570,68 @@ def mirror_families(
         id_type="string",
     )
     return labels.select(F.col("v").alias("host"), F.col("label").alias("canonical"))
+
+
+def soft404_detect(
+    df: DataFrame,
+    template_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    template_col: str = "template",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Soft-404 detection by similarity to the host's error signature
+    (Bar-Yossef, Broder, Kumar, Tomkins, WWW 2004 "Sic transit gloria
+    telae" §3): a host that answers HTTP 200 for missing pages poisons a
+    crawl with millions of identical "not found" bodies. The published
+    defense: fetch a deliberately-bogus URL per host once, and flag any
+    page whose content is near-identical to that per-host signature.
+    ``template_df`` is that signature table — (host_col, template_col),
+    one row per host.
+
+    Similarity is token-set Jaccard (lowercased whitespace tokens,
+    distinct), an exact rational |A∩B| / (|A| + |B| - |A∩B|) — one IEEE
+    division of two integers, engine-exact, no rounding.
+
+    Returns (id_col, host_col, n_doc_tokens, n_tpl_tokens, n_common,
+    jacc, is_soft404).
+
+    Plan shape at 100 TB: the signature table is one row per HOST (~1e8
+    rows max, a few tokens each) — broadcast; everything else is per-row
+    array arithmetic inside whole-stage codegen. No shuffle at all on
+    the page side, no window, no UDF.
+    """
+
+    def _tokset(c):
+        return F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+"),
+                lambda w: F.length(w) >= 1,
+            )
+        )
+
+    tpl = F.broadcast(
+        template_df.select(
+            F.col(host_col).alias("__h"),
+            _tokset(F.col(template_col)).alias("__tpl"),
+        )
+    )
+    toks = _tokset(F.col(text_col))
+    inter = F.size(F.array_intersect(F.col("__toks"), F.col("__tpl")))
+    la = F.size(F.col("__toks"))
+    lb = F.size(F.col("__tpl"))
+    jacc = inter / (la + lb - inter)
+    return (
+        df.select(F.col(id_col), F.col(host_col), toks.alias("__toks"))
+        .join(tpl, F.col(host_col) == F.col("__h"))
+        .select(
+            id_col,
+            host_col,
+            la.cast("long").alias("n_doc_tokens"),
+            lb.cast("long").alias("n_tpl_tokens"),
+            inter.cast("long").alias("n_common"),
+            jacc.alias("jacc"),
+            (jacc >= threshold).alias("is_soft404"),
+        )
+    )

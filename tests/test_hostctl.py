@@ -390,3 +390,35 @@ def test_mirror_families_canonical_pick(spark):
     # the drop set feeds the frontier blocklist: everything non-canonical
     drop = {h for h, c in fam.items() if h != c}
     assert drop == {"b.example", "c.example", "z.example"}
+
+
+def test_soft404_detect_flags_template_pages(spark):
+    """Pure error-template pages flag at jacc=1; pages merely sharing a
+    few tokens stay below threshold; hosts are scored against their OWN
+    signature only."""
+    from pyspark.sql import functions as F
+
+    from frontier_engine.hostctl import soft404_detect
+
+    tpl = spark.createDataFrame(
+        [("a.com", "error 404 page not found"),
+         ("b.com", "oops missing resource sorry")],
+        ["host", "template"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", "error 404 page not found"),        # exact -> flag
+            (2, "a.com", "great article about page layout"),  # 1 shared token
+            (3, "b.com", "error 404 page not found"),         # a's tpl on b -> no flag
+            (4, "b.com", "oops missing resource sorry"),      # b's tpl -> flag
+        ],
+        ["doc_id", "host", "text"],
+    )
+    out = {r["doc_id"]: r for r in soft404_detect(docs, tpl).collect()}
+    assert out[1]["is_soft404"] and out[1]["jacc"] == 1.0
+    assert not out[2]["is_soft404"]
+    assert not out[3]["is_soft404"]  # cross-host template is content there
+    assert out[4]["is_soft404"]
+    # broadcast hint survives into the plan (no page-side shuffle)
+    plan = soft404_detect(docs, tpl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
