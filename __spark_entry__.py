@@ -1727,6 +1727,33 @@ def q_bigram_surprisal(spark, sf):
     return TX.bigram_surprisal(d)
 
 
+def q_cms_counts(spark, sf):
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005) — the
+    frequency companion to q_hll_distinct's cardinality sketch: per
+    event_type, 4x256 integer counters summarize the key stream; every
+    distinct key is then point-queried and compared to its exact count.
+    One-sided error (overcount >= 0 always — the oracle checks the bound
+    row by row, not just the arithmetic). Portable md5 bit-slice hashes,
+    all-BIGINT state: engine-exact, mergeable by cell-wise sum."""
+    e = _t(spark, sf, "events")
+    stream = e.select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    cells = SK.cms_cells(stream, ["event_type"], "u")
+    probes = stream.select("event_type", F.col("u").alias("key")).distinct()
+    est = SK.cms_lookup(cells, probes, ["event_type"])
+    exact = stream.groupBy(
+        "event_type", F.col("u").alias("key")
+    ).agg(F.count("*").cast("long").alias("n_exact"))
+    return est.join(exact, ["event_type", "key"]).select(
+        "event_type",
+        "key",
+        "est",
+        "n_exact",
+        (F.col("est") - F.col("n_exact")).cast("long").alias("overcount"),
+    )
+
+
 def q_soft404(spark, sf):
     """Soft-404 detection (Bar-Yossef et al., WWW 2004): flag pages
     near-identical to their host's known-error signature — the standard
@@ -1886,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "bigram_surprisal": q_bigram_surprisal,
         "soft404": q_soft404,
+        "cms_counts": q_cms_counts,
     }
 
 
@@ -3776,5 +3804,34 @@ def oracle_sql() -> dict[str, str]:
                    (n_common / (n_doc_tokens + n_tpl_tokens - n_common) >= 0.5)
                        AS is_soft404
             FROM m
+        """,
+        "cms_counts": """
+            WITH s AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u
+                       FROM events),
+            h AS (SELECT event_type, u,
+                         CAST('0x' || substr(md5(u), 1, 15) AS BIGINT) AS h
+                  FROM s),
+            fan AS (
+                SELECT event_type, u, CAST(j AS BIGINT) AS j,
+                       CAST((h >> (j * 8)) % 256 AS BIGINT) AS col
+                FROM h, unnest([0, 1, 2, 3]) AS t(j)),
+            cells AS (
+                SELECT event_type, j AS row, col,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM fan GROUP BY event_type, j, col),
+            probe AS (SELECT DISTINCT event_type, u, j, col FROM fan),
+            est AS (
+                SELECT p.event_type, p.u AS key,
+                       CAST(min(c.cnt) AS BIGINT) AS est
+                FROM probe p
+                JOIN cells c ON c.event_type = p.event_type
+                            AND c.row = p.j AND c.col = p.col
+                GROUP BY p.event_type, p.u),
+            x AS (SELECT event_type, u AS key,
+                         CAST(count(*) AS BIGINT) AS n_exact
+                  FROM s GROUP BY event_type, u)
+            SELECT event_type, key, est, n_exact,
+                   CAST(est - n_exact AS BIGINT) AS overcount
+            FROM est JOIN x USING (event_type, key)
         """,
     }

@@ -199,3 +199,99 @@ def hll_oracle_sql(
                           ELSE {num} / s_scaled END, 6) AS est
         FROM fin
     """
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def _cms_row_cols(h: Column, d: int, w: int) -> Column:
+    """(row, col) pairs for one hash: row j probes bit-slice j*8 of the
+    portable hash, mod w.  d is a plan-time constant, so the fan-out is
+    unrolled into a literal array (shiftright needs a literal shift)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row"),
+                (F.shiftright(h, j * 8) % w).cast("long").alias("col"),
+            )
+            for j in range(d)
+        ]
+    )
+
+
+def cms_cells(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Per-group count-min sketch (Cormode & Muthukrishnan 2005): the
+    frequency companion to the HLL cardinality sketch.  d x w integer
+    counters per cell answer "how often did key k occur?" with one-sided
+    error (never an undercount, overcount <= 2N/w w.h.p.) in O(d*w)
+    state — the bounded-memory per-epoch lineage form of a per-host key
+    census that an exact groupBy would re-shuffle in full every epoch.
+
+    The d row-hashes are disjoint 8-bit slices of the portable 60-bit
+    md5 hash (``w`` must be <= 256 so slices stay independent and the
+    oracle can reproduce them with integer div/mod) — no JVM-private
+    hashing, every counter is an exact BIGINT, and sketches MERGE by
+    cell-wise sum (:func:`cms_merge`).
+
+    Returns (group_cols..., row, col, cnt), only non-zero cells.
+    Plan shape: one explode (d rows per value — constant fan-out) into
+    one hash aggregate with map-side combine; a billion occurrences of a
+    hot key collapse to d rows per task before the shuffle.
+    """
+    if not 1 <= d <= 7:
+        raise ValueError(f"d={d} out of range [1, 7]")
+    if not 2 <= w <= 256:
+        raise ValueError(f"w={w} out of range [2, 256]")
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = md5_hash60_col(col)
+    rows = F.explode(_cms_row_cols(h, d, w))
+    return (
+        df.select(*group_cols, rows.alias("rc"))
+        .select(*group_cols, "rc.row", "rc.col")
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two cell tables (same d, w): cell-wise sum — epochs and
+    partitions roll up without revisiting the keys."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    cells: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    key_col: str = "key",
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: est(k) = min_j cnt[j, h_j(k)].
+
+    ``probes`` is (group_cols..., key_col).  Returns the probes with an
+    ``est`` column (BIGINT, >= true count).  The probe side fans out d
+    rows per key and joins the cell table on (group, row, col) — the
+    sketch table is <= d*w rows per group, broadcastable for any real
+    group count.
+    """
+    h = md5_hash60_col(F.col(key_col))
+    rows = F.explode(_cms_row_cols(h, d, w))
+    fan = probes.select(*group_cols, key_col, rows.alias("rc")).select(
+        *group_cols, key_col, "rc.row", "rc.col"
+    )
+    return (
+        fan.join(cells, [*group_cols, "row", "col"], "left")
+        .groupBy(*group_cols, key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

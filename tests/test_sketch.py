@@ -67,3 +67,45 @@ def test_p_out_of_range_raises(spark):
         assert "out of range" in str(e)
     else:
         raise AssertionError("p=2 should raise")
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """CMS one-sided error: est >= exact for every key; merging two
+    epochs' cells == sketching the concatenation."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 3000).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("k"), (F.col("id") % 37).cast("string")).alias("u"),
+    )
+    b = spark.range(0, 2000).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("k"), (F.col("id") % 11).cast("string")).alias("u"),
+    )
+    both = a.unionByName(b)
+    cells = SK.cms_merge(
+        SK.cms_cells(a, ["g"], "u"), SK.cms_cells(b, ["g"], "u"), ["g"]
+    )
+    direct = SK.cms_cells(both, ["g"], "u")
+    assert sorted(map(tuple, cells.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probes = both.select("g", F.col("u").alias("key")).distinct()
+    est = {r["key"]: r["est"] for r in SK.cms_lookup(cells, probes, ["g"]).collect()}
+    exact = {r["u"]: r["c"] for r in both.groupBy("u").agg(F.count("*").alias("c")).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    # with 37 keys in 4x256 cells, most estimates should be exact
+    assert sum(est[k] == exact[k] for k in exact) >= len(exact) * 0.9
+
+
+def test_cms_absent_key_estimates_zero_or_small(spark):
+    from pyspark.sql import functions as F
+
+    data = spark.range(0, 500).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("u"),
+    )
+    cells = SK.cms_cells(data, ["g"], "u")
+    probes = spark.createDataFrame([("g", "never-seen-key")], ["g", "key"])
+    est = SK.cms_lookup(cells, probes, ["g"]).collect()[0]["est"]
+    assert 0 <= est <= 500  # one-sided; usually 0 with sparse cells
