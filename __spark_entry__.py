@@ -1727,6 +1727,16 @@ def q_bigram_surprisal(spark, sf):
     return TX.bigram_surprisal(d)
 
 
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (6h gap): the batch twin of a streaming
+    session window, and the shape host-visit politeness epochs take in a
+    crawl ledger. Boundaries compare integer microsecond epochs — never
+    float seconds — so session splits are engine-exact; one window + one
+    same-key aggregate (single Exchange)."""
+    e = _t(spark, sf, "events")
+    return ops.sessionize(e, key_col="user_id", ts_col="ts", gap_s=21600)
+
+
 def q_cms_counts(spark, sf):
     """Count-min frequency sketch (Cormode & Muthukrishnan 2005) — the
     frequency companion to q_hll_distinct's cardinality sketch: per
@@ -1914,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "soft404": q_soft404,
         "cms_counts": q_cms_counts,
+        "sessionize": q_sessionize,
     }
 
 
@@ -3833,5 +3844,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, key, est, n_exact,
                    CAST(est - n_exact AS BIGINT) AS overcount
             FROM est JOIN x USING (event_type, key)
+        """,
+        "sessionize": """
+            WITH m AS (
+                SELECT user_id, ts, epoch_us(ts) AS us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 21600000000 THEN 1
+                            ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC)),
+            s AS (
+                SELECT user_id, ts, us,
+                       CAST(sum(ns) OVER (PARTITION BY user_id
+                                          ORDER BY us ASC) AS BIGINT)
+                           AS session_idx
+                FROM m)
+            SELECT user_id, session_idx,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   (max(us) - min(us)) / CAST(1000000 AS DOUBLE) AS duration_s
+            FROM s GROUP BY user_id, session_idx
         """,
     }

@@ -175,3 +175,61 @@ def stratified_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 21600,
+) -> DataFrame:
+    """Gap-based sessionization — the batch twin of the streaming
+    session window: consecutive events of one key belong to the same
+    session while the inter-event gap stays <= ``gap_s`` seconds; a
+    longer silence starts a new session.  In a crawler this is how
+    host-visit activity rolls up into politeness epochs (sessions of
+    contact with one host) and how robots-cache validity windows are
+    audited; the reference's crawl loop has exactly one implicit session
+    per store run (/root/reference/crawler/stores/bhx.py:614-641).
+
+    Returns one row per session: (key_col, session_idx, session_start,
+    session_end, n_events, duration_s) with session_idx numbered from 1
+    in time order per key.
+
+    Engine-exact: boundaries compare integer MICROsecond epochs
+    (``unix_micros`` / ``epoch_us`` — never float seconds), the session
+    index is a running integer sum, and duration_s is one exact
+    int->double division.
+
+    Plan shape at 100 TB: one window per key ordered by time — billions
+    of small per-key groups, hash-partitioned; no second shuffle, the
+    session aggregate reuses the same partitioning (Exchange appears
+    once in the plan).
+    """
+    # NTZ-safe: sessions pin the TZ to UTC, so casting TIMESTAMP_NTZ to
+    # TIMESTAMP is wall-clock identity and unix_micros stays exact.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    byk = Window.partitionBy(key_col).orderBy(us.asc())
+    gap_us = int(gap_s) * 1_000_000
+    new_sess = (
+        F.when(F.lag(us).over(byk).isNull(), F.lit(1))
+        .when(us - F.lag(us).over(byk) > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    marked = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        us.alias("_us"),
+        F.sum(new_sess).over(byk).cast("long").alias("session_idx"),
+    )
+    return (
+        marked.groupBy(key_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            ((F.max("_us") - F.min("_us")) / F.lit(1_000_000.0)).alias(
+                "duration_s"
+            ),
+        )
+    )

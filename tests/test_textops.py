@@ -792,3 +792,29 @@ def test_bigram_surprisal_single_token_doc_absent(spark):
     )
     ids = {r["doc_id"] for r in bigram_surprisal(df).collect()}
     assert ids == {2}
+
+
+def test_sessionize_boundaries_and_single_exchange(spark):
+    """Gap > threshold starts a new session; the session aggregate reuses
+    the window's partitioning (exactly one Exchange in the plan)."""
+    import datetime as dt
+
+    from frontier_engine.ops import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0),
+        ("u1", t0 + dt.timedelta(seconds=10)),
+        ("u1", t0 + dt.timedelta(seconds=100)),  # > 60s gap -> new session
+        ("u2", t0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, gap_s=60)
+    got = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+    assert got[("u1", 1)]["n_events"] == 2
+    assert got[("u1", 1)]["duration_s"] == 10.0
+    assert got[("u1", 2)]["n_events"] == 1
+    assert got[("u2", 1)]["n_events"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the plan twice
+    assert final.count("Exchange") - final.count("ReusedExchange") <= 1
