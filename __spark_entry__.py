@@ -1737,6 +1737,17 @@ def q_sessionize(spark, sf):
     return ops.sessionize(e, key_col="user_id", ts_col="ts", gap_s=21600)
 
 
+def q_quantiles(spark, sf):
+    """Exact per-group p50/p90/p99 by counting (ops.grouped_quantiles) —
+    the fetch-latency SLO census without percentile_approx (whose sketch
+    state is not cross-engine reproducible) and without sorting raw
+    occurrences: the window runs over the (group, value) COUNT table.
+    Target ranks are pure integer arithmetic ((n*pct+99) DIV 100), so
+    boundary rows can never flip between engines."""
+    e = _t(spark, sf, "events")
+    return ops.grouped_quantiles(e, ["event_type"], "value", (50, 90, 99))
+
+
 def q_cms_counts(spark, sf):
     """Count-min frequency sketch (Cormode & Muthukrishnan 2005) — the
     frequency companion to q_hll_distinct's cardinality sketch: per
@@ -1925,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "cms_counts": q_cms_counts,
         "sessionize": q_sessionize,
+        "quantiles": q_quantiles,
     }
 
 
@@ -3866,5 +3878,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    (max(us) - min(us)) / CAST(1000000 AS DOUBLE) AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "quantiles": """
+            WITH c AS (
+                SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY event_type, value),
+            cum AS (
+                SELECT event_type, value,
+                       CAST(sum(c) OVER (PARTITION BY event_type
+                                         ORDER BY value ASC) AS BIGINT) AS cum,
+                       CAST(sum(c) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS n
+                FROM c),
+            fan AS (
+                SELECT event_type, value, cum, n, CAST(p AS BIGINT) AS pct,
+                       CAST((n * p + 99) // 100 AS BIGINT) AS rank
+                FROM cum, unnest([50, 90, 99]) AS t(p))
+            SELECT event_type, pct, n, rank, min(value) AS q_value
+            FROM fan WHERE cum >= rank
+            GROUP BY event_type, pct, n, rank
         """,
     }

@@ -233,3 +233,65 @@ def sessionize(
             ),
         )
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact per-group quantiles by counting — the scalable form of the
+    fetch-latency SLO census (p50/p90/p99 per host) the north-star's
+    lineage records as histograms. ``percentile_approx`` is not
+    cross-engine reproducible and an exact ``percentile`` sorts every
+    group's raw rows; this computes the classic lower quantile (smallest
+    v whose cumulative count reaches ceil(q*n)) from a (group, value)
+    COUNT table instead, so the window sorts distinct values, not
+    occurrences — a host with a billion fetches at 3 latency buckets
+    costs 3 rows after the map-side combine.
+
+    ``pcts`` are integer percents so the target rank is pure integer
+    arithmetic: ``rank = ceil(n * pct / 100) = (n * pct + 99) // 100`` —
+    no float q*n whose last-ulp could flip a boundary row between
+    engines.
+
+    Returns one row per (group x pct): (group_cols..., pct, n, rank,
+    q_value).
+
+    Plan shape at 100 TB: one hash aggregate (counts), one window per
+    group over distinct values, a constant-width explode (len(pcts)),
+    one min-aggregate. No raw-row sort, no driver collect.
+    """
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    byg = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    cum = counts.select(
+        *group_cols,
+        value_col,
+        F.sum("_c").over(byg).cast("long").alias("_cum"),
+        F.sum("_c")
+        .over(Window.partitionBy(*group_cols))
+        .cast("long")
+        .alias("n"),
+    )
+    fan = cum.select(
+        *group_cols,
+        value_col,
+        "_cum",
+        "n",
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in pcts])
+        ).alias("pct"),
+    ).withColumn(
+        # integer DIV, not float /100: n*pct can pass 2^53 at cluster scale
+        # and a double quotient could floor to the wrong rank
+        "rank",
+        F.expr("CAST((n * pct + 99) DIV 100 AS BIGINT)"),
+    )
+    return (
+        fan.filter(F.col("_cum") >= F.col("rank"))
+        .groupBy(*group_cols, "pct", "n", "rank")
+        .agg(F.min(value_col).alias("q_value"))
+    )

@@ -818,3 +818,33 @@ def test_sessionize_boundaries_and_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE echoes the plan twice
     assert final.count("Exchange") - final.count("ReusedExchange") <= 1
+
+
+def test_grouped_quantiles_matches_numpy_lower(spark):
+    """Lower-quantile semantics vs a brute-force sorted-list oracle,
+    including duplicate values and the p100-ish boundary."""
+    import math
+
+    from frontier_engine.ops import grouped_quantiles
+
+    vals = [3.0, 1.0, 2.0, 2.0, 5.0, 4.0, 2.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = {r["pct"]: r for r in grouped_quantiles(df, ["g"], "v", (50, 90, 100)).collect()}
+    s = sorted(vals)
+    for pct in (50, 90, 100):
+        r = math.ceil(len(s) * pct / 100)
+        assert out[pct]["q_value"] == s[r - 1]
+        assert out[pct]["rank"] == r
+        assert out[pct]["n"] == len(s)
+
+
+def test_grouped_quantiles_per_group_independent(spark):
+    from frontier_engine.ops import grouped_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 100.0), ("b", 7.0)], ["g", "v"]
+    )
+    out = {(r["g"], r["pct"]): r["q_value"]
+           for r in grouped_quantiles(df, ["g"], "v", (50,)).collect()}
+    assert out[("a", 50)] == 1.0
+    assert out[("b", 50)] == 7.0
