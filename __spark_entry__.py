@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from frontier_engine import ann, graph as GR, ops, textops as TX  # noqa: E402
 from frontier_engine import multimodal as MM  # noqa: E402
 from frontier_engine import sketch as SK  # noqa: E402
+from frontier_engine.shardplan import zorder_oracle_expr  # noqa: E402
 from frontier_engine.frontier import DrainConfig, drain_epoch  # noqa: E402
 from frontier_engine.seen import SeenConfig, empty_state, filter_unseen, update_state, with_bucket  # noqa: E402
 
@@ -1737,6 +1738,28 @@ def q_sessionize(spark, sf):
     return ops.sessionize(e, key_col="user_id", ts_col="ts", gap_s=21600)
 
 
+def q_zorder(spark, sf):
+    """Morton/Z-order clustering key (UB-tree, Bayer 1997 — the Delta
+    OPTIMIZE ZORDER analogue) over two bucket-reduced dimensions
+    (host-ish user_id and epoch-ish event_id): pure unrolled bit
+    interleave in one codegen expression. The layout twin
+    (shardplan.zorder_write) range-partitions on this key so parquet
+    min/max footer stats stay tight on BOTH dimensions — pruning on the
+    non-leading axis, which a lexicographic sort cannot give (asserted
+    quantitatively in tests/test_shardplan.py)."""
+    from frontier_engine.shardplan import zorder_key
+
+    e = _t(spark, sf, "events")
+    d1 = (F.col("user_id") % 256).cast("long")
+    d2 = (F.col("event_id") % 256).cast("long")
+    return e.select(
+        "event_id",
+        d1.alias("d1"),
+        d2.alias("d2"),
+        zorder_key([d1, d2], bits=8).alias("zkey"),
+    )
+
+
 def q_quantiles(spark, sf):
     """Exact per-group p50/p90/p99 by counting (ops.grouped_quantiles) —
     the fetch-latency SLO census without percentile_approx (whose sketch
@@ -1937,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "sessionize": q_sessionize,
         "quantiles": q_quantiles,
+        "zorder": q_zorder,
     }
 
 
@@ -3897,5 +3921,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, pct, n, rank, min(value) AS q_value
             FROM fan WHERE cum >= rank
             GROUP BY event_type, pct, n, rank
+        """,
+        "zorder": f"""
+            SELECT event_id,
+                   CAST(user_id % 256 AS BIGINT) AS d1,
+                   CAST(event_id % 256 AS BIGINT) AS d2,
+                   {zorder_oracle_expr(['user_id % 256', 'event_id % 256'], 8)} AS zkey
+            FROM events
         """,
     }

@@ -71,3 +71,82 @@ def test_zero_total_and_empty(spark):
     assert got == {"a": (0, 0, 0), "b": (0, 0, 0)}
     empty = spark.createDataFrame([], "host string, weight long")
     assert host_shard_plan(empty, 4).count() == 0
+
+
+def test_zorder_key_bit_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from frontier_engine.shardplan import zorder_key
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (255, 255)], ["x", "y"])
+    out = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+    ).collect()
+    # x=3 (bits 0,1 set -> even positions 0,2), y=1 (bit 0 -> position 1)
+    assert out[0]["z"] == 0b111
+    assert out[1]["z"] == 0
+    assert out[2]["z"] == (1 << 16) - 1  # full interleave of 8+8 set bits
+
+
+def test_zorder_key_rejects_overflow(spark):
+    from pyspark.sql import functions as F
+
+    from frontier_engine.shardplan import zorder_key
+
+    try:
+        zorder_key([F.col("a")] * 8, bits=8)
+    except ValueError as e:
+        assert "int64" in str(e)
+    else:
+        raise AssertionError("8x8 bits must raise")
+
+
+def test_zorder_write_prunes_non_leading_dim(spark, tmp_path):
+    """The point of Z-order: per-file min/max footer stats stay tight on
+    the NON-leading dimension too.  Quantified vs a lexicographic sort
+    on the same data: mean per-file d2 span must shrink decisively."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from frontier_engine.shardplan import zorder_write
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("d1"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(4294967296)) % 64).alias("d2"),
+    )
+
+    def mean_span(path, col):
+        import glob as g
+
+        spans = []
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "lex")
+    zorder_write(df, zpath, ["d1", "d2"], bits=8, n_files=8)
+    (
+        df.repartitionByRange(8, "d1", "d2")
+        .sortWithinPartitions("d1", "d2")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    # leading dim: both layouts keep it tight
+    assert mean_span(zpath, "d1") <= 63
+    # non-leading dim: lex sort spans ~the full 0..63 range per file,
+    # z-order must cut the span decisively
+    lex_span = mean_span(lpath, "d2")
+    z_span = mean_span(zpath, "d2")
+    assert lex_span > 40  # sanity: lex layout really is blind on d2
+    assert z_span < 0.6 * lex_span
