@@ -1760,6 +1760,35 @@ def q_zorder(spark, sf):
     )
 
 
+def q_adaptive_delay(spark, sf):
+    """AIMD politeness adaptation (hostctl.adaptive_delay): per-host p95
+    fetch latency (exact counting quantile) drives the next epoch's
+    crawl delay — double when the host is backing up past target,
+    halve (clamped) when healthy; TCP congestion control applied to the
+    scheduler. Synthetic fetch log adds a per-host latency offset so the
+    fixture crosses the target in both directions; every number is
+    integer arithmetic after one IEEE floor(value*10)."""
+    from frontier_engine import hostctl
+
+    e = _t(spark, sf, "events")
+    k = F.col("user_id") % 20
+    log = e.select(
+        F.concat(F.lit("h"), k.cast("string")).alias("host"),
+        (F.floor(F.col("value") * 10) + k * 80).cast("long").alias(
+            "latency_ms"
+        ),
+    )
+    delays = (
+        e.select(k.alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string")).alias("host"),
+            (1 + F.col("k") % 4).cast("long").alias("delay_s"),
+        )
+    )
+    return hostctl.adaptive_delay(log, delays, target_ms=2000)
+
+
 def q_quantiles(spark, sf):
     """Exact per-group p50/p90/p99 by counting (ops.grouped_quantiles) —
     the fetch-latency SLO census without percentile_approx (whose sketch
@@ -1961,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "quantiles": q_quantiles,
         "zorder": q_zorder,
+        "adaptive_delay": q_adaptive_delay,
     }
 
 
@@ -3928,5 +3958,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 256 AS BIGINT) AS d2,
                    {zorder_oracle_expr(['user_id % 256', 'event_id % 256'], 8)} AS zkey
             FROM events
+        """,
+        "adaptive_delay": """
+            WITH log AS (
+                SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+                       CAST(floor(value * 10) + (user_id % 20) * 80
+                            AS BIGINT) AS latency_ms
+                FROM events),
+            c AS (SELECT host, latency_ms, CAST(count(*) AS BIGINT) AS c
+                  FROM log GROUP BY host, latency_ms),
+            cum AS (
+                SELECT host, latency_ms,
+                       CAST(sum(c) OVER (PARTITION BY host
+                                         ORDER BY latency_ms ASC)
+                            AS BIGINT) AS cum,
+                       CAST(sum(c) OVER (PARTITION BY host) AS BIGINT) AS n
+                FROM c),
+            q AS (
+                SELECT host, n, min(latency_ms) AS p95_ms
+                FROM (SELECT *, CAST((n * 95 + 99) // 100 AS BIGINT) AS rank
+                      FROM cum)
+                WHERE cum >= rank GROUP BY host, n),
+            d AS (
+                SELECT DISTINCT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+                       CAST(1 + (user_id % 20) % 4 AS BIGINT) AS delay_s
+                FROM events)
+            SELECT q.host, n AS n_fetches, p95_ms, delay_s,
+                   CAST(CASE WHEN p95_ms > 2000
+                             THEN least(64, delay_s * 2)
+                             ELSE greatest(1, delay_s // 2)
+                        END AS BIGINT) AS next_delay_s
+            FROM q JOIN d ON d.host = q.host
         """,
     }

@@ -635,3 +635,63 @@ def soft404_detect(
             (jacc >= threshold).alias("is_soft404"),
         )
     )
+
+
+def adaptive_delay(
+    fetch_log: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    delay_col: str = "delay_s",
+    pct: int = 95,
+    target_ms: int = 500,
+    min_delay_s: int = 1,
+    max_delay_s: int = 64,
+) -> DataFrame:
+    """AIMD politeness adaptation from observed fetch latency — the
+    feedback loop between a static per-host crawl delay (robots
+    ``Crawl-delay`` / the reference's fixed ``asyncio.sleep(1)``,
+    /root/reference/crawler/json_fetch.py:36) and what the server can
+    actually sustain: hosts whose p95 latency exceeds ``target_ms`` are
+    backing up — double their delay (multiplicative decrease of our
+    rate); healthy hosts halve it (additive-ish increase), clamped to
+    [min_delay_s, max_delay_s].  The TCP congestion-control discipline
+    applied to crawl scheduling; conservative by construction because
+    the latency census is a high quantile, not a mean a single slow
+    response can't move.
+
+    ``fetch_log`` is (host_col, latency_col) at fetch cardinality;
+    ``delays`` is the current (host_col, delay_col) table.  Returns
+    (host_col, n_fetches, p95_ms, delay_s, next_delay_s) — feed it back
+    as the next epoch's delay table.
+
+    Engine-exact: the quantile is :func:`frontier_engine.ops.
+    grouped_quantiles` (integer ranks over a count table), the update
+    rule is integer multiply / integer DIV / clamp.  Plan shape: one
+    count aggregate + one distinct-value window per host + one join at
+    HOST cardinality — the fetch log is never sorted row-wise.
+    """
+    from .ops import grouped_quantiles
+
+    q = grouped_quantiles(fetch_log, [host_col], latency_col, (pct,))
+    harder = F.col("q_value") > target_ms
+    nxt = (
+        F.when(harder, F.least(F.lit(max_delay_s), F.col(delay_col) * 2))
+        .otherwise(
+            F.greatest(
+                F.lit(min_delay_s),
+                F.expr(f"CAST({delay_col} DIV 2 AS BIGINT)"),
+            )
+        )
+        .cast("long")
+    )
+    return (
+        q.join(delays, host_col)
+        .select(
+            host_col,
+            F.col("n").alias("n_fetches"),
+            F.col("q_value").alias("p95_ms"),
+            F.col(delay_col).cast("long").alias(delay_col),
+            nxt.alias("next_delay_s"),
+        )
+    )

@@ -422,3 +422,32 @@ def test_soft404_detect_flags_template_pages(spark):
     # broadcast hint survives into the plan (no page-side shuffle)
     plan = soft404_detect(docs, tpl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_adaptive_delay_aimd_rules(spark):
+    """Slow host doubles (clamped at max), healthy host halves (clamped
+    at min) — driven by the exact p95, not the mean."""
+    from frontier_engine.hostctl import adaptive_delay
+
+    log_rows = (
+        # slow: p95 well above target
+        [("slow", 900)] * 20
+        # healthy: p95 under target even with one outlier (mean would lie)
+        + [("fast", 100)] * 19
+        + [("fast", 10_000)]
+        # at max already: stays clamped
+        + [("maxed", 900)] * 5
+        # at min already: stays clamped
+        + [("floor", 100)] * 5
+    )
+    log = spark.createDataFrame(log_rows, ["host", "latency_ms"])
+    delays = spark.createDataFrame(
+        [("slow", 4), ("fast", 4), ("maxed", 64), ("floor", 1)],
+        ["host", "delay_s"],
+    )
+    out = {r["host"]: r for r in adaptive_delay(log, delays, target_ms=500).collect()}
+    assert out["slow"]["next_delay_s"] == 8
+    assert out["fast"]["p95_ms"] == 100  # p95 ignores the single outlier
+    assert out["fast"]["next_delay_s"] == 2
+    assert out["maxed"]["next_delay_s"] == 64
+    assert out["floor"]["next_delay_s"] == 1
