@@ -186,7 +186,12 @@ def sessionize(
     """Gap-based sessionization — the batch twin of the streaming
     session window: consecutive events of one key belong to the same
     session while the inter-event gap stays <= ``gap_s`` seconds; a
-    longer silence starts a new session.  In a crawler this is how
+    STRICTLY longer silence starts a new session.  This matches
+    ``F.session_window`` exactly (Spark merges touching windows: an
+    event at ``last + gap`` still extends the session), so this is
+    value-for-value the batch twin of :func:`frontier_engine.streaming.
+    session_rollup` — asserted boundary-for-boundary in
+    tests/test_streaming.py.  In a crawler this is how
     host-visit activity rolls up into politeness epochs (sessions of
     contact with one host) and how robots-cache validity windows are
     audited; the reference's crawl loop has exactly one implicit session

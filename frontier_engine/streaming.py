@@ -255,3 +255,53 @@ def run_ingest(
     q.awaitTermination()
     progress = q.lastProgress
     return {"batches": progress["batchId"] + 1 if progress else 0}
+
+
+def session_rollup(
+    pages: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "warc_ts",
+    gap: str = "6 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-key session windows over the ingest stream — the streaming
+    twin of :func:`frontier_engine.ops.sessionize` via the built-in
+    ``F.session_window`` (gap-merged state windows with watermark
+    eviction): contiguous bursts of contact with one host roll up into
+    one row as they close, which is how a continuously-running crawl
+    emits its politeness-epoch ledger without a batch job over the full
+    log.
+
+    Both twins use Spark's boundary semantics (touching windows MERGE:
+    an event at exactly ``last + gap`` still extends the session; only a
+    strictly longer gap splits), so batch and streaming ledgers agree
+    value-for-value — asserted boundary-for-boundary in
+    tests/test_streaming.py.
+
+    Returns (key_col, session_start, session_end_gap, n_events) where
+    ``session_end_gap`` is the window end (last event + gap), the
+    built-in's native bound.  Works on a static frame too (same code
+    path, no watermark needed there).
+
+    Scale shape: session state lives in the state store partitioned by
+    key — per-host state is a handful of open windows; the watermark
+    bounds it. No batch-side global window, no sort.
+    """
+    out = (
+        (
+            pages.withWatermark(ts_col, watermark)
+            if pages.isStreaming
+            else pages
+        )
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return out.select(
+        key_col,
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end_gap"),
+        "n_events",
+    )

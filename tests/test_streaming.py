@@ -154,3 +154,75 @@ def test_politeness_gate_stateful(spark, tmp_path):
     # tab-bearing URLs: one was deferred into state and round-tripped intact
     c_urls = [r["url"] for r in out if r["host"] == "c.example"]
     assert c_urls == [f"https://c.example/a\tb{i}" for i in range(3)]
+
+
+def test_session_rollup_matches_batch_sessionize(spark):
+    """Streaming/batch twins agree value-for-value, including the exact
+    boundary: Spark merges TOUCHING windows, so an event at exactly
+    last+gap extends the session; only a strictly longer gap splits."""
+    import datetime as dt
+
+    from frontier_engine.ops import sessionize
+    from frontier_engine.streaming import session_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a.example", base),
+        ("a.example", base + dt.timedelta(seconds=60)),   # exactly gap -> merges
+        ("a.example", base + dt.timedelta(seconds=121)),  # 61s after -> new
+        ("b.example", base),
+        ("b.example", base + dt.timedelta(seconds=59)),   # just under -> same
+    ]
+    df = spark.createDataFrame(rows, ["host", "warc_ts"])
+    sw = {
+        (r["host"], r["session_start"]): r["n_events"]
+        for r in session_rollup(df, gap="60 seconds").collect()
+    }
+    bt = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionize(
+            df.withColumnRenamed("host", "user_id"), ts_col="warc_ts", gap_s=60
+        ).collect()
+    }
+    assert sw == bt
+    assert sw[("a.example", base)] == 2
+    assert sw[("a.example", base + dt.timedelta(seconds=121))] == 1
+    assert sw[("b.example", base)] == 2
+
+
+def test_session_rollup_runs_as_stream(spark, tmp_path):
+    """The same rollup executes as a real stream (complete mode — Spark
+    supports append/complete, not update, for session-window aggs) and
+    emits every session."""
+    import datetime as dt
+
+    from frontier_engine.streaming import session_rollup
+
+    d = tmp_path / "sess-pages"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        ("https://a.example/1", base, b"", "x", "en"),
+        ("https://a.example/2", base + dt.timedelta(seconds=10), b"", "x", "en"),
+        ("https://a.example/3", base + dt.timedelta(hours=7), b"", "x", "en"),
+    ]
+    df = spark.createDataFrame(rows, streaming.PAGES_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+    stream = streaming.stream_pages(spark, str(d))
+    rolled = session_rollup(
+        streaming.with_identity(stream), gap="6 hours"
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt-sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["host"], r["n_events"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert ("a.example", 2) in got and ("a.example", 1) in got
