@@ -1900,6 +1900,84 @@ def q_hll_distinct(spark, sf):
     )
 
 
+def q_reciprocity(spark, sf):
+    """Per-host link reciprocity (graph.reciprocity): the mutual-link
+    nepotism census over the events-derived host graph — link farms show
+    recip_rate near 1.0 and the frontier demotes them like mirror
+    replicas. One distinct over host pairs + a co-partitioned reversed
+    self-join; counts exact, the rate is one double division rounded to
+    6 decimals."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("src"),
+        F.when(
+            F.col("event_id") % 11 != 0,
+            F.concat(F.lit("h"), (F.col("event_id") % 23).cast("string")),
+        ).alias("dst"),
+    )
+    out = GR.reciprocity(edges)
+    return out.select(
+        "node", "n_out", "n_recip", F.round("recip_rate", 6).alias("recip_rate")
+    )
+
+
+def q_rrf_hybrid(spark, sf):
+    """Hybrid lexical+dense retrieval by reciprocal-rank fusion
+    (index.rrf_fuse, RRF after Cormack et al. SIGIR 2009): channel A is
+    the BM25 top-20 over BM25_TERMS (ranked by rounded score with doc_id
+    tie-break — the global top-k runs as TakeOrderedAndProject via
+    orderBy().limit(), never a single-partition corpus window; the rank
+    window then sees only 20 rows), channel B the exact cosine top-20
+    against doc 0's embedding (ann.brute_force_topk; vec_id ≡ doc_id in
+    the fixed corpus). Each channel contributes 1/(60+rank); the per-doc
+    sum folds at most TWO doubles (commutative — partitioning can't
+    reorder it), rounded to 6."""
+    from frontier_engine import index as IX
+
+    d = _t(spark, sf, "documents")
+    bm = IX.bm25(IX.tf_postings(d, n=1), BM25_TERMS, k1=1.2, b=0.75)
+    bm20 = bm.orderBy(
+        F.round("score", 6).desc(), F.col("doc_id").asc()
+    ).limit(20)
+    bm_rank = bm20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.round("score", 6).desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense_rank = ann.brute_force_topk(emb, q0, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = IX.rrf_fuse({"bm25": bm_rank, "dense": dense_rank}, k0=60)
+    return fused.select("doc_id", "n_channels", F.round("rrf", 6).alias("rrf"))
+
+
+def q_budget_cut(spark, sf):
+    """Token-budget corpus curation (textops.budget_cut): keep the
+    highest-quality documents until half the corpus' tokens are spent —
+    the greedy rank-and-take cut of LM-data recipes, run as a distributed
+    range-partitioned prefix sum (per-range totals broadcast as offsets;
+    the only corpus-sized movement is ONE range exchange — never a
+    single-partition global window). cum_tokens is exact int64; quality
+    is the engine's 6-decimal-rounded score, doc_id breaks ties, so the
+    kept set is deterministic at any parallelism."""
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        TX.quality_score_col(F.col("text")).alias("quality"),
+        TX.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    budget = base.agg(F.sum("n_tokens")).first()[0] // 2
+    return TX.budget_cut(base, int(budget), n_ranges=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -1975,6 +2053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "char_entropy": q_char_entropy,
         "degree_hist": q_degree_hist,
+        "reciprocity": q_reciprocity,
+        "rrf_hybrid": q_rrf_hybrid,
+        "budget_cut": q_budget_cut,
         "vocab_coverage": q_vocab_coverage,
         "bpe_encode": q_bpe_encode,
         "gopher_gate": q_gopher_gate,
@@ -3614,6 +3695,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'in', CAST(length(bin(degree)) - 1 AS BIGINT),
                    CAST(count(*) AS BIGINT)
             FROM i GROUP BY CAST(length(bin(degree)) - 1 AS BIGINT)
+        """,
+        "reciprocity": r"""
+            WITH e AS (
+                SELECT DISTINCT 'h' || CAST(user_id % 20 AS VARCHAR) AS a,
+                       'h' || CAST(event_id % 23 AS VARCHAR) AS b
+                FROM events
+                WHERE event_id % 11 <> 0
+                  AND 'h' || CAST(user_id % 20 AS VARCHAR)
+                      <> 'h' || CAST(event_id % 23 AS VARCHAR))
+            SELECT e.a AS node, CAST(count(*) AS BIGINT) AS n_out,
+                   CAST(count(r.a) AS BIGINT) AS n_recip,
+                   round(CAST(count(r.a) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS recip_rate
+            FROM e LEFT JOIN e r ON r.a = e.b AND r.b = e.a
+            GROUP BY e.a
+        """,
+        "rrf_hybrid": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS ngram FROM documents),
+            tf AS (SELECT doc_id, ngram, CAST(count(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, ngram),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                             avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            hits AS (SELECT * FROM tf
+                     WHERE ngram IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})),
+            dfq AS (SELECT ngram, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                    FROM hits GROUP BY ngram),
+            idf AS (SELECT ngram,
+                           ln(CAST(1.0 AS DOUBLE)
+                              + (s.n_docs - df + CAST(0.5 AS DOUBLE))
+                                / (df + CAST(0.5 AS DOUBLE))) AS idf
+                    FROM dfq, stats s),
+            scored AS (SELECT h.doc_id,
+                              i.idf * (CAST(h.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                              / (CAST(h.tf AS DOUBLE)
+                                 + CAST(1.2 AS DOUBLE)
+                                   * (CAST(0.25 AS DOUBLE)
+                                      + CAST(0.75 AS DOUBLE)
+                                        * CAST(dl.dl AS DOUBLE) / s.avgdl)) AS contrib
+                       FROM hits h
+                       JOIN dl USING (doc_id)
+                       JOIN idf i ON i.ngram = h.ngram, stats s),
+            bm AS (SELECT doc_id, round(sum(contrib), 6) AS score
+                   FROM scored GROUP BY doc_id),
+            bmr AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                               AS rank
+                    FROM bm),
+            bm20 AS (SELECT doc_id, rank FROM bmr WHERE rank <= 20),
+            dq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+            dr AS (SELECT c.vec_id AS doc_id,
+                          row_number() OVER (
+                              ORDER BY list_cosine_similarity(
+                                  CAST(c.embedding AS DOUBLE[]), dq.qv) DESC,
+                              c.vec_id ASC) AS rank
+                   FROM embeddings c, dq),
+            d20 AS (SELECT doc_id, rank FROM dr WHERE rank <= 20),
+            u AS (SELECT doc_id,
+                         1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib
+                  FROM bm20
+                  UNION ALL
+                  SELECT doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE))
+                  FROM d20)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_channels,
+                   round(sum(contrib), 6) AS rrf
+            FROM u GROUP BY doc_id
+        """,
+        "budget_cut": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       round(
+                         least(1.0, n/200.0) * 0.25
+                         + (1 - least(((n - len(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'))) / n) * 4, 1.0)) * 0.25
+                         + (1 - least(((n - len(regexp_replace(lower(text), '[0-9]', '', 'g'))) / n) * 4, 1.0)) * 0.2
+                         + (1 - (len(list_filter({_TOKS}, x -> len(x) < 2)) / nt)) * 0.15
+                         + least((n / nt) / 8, 1.0) * 0.15
+                       , 6) AS quality,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM (SELECT doc_id, text,
+                             greatest(len(text), 1) AS n,
+                             greatest(len({_TOKS}), 1) AS nt
+                      FROM documents)),
+            tot AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS b FROM base),
+            c AS (SELECT doc_id, quality, n_tokens,
+                         CAST(sum(n_tokens) OVER (
+                             ORDER BY quality DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                  FROM base)
+            SELECT doc_id, quality, n_tokens, cum_tokens
+            FROM c, tot
+            WHERE cum_tokens - n_tokens < b
         """,
         "vocab_coverage": f"""
             WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),

@@ -614,3 +614,47 @@ def trustrank(
             weighted.unpersist()
     finally:
         e.unpersist()
+
+
+def reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-host link reciprocity: ``(node, n_out, n_recip, recip_rate)``
+    where ``n_out`` is the node's distinct out-neighbor count (self-loops
+    excluded), ``n_recip`` how many of those neighbors link back, and
+    ``recip_rate = n_recip / n_out``.
+
+    Mutual-link density is a classic nepotistic-spam feature (Fetterly
+    et al., WebDB 2004; Castillo et al., WEBSPAM-UK): organic sites link
+    out far more than they are linked back by the same hosts, while link
+    farms and paid-exchange rings show reciprocity near 1.0 — the
+    frontier demotes such hosts the same way it demotes mirror replicas.
+    The reference crawls a vetted store list and never sees spam; this is
+    the scale generalization that makes an open-web frontier survivable.
+
+    Exact arithmetic: counts are integers; the rate is one double
+    division (round to 6 decimals for cross-engine hash equality — the
+    query layer does). Scale shape: ONE distinct over the host-pair edge
+    list (host-graph cardinality, orders below the URL edge list), then a
+    self-join on the reversed pair — both sides hash-partition on the
+    same (a, b) key, so the probe co-locates; the per-node rollup is one
+    map-side-combined aggregate. No corpus-sized shuffle, no sort, no
+    all-pairs anywhere."""
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"), F.lit(1).alias("back"))
+    marked = e.join(rev, ["a", "b"], "left")
+    return (
+        marked.groupBy(F.col("a").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.sum(F.coalesce(F.col("back"), F.lit(0))).cast("long").alias("n_recip"),
+        )
+        .withColumn(
+            "recip_rate", F.col("n_recip").cast("double") / F.col("n_out").cast("double")
+        )
+    )

@@ -255,3 +255,52 @@ def bm25(
             ).alias("score"),
         )
     )
+
+
+def rrf_fuse(
+    channels: dict[str, DataFrame],
+    k0: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    named per-channel rankings into one hybrid list: each channel
+    contributes ``1 / (k0 + rank)`` for the documents it ranked, scores
+    sum across channels, and absent channels contribute 0 —
+    ``rrf = Σ_c 1/(k0 + rank_c(d))``. This is the standard lexical+dense
+    hybrid (BM25 ∪ embedding ANN) that retrieval-augmented data pipelines
+    run over a crawled corpus; RRF needs no score calibration between
+    channels because it consumes only ranks.
+
+    Input channels are ``(id_col, rank_col)`` tables (rank 1 = best, as
+    :func:`bm25`-derived windows and ``ann.brute_force_topk`` emit).
+    Output: ``(id_col, n_channels, rrf)`` — callers that want the fused
+    ORDER should window over ``(rrf DESC, id ASC)``.
+
+    Determinism: ranks are integers, so each contribution is the exact
+    double ``1/(k0+r)``; with two channels the per-doc sum is one IEEE
+    addition (commutative — partitioning cannot reorder it). With ≥ 3
+    channels the fold order is engine-dependent in the last ulps — round
+    to 6 decimals, as the query layer does. Scale shape: inputs are
+    top-k tables (k·n_queries rows, NOT corpus-sized); the union +
+    map-side-combined sum is one shuffle of that small frame. The
+    expensive work lives in the channels themselves, whose plans are
+    audited where they are built."""
+    if not channels:
+        raise ValueError("rrf_fuse: need at least one channel")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))).alias(
+                "contrib"
+            ),
+        )
+        for df in channels.values()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_channels"),
+        F.sum("contrib").alias("rrf"),
+    )

@@ -2196,3 +2196,95 @@ def containment_pairs(
     return out.filter(
         F.greatest("containment_a", "containment_b") >= min_containment
     )
+
+
+def budget_cut(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Token-budget corpus curation: greedily keep the highest-quality
+    documents until a token budget is spent. Rows are totally ordered by
+    ``(quality DESC, id ASC)``; a document is kept iff the tokens consumed
+    BEFORE it are still under ``budget_tokens`` (so the crossing document
+    is included and the budget is overshot by at most one document —
+    the standard greedy cut of LM-data curation recipes: rank by quality,
+    take until the token target is met).
+
+    Output: kept rows as ``(id, quality, tokens, cum_tokens)`` where
+    ``cum_tokens`` is the inclusive running total — exact int64
+    arithmetic, deterministic at any parallelism because the order key is
+    total (ties impossible with the id tie-break).
+
+    Scale shape — a distributed prefix sum, NOT a single-partition global
+    window: (1) ``repartitionByRange(n_ranges, quality DESC, id)`` range-
+    partitions the corpus on the order key; (2) one map-side-combined
+    aggregate computes per-range token totals — ``n_ranges`` rows,
+    driver-small by construction — whose exclusive prefix becomes a
+    broadcast offset map; (3) each range sorts locally and adds its
+    offset to a partition-local running sum. The only corpus-sized
+    movement is the ONE range exchange; no partition ever holds more than
+    its range. Range boundaries come from Spark's reservoir sample, so
+    WHICH partition a row lands in can vary — but the prefix sum is over
+    the global total order, so ``cum_tokens`` (and therefore the kept
+    set) is identical regardless of where the boundaries fall. A trailing
+    filter drops ranges that start at/after the budget before their local
+    sort (their offset alone disqualifies every row; predicate is on the
+    broadcast offset, evaluated before the window).
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_cut: budget_tokens must be >= 0")
+    base = df.select(
+        F.col(id_col),
+        F.col(quality_col).cast("double").alias("_q"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+    )
+    ranged = base.repartitionByRange(
+        n_ranges, F.col("_q").desc(), F.col(id_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    try:
+        totals = sorted(
+            (r["_pid"], r["_t"])
+            for r in ranged.groupBy("_pid")
+            .agg(F.sum("_tok").alias("_t"))
+            .collect()
+        )
+        offsets, acc = {}, 0
+        for pid, tot in totals:
+            offsets[pid] = acc
+            acc += tot
+        off_col = F.coalesce(
+            *[
+                F.when(F.col("_pid") == F.lit(pid), F.lit(off))
+                for pid, off in offsets.items()
+            ],
+            F.lit(0),
+        ) if offsets else F.lit(0)
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(F.col("_q").desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            ranged.withColumn("_off", off_col)
+            # ranges whose offset already exhausts the budget can't keep
+            # any row: prune them before their local sort runs
+            .filter(F.col("_off") < F.lit(int(budget_tokens)))
+            .withColumn("cum_tokens", F.sum("_tok").over(w) + F.col("_off"))
+            .filter(F.col("cum_tokens") - F.col("_tok") < F.lit(int(budget_tokens)))
+            .select(
+                id_col,
+                F.col("_q").alias(quality_col),
+                F.col("_tok").alias(tokens_col),
+                "cum_tokens",
+            )
+        )
+        # materialize before unpersist: the plan references the cached frame
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        ranged.unpersist()

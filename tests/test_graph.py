@@ -323,3 +323,37 @@ def test_opic_rejects_bad_iterations(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError):
         opic(df, iterations=0)
+
+
+def test_reciprocity_counts_and_rate(spark):
+    from frontier_engine.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),      # mutual pair
+            ("a", "c"),                   # one-way
+            ("c", "d"), ("d", "c"),      # mutual pair
+            ("a", "a"),                   # self-loop: excluded
+            ("a", "b"),                   # duplicate edge: collapsed
+            ("e", None),                  # null dst: excluded
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: (r["n_out"], r["n_recip"], r["recip_rate"])
+        for r in reciprocity(edges).collect()
+    }
+    assert got["a"] == (2, 1, 0.5)
+    assert got["b"] == (1, 1, 1.0)
+    assert got["c"] == (1, 1, 1.0)
+    assert got["d"] == (1, 1, 1.0)
+    assert "e" not in got  # its only edge had a null dst
+
+
+def test_reciprocity_pure_sink_absent(spark):
+    """A node that only RECEIVES links has no out-edges and no row."""
+    from frontier_engine.graph import reciprocity
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r["node"] for r in reciprocity(edges).collect()}
+    assert got == {"a"}

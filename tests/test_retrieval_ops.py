@@ -397,3 +397,34 @@ class TestTrustRank:
         # t0 = [1, 0]; iter1: t = [0.15, 0.85]; iter2: t = [0.15, 0.1275]
         assert got[0] == pytest.approx(0.15, abs=1e-12)
         assert got[1] == pytest.approx(0.85 * 0.15, abs=1e-12)
+
+
+class TestRrfFuse:
+    def test_two_channel_scores(self, spark):
+        from frontier_engine.index import rrf_fuse
+
+        ch1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+        ch2 = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rank int")
+        got = {
+            r["doc_id"]: (r["n_channels"], r["rrf"])
+            for r in rrf_fuse({"bm25": ch1, "dense": ch2}).collect()
+        }
+        assert got[1] == (2, pytest.approx(1 / 61 + 1 / 62, abs=1e-15))
+        assert got[2] == (1, pytest.approx(1 / 62, abs=1e-15))
+        assert got[3] == (2, pytest.approx(1 / 63 + 1 / 61, abs=1e-15))
+        # fused order: doc 1 (ranked high in both) beats doc 3 beats doc 2
+        order = sorted(got, key=lambda d: -got[d][1])
+        assert order == [1, 3, 2]
+
+    def test_k0_shifts_discount(self, spark):
+        from frontier_engine.index import rrf_fuse
+
+        ch = spark.createDataFrame([(7, 1)], "doc_id long, rank int")
+        (row,) = rrf_fuse({"only": ch}, k0=0).collect()
+        assert row["rrf"] == pytest.approx(1.0, abs=1e-15)
+
+    def test_empty_channels_rejected(self, spark):
+        from frontier_engine.index import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse({})

@@ -848,3 +848,67 @@ def test_grouped_quantiles_per_group_independent(spark):
            for r in grouped_quantiles(df, ["g"], "v", (50,)).collect()}
     assert out[("a", 50)] == 1.0
     assert out[("b", 50)] == 7.0
+
+
+class TestBudgetCut:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, quality double, n_tokens long"
+        )
+
+    def test_greedy_cut_includes_crossing_doc(self, spark):
+        df = self._frame(spark, [(i, float(5 - i), 10) for i in range(5)])
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in TX.budget_cut(df, 25).collect()
+        }
+        # quality order 0,1,2,...; 10+10=20 < 25 so doc 2 crosses and is kept
+        assert got == {0: 10, 1: 20, 2: 30}
+
+    def test_zero_budget_keeps_nothing(self, spark):
+        df = self._frame(spark, [(0, 1.0, 5)])
+        assert TX.budget_cut(df, 0).count() == 0
+
+    def test_tie_broken_by_id(self, spark):
+        df = self._frame(spark, [(3, 1.0, 4), (1, 1.0, 4), (2, 1.0, 4)])
+        got = {r["doc_id"]: r["cum_tokens"] for r in TX.budget_cut(df, 8).collect()}
+        assert got == {1: 4, 2: 8}
+
+    def test_deterministic_across_range_counts(self, spark):
+        """cum_tokens is the GLOBAL prefix sum regardless of where the
+        range boundaries fall — 1 range vs 16 ranges give identical rows."""
+        rows = [(i, float((i * 37) % 11), 1 + i % 7) for i in range(200)]
+        df = self._frame(spark, rows)
+        a = sorted(map(tuple, TX.budget_cut(df, 300, n_ranges=1).collect()))
+        b = sorted(map(tuple, TX.budget_cut(df, 300, n_ranges=16).collect()))
+        assert a == b and len(a) > 0
+
+    def test_matches_duckdb_oracle(self, spark):
+        rows = [(i, float((i * 53) % 13), 1 + (i * 7) % 9) for i in range(100)]
+        df = self._frame(spark, rows)
+        got = sorted(map(tuple, TX.budget_cut(df, 120, n_ranges=4).collect()))
+        want = sorted(
+            map(
+                tuple,
+                duckdb.sql(
+                    """
+            WITH base(doc_id, quality, n_tokens) AS (
+                SELECT i, CAST((i * 53) % 13 AS DOUBLE), 1 + (i * 7) % 9
+                FROM range(0, 100) t(i)),
+            c AS (SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+                         CAST(sum(n_tokens) OVER (
+                             ORDER BY quality DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                  FROM base)
+            SELECT doc_id, quality, n_tokens, cum FROM c
+            WHERE cum - n_tokens < 120
+                    """
+                ).fetchall(),
+            )
+        )
+        assert got == want
+
+    def test_negative_budget_rejected(self, spark):
+        df = self._frame(spark, [(0, 1.0, 5)])
+        with pytest.raises(ValueError):
+            TX.budget_cut(df, -1)
