@@ -1978,6 +1978,24 @@ def q_budget_cut(spark, sf):
     return TX.budget_cut(base, int(budget), n_ranges=8)
 
 
+def q_quality_calibrate(spark, sf):
+    """Per-language empirical-CDF calibration of the quality score
+    (textops.quality_calibrate): pct_rank = P(quality ≤ x | lang),
+    computed by counting over (lang, value) cells — the corpus never
+    sorts; the window runs over distinct-value cardinality and a join
+    carries the rank back. The rank is the exact rational cum_le/n_lang
+    rounded to 6 (the oracle's cume_dist computes the identical
+    division)."""
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        "doc_id", "lang", TX.quality_score_col(F.col("text")).alias("quality")
+    )
+    out = TX.quality_calibrate(base)
+    return out.select(
+        "doc_id", "lang", "quality", F.round("pct_rank", 6).alias("pct_rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2054,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "degree_hist": q_degree_hist,
         "reciprocity": q_reciprocity,
+        "quality_calibrate": q_quality_calibrate,
         "rrf_hybrid": q_rrf_hybrid,
         "budget_cut": q_budget_cut,
         "vocab_coverage": q_vocab_coverage,
@@ -3695,6 +3714,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'in', CAST(length(bin(degree)) - 1 AS BIGINT),
                    CAST(count(*) AS BIGINT)
             FROM i GROUP BY CAST(length(bin(degree)) - 1 AS BIGINT)
+        """,
+        "quality_calibrate": f"""
+            WITH base AS (
+                SELECT doc_id, lang,
+                       round(
+                         least(1.0, n/200.0) * 0.25
+                         + (1 - least(((n - len(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'))) / n) * 4, 1.0)) * 0.25
+                         + (1 - least(((n - len(regexp_replace(lower(text), '[0-9]', '', 'g'))) / n) * 4, 1.0)) * 0.2
+                         + (1 - (len(list_filter({_TOKS}, x -> len(x) < 2)) / nt)) * 0.15
+                         + least((n / nt) / 8, 1.0) * 0.15
+                       , 6) AS quality
+                FROM (SELECT doc_id, lang, text,
+                             greatest(len(text), 1) AS n,
+                             greatest(len({_TOKS}), 1) AS nt
+                      FROM documents))
+            SELECT doc_id, lang, quality,
+                   round(cume_dist() OVER (
+                       PARTITION BY lang ORDER BY quality ASC), 6) AS pct_rank
+            FROM base
         """,
         "reciprocity": r"""
             WITH e AS (

@@ -2288,3 +2288,52 @@ def budget_cut(
         return out
     finally:
         ranged.unpersist()
+
+
+def quality_calibrate(
+    df: DataFrame,
+    quality_col: str = "quality",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile rank (empirical CDF) of a quality score —
+    the calibration step before applying one keep-threshold across
+    languages: a raw quality cut biases against languages whose score
+    distribution sits lower (CCNet keeps per-language percentile buckets
+    for exactly this reason), so downstream filters consume
+    ``pct_rank = P(quality ≤ x | group)`` instead of the raw score.
+
+    Computed by COUNTING, never by sorting the corpus (same philosophy
+    as the grouped-quantiles op): one map-side-combined aggregate
+    collapses the corpus to ``(group, value, n)`` rows at distinct-value
+    cardinality, a window over THAT small table forms the running
+    ``cum_le``, and a join keyed on ``(group, value)`` carries the rank
+    back to the rows. The percentile is the exact rational
+    ``cum_le / n_group`` (int64 ÷ int64 in IEEE doubles — identical in
+    any engine; round 6 for hash compare). Skewed mega-groups cost a
+    window over their distinct VALUES, not their rows.
+
+    Output: ``(id, group, quality, pct_rank)``, one row per input row.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(quality_col).alias("_v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.withColumn("_cum_le", F.sum("_n").over(w)).withColumn(
+        "_n_group", F.sum("_n").over(Window.partitionBy("_g"))
+    )
+    return df.join(
+        ranked,
+        (F.col(group_col) == F.col("_g")) & (F.col(quality_col) == F.col("_v")),
+    ).select(
+        id_col,
+        group_col,
+        quality_col,
+        (F.col("_cum_le").cast("double") / F.col("_n_group").cast("double")).alias(
+            "pct_rank"
+        ),
+    )

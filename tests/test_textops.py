@@ -912,3 +912,24 @@ class TestBudgetCut:
         df = self._frame(spark, [(0, 1.0, 5)])
         with pytest.raises(ValueError):
             TX.budget_cut(df, -1)
+
+
+class TestQualityCalibrate:
+    def test_percentiles_by_counting(self, spark):
+        rows = [
+            (1, "en", 0.1), (2, "en", 0.2), (3, "en", 0.2), (4, "en", 0.9),
+            (5, "vi", 0.5),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+        got = {r["doc_id"]: r["pct_rank"] for r in TX.quality_calibrate(df).collect()}
+        # en: cdf(0.1)=1/4, cdf(0.2)=3/4 (both duplicates), cdf(0.9)=1
+        assert got[1] == pytest.approx(0.25, abs=1e-15)
+        assert got[2] == got[3] == pytest.approx(0.75, abs=1e-15)
+        assert got[4] == 1.0
+        # a singleton group is its own distribution
+        assert got[5] == 1.0
+
+    def test_row_count_preserved(self, spark):
+        rows = [(i, "en", float(i % 3)) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+        assert TX.quality_calibrate(df).count() == 30
