@@ -1996,6 +1996,25 @@ def q_quality_calibrate(spark, sf):
     )
 
 
+def q_fairness_gini(spark, sf):
+    """Per-PLD Gini of fetch allocation across hosts
+    (hostctl.fairness_gini): the politeness-fairness census — G=0 equal
+    slots, G→1 monopolized (IRLbot §5's budget-drift signal). Fetch
+    events map onto hosts h0..h39 grouped into 5 synthetic PLDs; all
+    sums exact int64, the coefficient is one division rounded 6."""
+    e = _t(spark, sf, "events")
+    from frontier_engine import hostctl
+
+    fetches = e.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 5).cast("string")).alias("pld"),
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host"),
+    )
+    out = hostctl.fairness_gini(fetches)
+    return out.select(
+        "pld", "n_hosts", "n_fetches", F.round("gini", 6).alias("gini")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2073,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_hist": q_degree_hist,
         "reciprocity": q_reciprocity,
         "quality_calibrate": q_quality_calibrate,
+        "fairness_gini": q_fairness_gini,
         "rrf_hybrid": q_rrf_hybrid,
         "budget_cut": q_budget_cut,
         "vocab_coverage": q_vocab_coverage,
@@ -3733,6 +3753,28 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER (
                        PARTITION BY lang ORDER BY quality ASC), 6) AS pct_rank
             FROM base
+        """,
+        "fairness_gini": r"""
+            WITH f AS (
+                SELECT 'p' || CAST(user_id % 5 AS VARCHAR) AS pld,
+                       'h' || CAST(user_id % 40 AS VARCHAR) AS host
+                FROM events),
+            c AS (SELECT pld, host, CAST(count(*) AS BIGINT) AS n
+                  FROM f GROUP BY pld, host),
+            r AS (SELECT pld, n,
+                         CAST(row_number() OVER (
+                             PARTITION BY pld ORDER BY n ASC, host ASC
+                         ) AS BIGINT) AS i
+                  FROM c)
+            SELECT pld,
+                   CAST(count(*) AS BIGINT) AS n_hosts,
+                   CAST(sum(n) AS BIGINT) AS n_fetches,
+                   round(
+                     (2.0 * CAST(sum(i * n) AS DOUBLE)
+                      - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+                     / (CAST(count(*) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+                   , 6) AS gini
+            FROM r GROUP BY pld
         """,
         "reciprocity": r"""
             WITH e AS (

@@ -695,3 +695,58 @@ def adaptive_delay(
             nxt.alias("next_delay_s"),
         )
     )
+
+
+def fairness_gini(
+    fetches: DataFrame,
+    group_col: str = "pld",
+    host_col: str = "host",
+) -> DataFrame:
+    """Gini coefficient of fetch allocation across hosts, per group —
+    the fairness census a politeness scheduler publishes next to its
+    throughput numbers: G = 0 when every host in the group got the same
+    number of fetch slots, G → 1 when one host monopolized them. IRLbot's
+    budget-control argument (Lee et al., WWW 2009 §5) is exactly that an
+    unbudgeted frontier drifts toward G ≈ 1 on spam-heavy PLDs; this
+    table is how the drift is detected per epoch.
+
+    Uses the rank formulation over per-host counts sorted ascending
+    (tie-broken by host for a total order):
+
+        G = (2·Σ i·n_i − (N+1)·Σ n_i) / (N·Σ n_i)
+
+    with i = 1..N the ascending rank. Every sum is exact int64; the
+    coefficient is ONE IEEE division of two integers (round 6 to hash
+    cross-engine). Output: ``(group, n_hosts, n_fetches, gini)``.
+
+    Scale shape: the corpus collapses to (group, host) counts in one
+    map-side-combined aggregate; the rank window and the final rollup
+    run over HOST cardinality (orders below fetch cardinality),
+    partitioned by group — a mega-group costs one sort of its own
+    host list, never of its fetches."""
+    counts = fetches.groupBy(
+        F.col(group_col).alias("grp"), F.col(host_col).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.col("n").asc(), F.col("h").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("n").cast("long").alias("n_fetches"),
+            F.sum(F.col("i") * F.col("n")).cast("long").alias("_iws"),
+        )
+        .select(
+            group_col,
+            "n_hosts",
+            "n_fetches",
+            (
+                (
+                    F.lit(2.0) * F.col("_iws").cast("double")
+                    - (F.col("n_hosts") + F.lit(1)).cast("double")
+                    * F.col("n_fetches").cast("double")
+                )
+                / (F.col("n_hosts").cast("double") * F.col("n_fetches").cast("double"))
+            ).alias("gini"),
+        )
+    )

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from frontier_engine import hostctl
@@ -451,3 +452,34 @@ def test_adaptive_delay_aimd_rules(spark):
     assert out["fast"]["next_delay_s"] == 2
     assert out["maxed"]["next_delay_s"] == 64
     assert out["floor"]["next_delay_s"] == 1
+
+
+class TestFairnessGini:
+    def test_equal_allocation_is_zero(self, spark):
+        from frontier_engine.hostctl import fairness_gini
+
+        rows = [("p", f"h{i}") for i in range(4) for _ in range(5)]
+        df = spark.createDataFrame(rows, "pld string, host string")
+        (r,) = fairness_gini(df).collect()
+        assert (r["n_hosts"], r["n_fetches"]) == (4, 20)
+        assert r["gini"] == 0.0
+
+    def test_monopoly_approaches_one(self, spark):
+        from frontier_engine.hostctl import fairness_gini
+
+        # one host takes 97 of 100 fetches across 4 hosts
+        rows = [("p", "hog")] * 97 + [("p", "a"), ("p", "b"), ("p", "c")]
+        df = spark.createDataFrame(rows, "pld string, host string")
+        (r,) = fairness_gini(df).collect()
+        # exact: n=[1,1,1,97] -> G = (2*(1+2+3+4*97) - 5*100)/(4*100) = 0.72
+        assert r["gini"] == pytest.approx(0.72, abs=1e-12)
+
+    def test_groups_independent(self, spark):
+        from frontier_engine.hostctl import fairness_gini
+
+        rows = [("p1", "a"), ("p1", "a"), ("p1", "b"), ("p2", "x")]
+        df = spark.createDataFrame(rows, "pld string, host string")
+        got = {r["pld"]: r["gini"] for r in fairness_gini(df).collect()}
+        # p1: n=[1,2] -> (2*(1*1+2*2) - 3*3)/(2*3) = 1/6
+        assert got["p1"] == pytest.approx(1 / 6, abs=1e-12)
+        assert got["p2"] == 0.0
