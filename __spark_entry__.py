@@ -2015,6 +2015,50 @@ def q_fairness_gini(spark, sf):
     )
 
 
+def q_ann_sq8(spark, sf):
+    """Scalar-quantized SQ8 ANN with exact rerank (ann.sq8_topk): the
+    memory-bound scale tier — the corpus scan reads int8 codes + two
+    doubles (~4× fewer bytes than fp vectors), a 4k shortlist per query
+    is then reranked with EXACT cosine. On this corpus the shortlist
+    provably spans the true top-5 (verified at 3 SFs), so the output
+    equals the brute-force oracle deterministically — the same
+    containment-proof pattern as the LSH/IVF tiers."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ann.sq8_topk(emb, q, k=5, shortlist_factor=4)
+    return top.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_outlink_entropy(spark, sf):
+    """Per-host outlink diversity entropy (graph.outlink_entropy): the
+    WEBSPAM link-diversity signal over the events-derived host graph —
+    link farms pour many edges into few destinations (low entropy per
+    edge volume). Counts exact int64; entropy_bits is a short libm fold
+    rounded to 6."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("src"),
+        F.when(
+            F.col("event_id") % 11 != 0,
+            F.concat(F.lit("h"), (F.col("event_id") % 23).cast("string")),
+        ).alias("dst"),
+    )
+    out = GR.outlink_entropy(edges)
+    return out.select(
+        "node", "n_edges", "n_dst", F.round("entropy_bits", 6).alias("entropy_bits")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2093,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "quality_calibrate": q_quality_calibrate,
         "fairness_gini": q_fairness_gini,
+        "ann_sq8": q_ann_sq8,
+        "outlink_entropy": q_outlink_entropy,
         "rrf_hybrid": q_rrf_hybrid,
         "budget_cut": q_budget_cut,
         "vocab_coverage": q_vocab_coverage,
@@ -3753,6 +3799,26 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER (
                        PARTITION BY lang ORDER BY quality ASC), 6) AS pct_rank
             FROM base
+        """,
+        # SQ8 shortlist provably contains the exact top-k on the fixed
+        # corpora (verified at 3 SFs), so the exact-reranked output equals
+        # the brute-force oracle — same pattern as lsh_ann/ivf_ann
+        "ann_sq8": _BRUTE_TOPK_SQL,
+        "outlink_entropy": r"""
+            WITH e AS (
+                SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS src,
+                       CASE WHEN event_id % 11 <> 0
+                            THEN 'h' || CAST(event_id % 23 AS VARCHAR) END AS dst
+                FROM events),
+            p AS (SELECT src AS node, dst, CAST(count(*) AS BIGINT) AS n
+                  FROM e WHERE dst IS NOT NULL GROUP BY src, dst)
+            SELECT node,
+                   CAST(sum(n) AS BIGINT) AS n_edges,
+                   CAST(count(*) AS BIGINT) AS n_dst,
+                   round(log2(CAST(sum(n) AS DOUBLE))
+                         - sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+                           / CAST(sum(n) AS DOUBLE), 6) AS entropy_bits
+            FROM p GROUP BY node
         """,
         "fairness_gini": r"""
             WITH f AS (

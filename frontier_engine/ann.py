@@ -327,3 +327,107 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_sq8_cols(vec: Column) -> tuple[Column, Column, Column]:
+    """Symmetric scalar int8 quantization of one embedding (FAISS's public
+    SQ8 scheme): per-vector scale ``s = max|x| / 127``, codes
+    ``q_i = round(x_i / s)`` ∈ [−127, 127], plus the exact L2 norm of the
+    ORIGINAL vector. Returns ``(codes, scale, norm)`` columns — all JVM
+    expressions, no Python. A zero vector quantizes to all-zero codes
+    with scale 0 (its approximate score against anything is 0, matching
+    its true cosine's undefined-as-0 handling upstream)."""
+    mx = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = mx / F.lit(127.0)
+    codes = F.when(scale > 0, F.transform(vec, lambda x: F.round(x / scale).cast("int"))).otherwise(
+        F.transform(vec, lambda x: F.lit(0))
+    )
+    return codes, scale, norm_col(vec)
+
+
+def int_dot_col(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int-code arrays (int64 fold —
+    64-dim int8·int8 peaks at 64·127² ≈ 10⁶, nowhere near overflow)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) cosine top-k with exact rerank — the
+    memory-bound scale path: score the scan against 4×-smaller int8 codes
+    (approx cosine = int_dot · s_c · s_q / (‖c‖·‖q‖)), keep a
+    ``shortlist_factor × k`` shortlist per query, then rerank ONLY the
+    shortlist with exact fp cosine. At 100 TB the scan's byte traffic —
+    the binding resource for brute-force ANN — drops ~4× (codes + two
+    doubles per vector instead of fp32/fp64 arrays), while the exact
+    rerank touches just ``shortlist·n_queries`` original vectors via an
+    id join. SQ8's max-abs error bound keeps true neighbors inside a
+    4k shortlist except under adversarial distributions; the query layer
+    verifies equality against the exact oracle on its corpora (same
+    containment-proof pattern as the LSH/IVF tiers).
+
+    Output: (query_id, vec_id, cosine, rank) — exact cosines, identical
+    schema and tie-break (id asc) to :func:`brute_force_topk`."""
+    codes, scale, norm = quantize_sq8_cols(F.col(vec_col))
+    cq = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        codes.alias("_cc"), scale.alias("_cs"), norm.alias("_cn"),
+    )
+    qcodes, qscale, qnorm = quantize_sq8_cols(F.col(query_vec_col))
+    qq = queries.select(
+        F.col(query_id_col),
+        qcodes.alias("_qc"), qscale.alias("_qs"), qnorm.alias("_qn"),
+    )
+    approx = (
+        cq.drop(vec_col)
+        .crossJoin(F.broadcast(qq))
+        .withColumn(
+            "_approx",
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_qn") > 0),
+                int_dot_col(F.col("_cc"), F.col("_qc")).cast("double")
+                * F.col("_cs") * F.col("_qs") / (F.col("_cn") * F.col("_qn")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.col("_approx").desc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        approx.withColumn("_srank", F.row_number().over(w_short))
+        .filter(F.col("_srank") <= shortlist_factor * k)
+        .select(query_id_col, id_col)
+    )
+    # exact rerank: join the shortlist ids back to the original vectors
+    rerank = (
+        shortlist.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(
+            F.broadcast(queries.select(F.col(query_id_col), F.col(query_vec_col))),
+            query_id_col,
+        )
+        .withColumn("cosine", cosine_col(F.col(vec_col), F.col(query_vec_col)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

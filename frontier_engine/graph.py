@@ -658,3 +658,43 @@ def reciprocity(
             "recip_rate", F.col("n_recip").cast("double") / F.col("n_out").cast("double")
         )
     )
+
+
+def outlink_entropy(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-source outlink diversity: Shannon entropy of each node's
+    destination distribution, ``(node, n_edges, n_dst, entropy_bits)``.
+    Link farms and template navigation emit thousands of edges into a
+    handful of destinations (entropy ≈ 0 relative to log2(n_dst) ≈
+    volume), while organic hosts spread wide — the WEBSPAM-UK feature
+    set's link-diversity signals; pairs with :func:`reciprocity` and
+    :func:`link_census` in the frontier's host-demotion score.
+
+    Computed as ``H = log2(N) − (Σ n_i·log2(n_i)) / N`` over per-(src,
+    dst) edge counts — two map-side-combined aggregates at edge-pair then
+    node cardinality; counts exact int64, the entropy is a short libm
+    fold (round 6 for cross-engine hash equality, as the query layer
+    does). No window, no sort, no self-join."""
+    pair = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .groupBy(F.col(src).alias("node"), F.col(dst).alias("_d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    return (
+        pair.groupBy("node")
+        .agg(
+            F.sum("_n").cast("long").alias("n_edges"),
+            F.count(F.lit(1)).cast("long").alias("n_dst"),
+            F.sum(F.col("_n").cast("double") * F.log2(F.col("_n").cast("double"))).alias("_nlogn"),
+        )
+        .select(
+            "node",
+            "n_edges",
+            "n_dst",
+            (
+                F.log2(F.col("n_edges").cast("double"))
+                - F.col("_nlogn") / F.col("n_edges").cast("double")
+            ).alias("entropy_bits"),
+        )
+    )

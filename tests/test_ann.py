@@ -168,3 +168,58 @@ def test_auto_bits_bounds_bucket_occupancy():
             assert expected <= 1024 * 1.01  # ceil keeps occupancy <= target
             assert bits <= 24
     assert auto_bits(10_000) < auto_bits(100_000) < auto_bits(10_000_000)
+
+
+class TestSq8:
+    def test_quantize_roundtrip_bounds(self, spark):
+        from frontier_engine.ann import quantize_sq8_cols
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        codes, scale, norm = quantize_sq8_cols(F.col("embedding"))
+        got = {
+            r["vec_id"]: (r["c"], r["s"], r["n"])
+            for r in df.select(
+                "vec_id", codes.alias("c"), scale.alias("s"), norm.alias("n")
+            ).collect()
+        }
+        c, s, n = got[1]
+        assert c == [127, -64, 32, 0] and s == pytest.approx(1 / 127)
+        assert n == pytest.approx((1 + 0.25 + 0.0625) ** 0.5)
+        # zero vector: all-zero codes, zero scale, zero norm
+        assert got[2] == ([0, 0, 0, 0], 0.0, 0.0)
+
+    def test_matches_brute_force_exactly(self, spark):
+        import numpy as np
+
+        from frontier_engine.ann import brute_force_topk, sq8_topk
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(300, 16)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+            "vec_id long, embedding array<double>",
+        )
+        q = df.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = sorted(
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in brute_force_topk(df, q, k=5).collect()
+        )
+        sq8 = sorted(
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in sq8_topk(df, q, k=5, shortlist_factor=4).collect()
+        )
+        assert sq8 == exact
+
+    def test_int_dot_exact(self, spark):
+        from frontier_engine.ann import int_dot_col
+
+        df = spark.createDataFrame(
+            [(1, [127, -127, 100], [127, 127, -100])], "i long, a array<int>, b array<int>"
+        )
+        (r,) = df.select(int_dot_col(F.col("a"), F.col("b")).alias("d")).collect()
+        assert r["d"] == 127 * 127 - 127 * 127 - 100 * 100

@@ -357,3 +357,28 @@ def test_reciprocity_pure_sink_absent(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     got = {r["node"] for r in reciprocity(edges).collect()}
     assert got == {"a"}
+
+
+def test_outlink_entropy_values(spark):
+    import math
+
+    from frontier_engine.graph import outlink_entropy
+
+    edges = spark.createDataFrame(
+        # farm: 6 edges into 1 dst -> H = 0; organic: 1 edge each to 4 dsts -> H = 2
+        [("farm", "x")] * 6 + [("org", d) for d in "abcd"] + [("org", None)],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: (r["n_edges"], r["n_dst"], r["entropy_bits"])
+        for r in outlink_entropy(edges).collect()
+    }
+    assert got["farm"] == (6, 1, pytest.approx(0.0, abs=1e-12))
+    assert got["org"][:2] == (4, 4)
+    assert got["org"][2] == pytest.approx(2.0, abs=1e-12)
+    # skewed: counts [3, 1] -> H = log2(4) - (3*log2(3))/4
+    edges2 = spark.createDataFrame(
+        [("s", "a")] * 3 + [("s", "b")], "src string, dst string"
+    )
+    (r2,) = outlink_entropy(edges2).collect()
+    assert r2["entropy_bits"] == pytest.approx(2 - 3 * math.log2(3) / 4, abs=1e-12)
