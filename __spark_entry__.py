@@ -2059,6 +2059,69 @@ def q_outlink_entropy(spark, sf):
     )
 
 
+def q_bfs_depth(spark, sf):
+    """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
+    whitelist over the orders-derived 100-node link graph (custkey%100 ->
+    orderkey%100, self-loops dropped), seeds = graph nodes divisible by
+    10, depth cap 6 — the spider-trap depth guard and TrustRank's
+    "distance from trusted seeds" metric in census form. One wavefront
+    hash join + anti-join per level, wavefront-proportional work,
+    localCheckpoint-cut lineage; depth is partitioning-invariant so the
+    result is exact. The DuckDB oracle is a depth-capped recursive CTE
+    with a min-depth rollup."""
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 10 == 0)
+    return GR.bfs_depth(edges, seeds, max_depth=6)
+
+
+def q_harmonic(spark, sf):
+    """Exact harmonic centrality (graph.harmonic_centrality, Boldi &
+    Vigna's axiomatically-sound authority score) over a 60-node
+    orders-derived graph, depth cap 6: H(v) = sum of 1/d(u,v) over
+    incoming shortest paths. Exact all-sources BFS — O(V^2) pair state,
+    the small-graph diagnostic twin of the HyperBall sketch path
+    (q_hyperball). The DuckDB oracle runs the same census as a recursive
+    CTE over (root, node) pairs with min-depth rollup; the harmonic sum
+    is short rationals, rounded 6 dp both sides."""
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 60).alias("src"),
+        (F.col("o_orderkey") % 60).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    out = GR.harmonic_centrality(edges, max_depth=6)
+    return out.select(
+        "node", "n_reach", F.round("harmonic", 6).alias("harmonic")
+    )
+
+
+def q_hyperball(spark, sf):
+    """HyperBall (graph.hyperball, Boldi & Vigna 2013): the neighborhood
+    function of the 100-node orders graph by per-node HyperLogLog
+    counters, p=6, radii 0..4 — the O(V * 2^p) sketch that replaces the
+    O(V^2) exact census at 10^10-URL scale (one registers ⋈ edges
+    shuffle + map-side-combined register max per round). ENGINE-EXACT:
+    portable md5-prefix registers, integer bit-length ranks, harmonic
+    sum as exact BIGINT s_scaled — so the DuckDB oracle (rounds unrolled
+    as chained CTEs) reproduces every register and the estimate to the
+    bit, and this checks the SKETCH ITSELF, not a statistical claim."""
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    balls = GR.hyperball(edges, p=6, max_depth=4)
+    return balls.select("node", "radius", "v_zero", "s_scaled", "est")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2157,11 +2220,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "zorder": q_zorder,
         "adaptive_delay": q_adaptive_delay,
+        "bfs_depth": q_bfs_depth,
+        "harmonic": q_harmonic,
+        "hyperball": q_hyperball,
     }
 
 
 _VI = TX.VI_CHARS
 _SW = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+
+
+def _graph_edges_cte(mod: int) -> str:
+    """The shared orders-derived test graph as a distinct-edge CTE."""
+    return (
+        f"e AS (SELECT DISTINCT (o_custkey % {mod}) AS src,"
+        f" (o_orderkey % {mod}) AS dst FROM orders"
+        f" WHERE (o_custkey % {mod}) <> (o_orderkey % {mod}))"
+    )
+
+
+def _bfs_oracle_sql(mod: int = 100, max_depth: int = 6) -> str:
+    """Depth-capped recursive-CTE twin of graph.bfs_depth: DuckDB's
+    recursive UNION dedups (node, depth) rows, the cap bounds recursion,
+    and min(depth) per node is the BFS distance."""
+    return f"""
+        WITH RECURSIVE {_graph_edges_cte(mod)},
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        walk(node, depth) AS (
+            SELECT node, CAST(0 AS BIGINT) FROM nodes WHERE node % 10 = 0
+            UNION
+            SELECT e.dst, w.depth + 1 FROM walk w
+            JOIN e ON e.src = w.node WHERE w.depth < {max_depth}
+        )
+        SELECT node, min(depth) AS depth FROM walk GROUP BY node
+    """
+
+
+def _harmonic_oracle_sql(mod: int = 60, max_depth: int = 6) -> str:
+    """Recursive-CTE twin of graph.harmonic_centrality over (root, node)
+    pairs; min-depth rollup then the harmonic fold, forced DOUBLE."""
+    return f"""
+        WITH RECURSIVE {_graph_edges_cte(mod)},
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        walk(root, node, depth) AS (
+            SELECT node, node, CAST(0 AS BIGINT) FROM nodes
+            UNION
+            SELECT w.root, e.dst, w.depth + 1 FROM walk w
+            JOIN e ON e.src = w.node WHERE w.depth < {max_depth}
+        ),
+        d AS (SELECT root, node, min(depth) AS depth FROM walk
+              GROUP BY root, node)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_reach,
+               round(sum(CAST(1.0 AS DOUBLE) / CAST(depth AS DOUBLE)), 6)
+                   AS harmonic
+        FROM d WHERE depth > 0 GROUP BY node
+    """
+
+
+def _hyperball_oracle_sql(p: int = 6, rounds: int = 4, mod: int = 100) -> str:
+    """Unrolled-round DuckDB twin of graph.hyperball: register init from
+    the portable 60-bit md5 prefix, per round one UNION ALL + group-max
+    (exactly sketch.hll_merge), then the hll_estimate readout per radius
+    — every constant injected from the same Python source as the Spark
+    side, so the comparison is bit-exact on (v_zero, s_scaled)."""
+    m = 1 << p
+    w_bits = 60 - p
+    top = w_bits + 1
+    num = repr(SK._alpha(m) * m * m * (2.0 ** top))
+    ctes = [
+        _graph_edges_cte(mod),
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h AS (SELECT node, CAST('0x' || substr(md5(CAST(node AS VARCHAR)),"
+        " 1, 15) AS BIGINT) AS h FROM nodes)",
+        f"b0 AS (SELECT node, h % {m} AS reg,"
+        f" CAST(CASE WHEN h // {m} = 0 THEN {top}"
+        f" ELSE {top} - length(bin(h // {m})) END AS BIGINT) AS rank_max"
+        f" FROM h)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"b{r} AS (SELECT node, reg, max(rank_max) AS rank_max FROM ("
+            f"SELECT node, reg, rank_max FROM b{r - 1}"
+            f" UNION ALL SELECT e.dst AS node, b.reg, b.rank_max"
+            f" FROM b{r - 1} b JOIN e ON e.src = b.node) GROUP BY node, reg)"
+        )
+    per_radius = []
+    for r in range(rounds + 1):
+        per_radius.append(
+            f"SELECT node, radius, v_zero, s_scaled,"
+            f" round(CASE WHEN {num} / s_scaled <= {2.5 * m!r}"
+            f" AND v_zero > 0"
+            f" THEN {float(m)!r} * ln({float(m)!r} / v_zero)"
+            f" ELSE {num} / s_scaled END, 6) AS est FROM ("
+            f"SELECT node, CAST({r} AS BIGINT) AS radius,"
+            f" CAST({m} - count(*) AS BIGINT) AS v_zero,"
+            f" CAST(sum(CAST(1 AS BIGINT) << ({top} - rank_max))"
+            f" + ({m} - count(*)) * (CAST(1 AS BIGINT) << {top})"
+            f" AS BIGINT) AS s_scaled FROM b{r} GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT node, radius, v_zero, s_scaled, est FROM (\n"
+        + "\nUNION ALL\n".join(per_radius)
+        + "\n)"
+    )
 
 
 def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
@@ -4309,4 +4471,7 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS next_delay_s
             FROM q JOIN d ON d.host = q.host
         """,
+        "bfs_depth": _bfs_oracle_sql(mod=100, max_depth=6),
+        "harmonic": _harmonic_oracle_sql(mod=60, max_depth=6),
+        "hyperball": _hyperball_oracle_sql(p=6, rounds=4, mod=100),
     }

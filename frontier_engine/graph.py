@@ -698,3 +698,275 @@ def outlink_entropy(
             ).alias("entropy_bits"),
         )
     )
+
+# ------------------------------------------------- distance / centrality
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Crawl-depth census: BFS distance from a seed set over the link
+    graph, ``(node, depth)`` for every node reachable within
+    ``max_depth`` hops (seeds at depth 0).
+
+    This is the graph-side twin of the crawl loop's epoch counter — the
+    reference hard-wires a two-level walk (store list -> category pages,
+    ``/root/reference/crawler/main.py``), while an open-web frontier
+    budgets by *discovered* depth: depth caps are the classic spider-trap
+    guard and "distance from the seed whitelist" is TrustRank's
+    propagation metric in its simplest form. Running this census over
+    persisted ``link_edges`` tells an operator how deep the crawl
+    actually penetrated and which hosts only appear far from trusted
+    seeds.
+
+    Plan shape: one shuffle per level — the frontier ⋈ edges hash join,
+    then a left-anti probe against the known set (both sides partition
+    on the node key). The frontier DataFrame is the *newly discovered*
+    layer only, so per-round work is proportional to the BFS wavefront,
+    not the visited set; lineage is cut per round with localCheckpoint
+    (the repo's standard driver-loop idiom, as in :func:`pagerank`).
+    The loop probes the wavefront for emptiness (one cheap job) and
+    stops early — depth is partitioning-invariant, so the result is
+    byte-deterministic at any parallelism.
+    """
+    if max_depth < 0:
+        raise ValueError("bfs_depth: max_depth must be >= 0")
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .persist()
+    )
+    try:
+        dist = (
+            seeds.select(F.col(node).alias("node"))
+            .distinct()
+            .withColumn("depth", F.lit(0).cast("long"))
+            .localCheckpoint()
+        )
+        frontier = dist
+        for k in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["_s"])
+                .select(F.col("_d").alias("node"))
+                .distinct()
+            )
+            new = (
+                nxt.join(dist, "node", "left_anti")
+                .withColumn("depth", F.lit(k).cast("long"))
+                .localCheckpoint()
+            )
+            if new.isEmpty():
+                break
+            dist = dist.unionByName(new).localCheckpoint()
+            frontier = new
+        return dist
+    finally:
+        e.unpersist()
+
+
+def pairwise_distances(
+    edges: DataFrame,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact all-sources BFS: ``(root, node, depth)`` — the shortest
+    directed path length from ``root`` to ``node`` for every ordered
+    pair within ``max_depth`` hops (including ``(v, v, 0)``).
+
+    State is O(V^2) pairs, so this is the small-graph DIAGNOSTIC tool
+    (host graphs, seed neighborhoods) and the exactness oracle for
+    :func:`hyperball`, which computes the same neighborhood function in
+    O(V * 2^p) sketch state — at 10^10 URLs only the sketch survives.
+
+    Same wavefront loop as :func:`bfs_depth`, keyed by (root, node):
+    one hash join + one anti-join per level, wavefront-proportional
+    work, localCheckpoint-cut lineage, deterministic at any parallelism.
+    """
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .unionByName(e.select(F.col("_d").alias("node")))
+            .distinct()
+        )
+        dist = (
+            nodes.select(
+                F.col("node").alias("root"),
+                "node",
+                F.lit(0).cast("long").alias("depth"),
+            )
+        ).localCheckpoint()
+        frontier = dist
+        for k in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["_s"])
+                .select("root", F.col("_d").alias("node"))
+                .distinct()
+            )
+            new = (
+                nxt.join(dist, ["root", "node"], "left_anti")
+                .withColumn("depth", F.lit(k).cast("long"))
+                .localCheckpoint()
+            )
+            if new.isEmpty():
+                break
+            dist = dist.unionByName(new).localCheckpoint()
+            frontier = new
+        return dist
+    finally:
+        e.unpersist()
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    Centrality"): ``H(v) = sum over u != v reachable of 1 / d(u, v)``,
+    distances along edge direction (incoming paths — on web graphs this
+    is the authority flavor: pages many others reach quickly rank high).
+
+    Returns ``(node, n_reach, harmonic)`` where ``n_reach`` counts
+    ``u != v`` with ``d(u, v) <= max_depth``. Built on
+    :func:`pairwise_distances`, so exact and O(V^2) — the sketch-backed
+    scale path is :func:`hyperball` + :func:`hyperball_harmonic`.
+    Arithmetic: a sum of 1/k for small-integer k — one map-side-combined
+    aggregate; round to 6 dp for cross-engine hash equality (the query
+    layer does).
+    """
+    d = pairwise_distances(edges, max_depth=max_depth, src=src, dst=dst)
+    return (
+        d.filter(F.col("depth") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reach"),
+            F.sum(F.lit(1.0) / F.col("depth").cast("double")).alias("harmonic"),
+        )
+    )
+
+
+def hyperball(
+    edges: DataFrame,
+    p: int = 6,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function by
+    HyperLogLog counters — ``(node, radius, v_zero, s_scaled, est)``
+    where ``est`` estimates ``|{u : d(u -> node) <= radius}|``.
+
+    The exact census (:func:`pairwise_distances`) carries O(V^2) state;
+    HyperBall carries one 2^p-register sketch per node and converges in
+    diameter rounds — the formulation that computed centralities on the
+    85-billion-edge Facebook graph, and the only one that survives a
+    10^10-URL link graph. Per round the update is
+    ``ball_r(v) = merge(ball_{r-1}(v), union of ball_{r-1}(u) for u->v)``
+    — register-wise max, i.e. exactly :func:`sketch.hll_merge` semantics
+    over the sparse ``(node, reg, rank_max)`` register table.
+
+    ENGINE-EXACT, like everything in ``sketch``: registers hash with the
+    portable 60-bit md5 prefix and ranks are integer bit-lengths, so an
+    independent SQL engine reproduces every register and the estimate to
+    the literal bit (the query layer's DuckDB oracle unrolls the rounds
+    as chained CTEs). Plan shape per round: ONE shuffle — registers ⋈
+    edges feeding a map-side-combined groupBy(node, reg) max; sketch
+    rows per node cap at 2^p regardless of ball size, so a mega-hub's
+    billion-URL ball costs the same 64 rows as a leaf's.
+    """
+    from .sketch import _HASH_BITS, hll_estimate
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"hyperball: p={p} out of range [4, 16]")
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .unionByName(e.select(F.col("_d").alias("node")))
+            .distinct()
+        )
+        h = F.conv(
+            F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        w = F.shiftright(h, p)
+        rank = (
+            F.when(w == 0, F.lit(w_bits + 1))
+            .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+            .cast("long")
+        )
+        regs = nodes.select(
+            "node", (h % m).cast("long").alias("reg"), rank.alias("rank_max")
+        ).localCheckpoint()
+        out = hll_estimate(regs, ["node"], p).withColumn(
+            "radius", F.lit(0).cast("long")
+        )
+        balls = [out]
+        for r in range(1, max_depth + 1):
+            contrib = regs.join(e, regs["node"] == e["_s"]).select(
+                F.col("_d").alias("node"), "reg", "rank_max"
+            )
+            regs = (
+                regs.unionByName(contrib)
+                .groupBy("node", "reg")
+                .agg(F.max("rank_max").alias("rank_max"))
+                .localCheckpoint()
+            )
+            balls.append(
+                hll_estimate(regs, ["node"], p).withColumn(
+                    "radius", F.lit(r).cast("long")
+                )
+            )
+        allb = balls[0]
+        for b in balls[1:]:
+            allb = allb.unionByName(b)
+        return allb.select("node", "radius", "v_zero", "s_scaled", "est")
+    finally:
+        e.unpersist()
+
+
+def hyperball_harmonic(balls: DataFrame) -> DataFrame:
+    """Read harmonic-centrality estimates out of a :func:`hyperball`
+    table: ``H(v) ~= sum over r >= 1 of (est_r - est_{r-1}) / r``
+    (each shell's estimated new-node count, harmonically discounted).
+
+    Returns ``(node, n_reach_est, harmonic_est)`` with ``n_reach_est``
+    the max-radius ball estimate minus 1 (the node itself). Shell
+    increments clamp at 0 — HLL estimates are monotone here by
+    construction (register-wise max only grows), but the clamp makes
+    that a guarantee, not an assumption. One per-node window over
+    ``radius`` (a handful of rows per node — diameter-bounded), then one
+    map-side-combined aggregate.
+    """
+    w = Window.partitionBy("node").orderBy("radius")
+    shell = balls.withColumn("_prev", F.lag("est", 1).over(w)).filter(
+        F.col("radius") > 0
+    )
+    inc = F.greatest(F.col("est") - F.col("_prev"), F.lit(0.0))
+    return (
+        shell.groupBy("node")
+        .agg(
+            (F.max(F.col("est")) - F.lit(1.0)).alias("n_reach_est"),
+            F.sum(inc / F.col("radius").cast("double")).alias("harmonic_est"),
+        )
+    )

@@ -382,3 +382,153 @@ def test_outlink_entropy_values(spark):
     )
     (r2,) = outlink_entropy(edges2).collect()
     assert r2["entropy_bits"] == pytest.approx(2 - 3 * math.log2(3) / 4, abs=1e-12)
+
+
+# ------------------------------------------------- BFS / harmonic / HyperBall
+
+
+def _py_bfs(edges, seeds, max_depth):
+    """Independent python BFS: {node: depth} within max_depth."""
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for k in range(1, max_depth + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = k
+                    nxt.add(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_depth_matches_python(spark):
+    from frontier_engine.graph import bfs_depth
+
+    # deterministic pseudo-random graph with a cycle and a far tail
+    edges = [((i * 7) % 23, (i * 13 + 5) % 23) for i in range(60)]
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (1,)], ["node"])
+    got = {r["node"]: r["depth"] for r in bfs_depth(e, seeds, max_depth=8).collect()}
+    want = _py_bfs(edges, [0, 1], 8)
+    assert got == want
+
+
+def test_bfs_depth_unreachable_and_seed_zero(spark):
+    from frontier_engine.graph import bfs_depth
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (9, 9), (5, 6)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["depth"] for r in bfs_depth(e, seeds, max_depth=8).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # 5,6,9 unreachable -> absent
+
+
+def test_bfs_depth_cap_exact(spark):
+    from frontier_engine.graph import bfs_depth
+
+    chain = [(i, i + 1) for i in range(6)]
+    e = spark.createDataFrame(chain, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["depth"] for r in bfs_depth(e, seeds, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_harmonic_matches_python(spark):
+    from frontier_engine.graph import harmonic_centrality
+
+    edges = [((i * 7) % 17, (i * 11 + 3) % 17) for i in range(40)]
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["n_reach"], r["harmonic"])
+        for r in harmonic_centrality(e, max_depth=8).collect()
+    }
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    want = {}
+    for v in nodes:
+        n_reach, h = 0, 0.0
+        for u in nodes:
+            d = _py_bfs(edges, [u], 8).get(v)
+            if u != v and d is not None:
+                n_reach += 1
+                h += 1.0 / d
+        if n_reach:
+            want[v] = (n_reach, h)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == want[v][0]
+        assert got[v][1] == pytest.approx(want[v][1], rel=1e-9)
+
+
+def test_hyperball_monotone_deterministic_and_accurate(spark):
+    from frontier_engine.graph import hyperball
+
+    edges = [((i * 7) % 29, (i * 13 + 5) % 29) for i in range(80)]
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    balls = hyperball(e, p=6, max_depth=5).collect()
+    # monotone: register-wise max only grows, so est never shrinks
+    by_node: dict = {}
+    for r in balls:
+        by_node.setdefault(r["node"], []).append((r["radius"], r["est"]))
+    for seq in by_node.values():
+        seq.sort()
+        ests = [x for _, x in seq]
+        assert ests == sorted(ests)
+    # deterministic across partitioning: md5-exact registers
+    again = hyperball(e.repartition(7), p=6, max_depth=5).collect()
+    key = lambda r: (r["node"], r["radius"])  # noqa: E731
+    assert sorted(((r["node"], r["radius"], r["v_zero"], r["s_scaled"]) for r in balls)) == sorted(
+        ((r["node"], r["radius"], r["v_zero"], r["s_scaled"]) for r in again)
+    )
+    # accuracy: final ball estimate within HLL tolerance of the exact
+    # in-ball size (p=6 -> sigma ~13%; allow 40% on a 29-node graph)
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    for v in nodes:
+        exact = 1 + sum(
+            1
+            for u in nodes
+            if u != v and _py_bfs(edges, [u], 5).get(v) is not None
+        )
+        est = max(x for _, x in by_node[v])
+        assert abs(est - exact) / exact < 0.40, (v, est, exact)
+
+
+def test_hyperball_harmonic_tracks_exact(spark):
+    from frontier_engine.graph import (
+        harmonic_centrality,
+        hyperball,
+        hyperball_harmonic,
+    )
+
+    edges = [((i * 5) % 19, (i * 11 + 2) % 19) for i in range(50)]
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    exact = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(e, max_depth=6).collect()
+    }
+    est = {
+        r["node"]: r["harmonic_est"]
+        for r in hyperball_harmonic(hyperball(e, p=8, max_depth=6)).collect()
+    }
+    # every exactly-central node gets an estimate in the right ballpark;
+    # tolerance is relative-or-absolute: on tiny balls a single reg+rank
+    # collision legitimately offsets the estimate by ~1 element
+    for v, h in exact.items():
+        assert v in est
+        assert abs(est[v] - h) < max(0.40 * h, 1.2), (v, est[v], h)
+
+
+def test_hyperball_rejects_bad_p(spark):
+    from frontier_engine.graph import hyperball
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        hyperball(e, p=3)
