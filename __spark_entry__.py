@@ -2059,6 +2059,32 @@ def q_outlink_entropy(spark, sf):
     )
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (ann.semantic_dedup, Abbas et al. 2023): k-means cluster
+    the embedding corpus, then within-cluster pairwise cosine >= 0.99
+    drops every lower-id duplicate — the embedding-space dedup that
+    catches templated/syndicated text lexical dedup misses. Plants exact
+    duplicates (vec_id+100000 of vec_id<20) like q_embedding_near_dup;
+    identical vectors provably land in the SAME cluster (same argmax),
+    and random 64-dim embeddings have no 0.99-cosine pairs, so the
+    within-cluster greedy equals the global one and the DuckDB oracle is
+    the exact global NOT-EXISTS brute force. Assignment is one broadcast-
+    centroid Arrow pass; the pairwise stage shuffles on cluster only."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    planted = emb.unionByName(dup)
+    cents = ann.train_ivf_centroids(planted, dim=64, n_centroids=8)
+    out = ann.semantic_dedup(planted, cents, threshold=0.99)
+    return out.select("id", "keep")
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2223,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depth": q_bfs_depth,
         "harmonic": q_harmonic,
         "hyperball": q_hyperball,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -4474,4 +4501,19 @@ def oracle_sql() -> dict[str, str]:
         "bfs_depth": _bfs_oracle_sql(mod=100, max_depth=6),
         "harmonic": _harmonic_oracle_sql(mod=60, max_depth=6),
         "hyperball": _hyperball_oracle_sql(p=6, rounds=4, mod=100),
+        "semantic_dedup": """
+            WITH planted AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings WHERE vec_id < 20),
+            dup AS (
+              SELECT DISTINCT b.vec_id AS id
+              FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99)
+            SELECT p.vec_id AS id, (d.id IS NULL) AS keep
+            FROM planted p LEFT JOIN dup d ON d.id = p.vec_id
+        """,
     }

@@ -431,3 +431,61 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering then within-cluster pairwise
+    cosine — returns ``(id, cluster, keep)`` where ``keep`` is false for
+    every row with a LOWER-id cluster-mate at cosine >= threshold
+    (deterministic keep-first; the paper keeps one random member per
+    duplicate neighborhood, this engine keeps min id so reruns are
+    byte-identical).
+
+    This is the embedding-space generalization of MinHash near-dup: web
+    corpora carry huge volumes of semantically-identical-but-lexically-
+    distinct text (templated product pages, syndicated articles) that
+    token-level dedup never pairs up; SemDeDup removed ~50% of LAION/C4
+    class corpora at negligible quality cost.
+
+    Scale shape: assignment is one broadcast-centroid pandas-UDF pass
+    (matrix multiply per Arrow batch, as :func:`ivf_topk`); the pairwise
+    stage shuffles on ``cluster`` and is quadratic only WITHIN a cluster
+    — the paper's own cost model; grow ``n_centroids`` with the corpus
+    (as :func:`auto_bits` does for LSH) to hold per-cluster work
+    bounded. No global sort, no all-pairs: the duplicate-id set is a
+    cluster-keyed self-join projecting ids only, and verdicts join back
+    by id.
+    """
+    assign = ivf_assign_udf(centroids, 1)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
+    )
+    a = c.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = c.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        c.select("id", "cluster")
+        .join(dropped, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -223,3 +223,49 @@ class TestSq8:
         )
         (r,) = df.select(int_dot_col(F.col("a"), F.col("b")).alias("d")).collect()
         assert r["d"] == 127 * 127 - 127 * 127 - 100 * 100
+
+
+def test_semantic_dedup_keep_first_and_chains(spark):
+    import numpy as np
+
+    # 3 well-separated directions; duplicates planted along each
+    base = np.eye(4)
+    rows = [
+        (0, base[0].tolist()),          # kept (lowest id of its pair)
+        (1, base[1].tolist()),          # kept
+        (2, base[0].tolist()),          # exact dup of 0 -> dropped
+        (3, (base[1] * 2.0).tolist()),  # scaled dup of 1 (cos=1) -> dropped
+        (4, base[2].tolist()),          # kept, alone in its cluster
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ann.train_ivf_centroids(corpus, dim=4, n_centroids=3, sample_rows=16)
+    out = {
+        r["id"]: (r["keep"], r["cluster"])
+        for r in ann.semantic_dedup(corpus, cents, threshold=0.99).collect()
+    }
+    assert {i: k for i, (k, _) in out.items()} == {
+        0: True, 1: True, 2: False, 3: False, 4: True,
+    }
+    # duplicates share their keeper's cluster (identical argmax)
+    assert out[0][1] == out[2][1]
+    assert out[1][1] == out[3][1]
+
+
+def test_semantic_dedup_deterministic_across_partitioning(spark, corpus):
+    emb = corpus.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cents = ann.train_ivf_centroids(emb, dim=64, n_centroids=8)
+    a = sorted(
+        (r["id"], r["cluster"], r["keep"])
+        for r in ann.semantic_dedup(emb, cents, threshold=0.95).collect()
+    )
+    b = sorted(
+        (r["id"], r["cluster"], r["keep"])
+        for r in ann.semantic_dedup(emb.repartition(13), cents, threshold=0.95).collect()
+    )
+    assert a == b
+    assert len(a) == emb.count()  # verdict for every row
