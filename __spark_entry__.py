@@ -2520,19 +2520,34 @@ _MINHASH_PAIRS_SQL = f"""
             WHERE i/(na+nb-i) >= 0.5
 """
 
-_QUALITY_SQL = f"""
-SELECT doc_id, round(
-  least(1.0, n/200.0) * 0.25
-  + (1 - least(((n - len(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'))) / n) * 4, 1.0)) * 0.25
-  + (1 - least(((n - len(regexp_replace(lower(text), '[0-9]', '', 'g'))) / n) * 4, 1.0)) * 0.2
-  + (1 - (len(list_filter({_TOKS}, x -> len(x) < 2)) / nt)) * 0.15
-  + least((n / nt) / 8, 1.0) * 0.15
-, 6) AS quality
-FROM (SELECT doc_id, text,
-             greatest(len(text), 1) AS n,
-             greatest(len({_TOKS}), 1) AS nt
+def _qscore_sql(extra: str = "") -> str:
+    """Exact-integer twin of textops.quality_score_col: HUGEINT arithmetic +
+    integral division reproduce Spark's decimal(38,0) path bit-for-bit at
+    any SF (no engine-dependent float rounding at x.xxxxxx5 boundaries).
+    `extra` threads additional passthrough columns (e.g. ', lang')."""
+    return f"""
+SELECT doc_id{extra}, CAST(
+  (2000000::HUGEINT * (
+      least(n, 200::HUGEINT) * n * nt
+      + 200::HUGEINT * nt * (n - least(4::HUGEINT * p, n))
+      + 160::HUGEINT * nt * (n - least(4::HUGEINT * d, n))
+      + 120::HUGEINT * n * (nt - s)
+      + 15::HUGEINT * n * least(n, 8::HUGEINT * nt)
+  ) + 800::HUGEINT * n * nt) // (1600::HUGEINT * n * nt)
+  AS DOUBLE) / 1000000.0 AS quality
+FROM (SELECT doc_id{extra}, text,
+             CAST(greatest(len(text), 1) AS HUGEINT) AS n,
+             CAST(greatest(len({_TOKS}), 1) AS HUGEINT) AS nt,
+             CAST(greatest(len(text), 1)
+                  - len(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')) AS HUGEINT) AS p,
+             CAST(greatest(len(text), 1)
+                  - len(regexp_replace(lower(text), '[0-9]', '', 'g')) AS HUGEINT) AS d,
+             CAST(len(list_filter({_TOKS}, x -> len(x) < 2)) AS HUGEINT) AS s
       FROM documents)
 """
+
+
+_QUALITY_SQL = _qscore_sql()
 
 _LANG_SQL = f"""
 SELECT doc_id,
@@ -3971,19 +3986,7 @@ def oracle_sql() -> dict[str, str]:
             FROM i GROUP BY CAST(length(bin(degree)) - 1 AS BIGINT)
         """,
         "quality_calibrate": f"""
-            WITH base AS (
-                SELECT doc_id, lang,
-                       round(
-                         least(1.0, n/200.0) * 0.25
-                         + (1 - least(((n - len(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'))) / n) * 4, 1.0)) * 0.25
-                         + (1 - least(((n - len(regexp_replace(lower(text), '[0-9]', '', 'g'))) / n) * 4, 1.0)) * 0.2
-                         + (1 - (len(list_filter({_TOKS}, x -> len(x) < 2)) / nt)) * 0.15
-                         + least((n / nt) / 8, 1.0) * 0.15
-                       , 6) AS quality
-                FROM (SELECT doc_id, lang, text,
-                             greatest(len(text), 1) AS n,
-                             greatest(len({_TOKS}), 1) AS nt
-                      FROM documents))
+            WITH base AS ({_qscore_sql(", lang").strip()})
             SELECT doc_id, lang, quality,
                    round(cume_dist() OVER (
                        PARTITION BY lang ORDER BY quality ASC), 6) AS pct_rank
@@ -4099,20 +4102,11 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY doc_id
         """,
         "budget_cut": f"""
-            WITH base AS (
-                SELECT doc_id,
-                       round(
-                         least(1.0, n/200.0) * 0.25
-                         + (1 - least(((n - len(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'))) / n) * 4, 1.0)) * 0.25
-                         + (1 - least(((n - len(regexp_replace(lower(text), '[0-9]', '', 'g'))) / n) * 4, 1.0)) * 0.2
-                         + (1 - (len(list_filter({_TOKS}, x -> len(x) < 2)) / nt)) * 0.15
-                         + least((n / nt) / 8, 1.0) * 0.15
-                       , 6) AS quality,
-                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
-                FROM (SELECT doc_id, text,
-                             greatest(len(text), 1) AS n,
-                             greatest(len({_TOKS}), 1) AS nt
-                      FROM documents)),
+            WITH q AS ({_qscore_sql().strip()}),
+            base AS (
+                SELECT q.doc_id, q.quality, t.n_tokens
+                FROM q JOIN (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                             FROM documents) t USING (doc_id)),
             tot AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS b FROM base),
             c AS (SELECT doc_id, quality, n_tokens,
                          CAST(sum(n_tokens) OVER (

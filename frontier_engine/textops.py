@@ -467,24 +467,48 @@ def lang_id_col(text: Column) -> Column:
 def quality_score_col(text: Column) -> Column:
     """Composite [0,1] quality score (expression-only): penalizes extreme
     length, high punctuation/digit density, one-char tokens — the classic
-    pre-training corpus filters, cf. C4's min-token-length rule."""
+    pre-training corpus filters, cf. C4's min-token-length rule.
+
+    score = 0.25*min(n,200)/200 + 0.25*(1 - min(4p/n, 1))
+          + 0.20*(1 - min(4d/n, 1)) + 0.15*(1 - s/nt)
+          + 0.15*min(n/(8*nt), 1)
+    with n = max(len, 1) chars, nt = max(tokens, 1), p punct chars,
+    d digit chars, s one-char tokens.
+
+    Evaluated in EXACT integer arithmetic: the score is the rational
+    P / (800*n*nt) and the 6-decimal half-up rounding is an integral
+    division, so the emitted double is bit-identical across engines at
+    any SF. Rounding the float directly is engine-dependent at
+    x.xxxxxx5 boundaries (Spark rounds the exact BigDecimal expansion;
+    DuckDB rounds x*1e6 in float) — the round-3 "6-row ulp artifact".
+    decimal(38,0) (HUGEINT on the oracle side) keeps 2e6*P exact for
+    documents far beyond int64's ~95k-char limit."""
+    DEC = "decimal(38,0)"
     lower = F.lower(text)
-    n = F.greatest(F.length(lower), F.lit(1))
+    n = F.greatest(F.length(lower), F.lit(1)).cast(DEC)
     toks = F.filter(F.split(lower, r"\s+"), lambda t: F.length(t) >= 1)
-    n_toks = F.greatest(F.size(toks), F.lit(1))
-    punct_ratio = (n - F.length(F.regexp_replace(lower, r"[^\w\s]", ""))) / n
-    digit_ratio = (n - F.length(F.regexp_replace(lower, r"[0-9]", ""))) / n
-    short_ratio = F.size(F.filter(toks, lambda t: F.length(t) < 2)) / n_toks
-    mean_tok_len = n / n_toks
-    len_score = F.least(F.lit(1.0), n / F.lit(200.0))
-    score = (
-        len_score * 0.25
-        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.25
-        + (1 - F.least(digit_ratio * 4, F.lit(1.0))) * 0.2
-        + (1 - short_ratio) * 0.15
-        + F.least(mean_tok_len / 8, F.lit(1.0)) * 0.15
+    nt = F.greatest(F.size(toks), F.lit(1)).cast(DEC)
+    p = n - F.length(F.regexp_replace(lower, r"[^\w\s]", "")).cast(DEC)
+    d = n - F.length(F.regexp_replace(lower, r"[0-9]", "")).cast(DEC)
+    s = F.size(F.filter(toks, lambda t: F.length(t) < 2)).cast(DEC)
+
+    def dec(v: int) -> Column:
+        return F.lit(v).cast(DEC)
+
+    num = (
+        F.least(n, dec(200)) * n * nt
+        + dec(200) * nt * (n - F.least(dec(4) * p, n))
+        + dec(160) * nt * (n - F.least(dec(4) * d, n))
+        + dec(120) * n * (nt - s)
+        + dec(15) * n * F.least(n, dec(8) * nt)
     )
-    return F.round(score, 6)
+    den = dec(800) * n * nt
+    # round-half-up(num/den, 6) == floor((2e6*num + den) / (2*den)); the
+    # subtract-pmod form keeps the decimal division itself exact-integer.
+    a = dec(2_000_000) * num + den
+    b = dec(2) * den
+    score6 = ((a - F.pmod(a, b)) / b).cast("long")
+    return score6.cast("double") / F.lit(1000000.0)
 
 
 TOKEN_REGEX = r"[A-Za-zÀ-ỹ]+|[0-9]+|[^\sA-Za-zÀ-ỹ0-9]"
