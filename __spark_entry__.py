@@ -2085,6 +2085,39 @@ def q_semantic_dedup(spark, sf):
     return out.select("id", "keep")
 
 
+def q_collocations(spark, sf):
+    """Corpus collocation census (textops.collocations): PMI over adjacent
+    token bigrams seen >= 5 times — the phrase-detection signal (Church &
+    Hanks 1990; word2vec's word2phrase step). Counts are exact int64;
+    lift = n_pair*N^2/(M*n_w1*n_w2) is ONE int64->double cast pair + one
+    division, emitted unrounded (bit-identical across engines); pmi =
+    round(log2(lift), 6) is the only libm touch. Two explodes, two
+    map-side-combined hash aggs, vocabulary-keyed joins, no windows."""
+    d = _t(spark, sf, "documents")
+    return TX.collocations(d.select("text"), min_count=5)
+
+
+def q_margin_mine(spark, sf):
+    """Margin-based bitext/pair mining (ann.margin_mine, Artetxe & Schwenk
+    2019 — the CCMatrix recipe): even vec_ids < 200 form the mining batch
+    X, odd vec_ids the pool Y; each x's best y is scored by the ratio
+    margin against both endpoints' avg top-4 neighborhoods. Cosines use
+    the brute_force_topk IEEE fold; the margin is computed on exact
+    floor(cos*1e6) fixed-point sums with one integral division
+    (margin_ppm), so no float accumulation exists anywhere — the DuckDB
+    twin matches hash-exact. One broadcast of X, one scan of Y, two
+    rank windows over the scored ids."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    xs = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 200))
+    ys = emb.filter(F.col("vec_id") % 2 == 1)
+    return ann.margin_mine(xs, ys, k=4)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2250,6 +2283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "hyperball": q_hyperball,
         "semantic_dedup": q_semantic_dedup,
+        "collocations": q_collocations,
+        "margin_mine": q_margin_mine,
     }
 
 
@@ -4509,5 +4544,58 @@ def oracle_sql() -> dict[str, str]:
               WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99)
             SELECT p.vec_id AS id, (d.id IS NULL) AS keep
             FROM planted p LEFT JOIN dup d ON d.id = p.vec_id
+        """,
+        "collocations": f"""
+            WITH t AS (SELECT {_TOKS} AS t FROM documents),
+            uni AS (SELECT unnest(t) AS w FROM t),
+            uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY w),
+            pairs AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                            i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+              FROM t),
+            pc AS (SELECT (p).w1 AS w1, (p).w2 AS w2,
+                          CAST(count(*) AS BIGINT) AS n_pair
+                   FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+            tot AS (SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM uc) AS n_total,
+                           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS m_total)
+            SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+                   CAST(n_pair * n_total * n_total AS DOUBLE)
+                     / CAST(m_total * u1.n_w * u2.n_w AS DOUBLE) AS lift,
+                   round(log2(CAST(n_pair * n_total * n_total AS DOUBLE)
+                     / CAST(m_total * u1.n_w * u2.n_w AS DOUBLE)), 6) AS pmi
+            FROM pc JOIN uc u1 ON u1.w = pc.w1 JOIN uc u2 ON u2.w = pc.w2, tot
+        """,
+        "margin_mine": """
+            WITH x AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 200),
+            y AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            s AS (SELECT x.query_id, y.vec_id,
+                         list_cosine_similarity(ev, qv) AS cosine,
+                         CAST(floor(list_cosine_similarity(ev, qv) * 1000000.0)
+                              AS BIGINT) AS c6
+                  FROM y, x),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, vec_id ASC) AS rank_x,
+                         row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cosine DESC, query_id ASC) AS rank_y
+                  FROM s),
+            ax AS (SELECT query_id, CAST(sum(c6) AS BIGINT) AS ax_sum,
+                          CAST(count(*) AS BIGINT) AS cx
+                   FROM r WHERE rank_x <= 4 GROUP BY query_id),
+            ay AS (SELECT vec_id, CAST(sum(c6) AS BIGINT) AS ay_sum,
+                          CAST(count(*) AS BIGINT) AS cy
+                   FROM r WHERE rank_y <= 4 GROUP BY vec_id),
+            m AS (SELECT r.query_id, r.vec_id, r.cosine,
+                         CASE WHEN c6 >= 0 AND ax_sum * cy + ay_sum * cx > 0
+                              THEN CAST((2000000 * c6 * cx * cy)
+                                        // (ax_sum * cy + ay_sum * cx)
+                                        AS BIGINT) END AS margin_ppm
+                  FROM r JOIN ax USING (query_id) JOIN ay USING (vec_id)
+                  WHERE rank_x = 1)
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, margin_ppm,
+                   margin_ppm >= 1020000 AS mined
+            FROM m
         """,
     }

@@ -489,3 +489,92 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def margin_mine(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_threshold_ppm: int = 1_020_000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): for every vector x in the X pool, its best
+    match y in the Y pool scored by the RATIO margin
+        margin(x, y) = cos(x, y) / ((avg_k(x->Y) + avg_k(y->X)) / 2)
+    — raw cosine is miscalibrated across hubs (some vectors are near
+    everything), so the score normalizes by both endpoints' average
+    top-k neighborhood similarity and a pair is "mined" only when it
+    stands OUT of both neighborhoods (margin > ~1.02).
+
+    Engine-exact arithmetic: cosines come from the same IEEE fold as
+    :func:`brute_force_topk`; each is fixed-pointed to c6 =
+    floor(cos*1e6) (bigint), the top-k averages become exact integer
+    sums, and margin_ppm = (2e6*k*c6) div (sum_x + sum_y) is one
+    integral division — order-free, bit-identical in any engine, no
+    float accumulation anywhere. margin_ppm is NULL when the best
+    cosine is negative or the denominator is non-positive (margin
+    undefined).
+
+    Plan shape at 100 TB: X is the mining batch (broadcast); one scan
+    of Y computes every cosine, then two row_number windows (by x, by
+    y) rank the SAME scored relation both directions — two shuffles of
+    |X|x|Y| scored ids, never a second pass over the vectors. The
+    per-endpoint sums are map-side-combined aggregates joined back on
+    the endpoint keys.
+
+    Output: (query_id, vec_id, cosine r4, margin_ppm, mined) — one row
+    per x (its rank-1 y), ties broken by id.
+    """
+    x = x_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    y = y_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_ev"))
+    scored = (
+        y.crossJoin(F.broadcast(x))
+        .withColumn("cosine", cosine_col(F.col("_ev"), F.col("_qv")))
+        .withColumn("c6", F.floor(F.col("cosine") * 1000000.0).cast("long"))
+        .select("query_id", "vec_id", "cosine", "c6")
+    )
+    wx = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    wy = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("query_id").asc()
+    )
+    ranked = scored.withColumn("rank_x", F.row_number().over(wx)).withColumn(
+        "rank_y", F.row_number().over(wy)
+    )
+    ranked = ranked.persist()
+    ax = (
+        ranked.filter(F.col("rank_x") <= k)
+        .groupBy("query_id")
+        .agg(F.sum("c6").alias("ax_sum"), F.count("*").alias("cx"))
+    )
+    ay = (
+        ranked.filter(F.col("rank_y") <= k)
+        .groupBy("vec_id")
+        .agg(F.sum("c6").alias("ay_sum"), F.count("*").alias("cy"))
+    )
+    # margin = 2*cos / (ax_sum/cx + ay_sum/cy), as one integral division
+    # over cross-multiplied exact ints (cx/cy are the ACTUAL neighborhood
+    # sizes — a pool smaller than k must divide by what it has).
+    out = (
+        ranked.filter(F.col("rank_x") == 1)
+        .join(ax, "query_id")
+        .join(ay, "vec_id")
+        .withColumn(
+            "margin_ppm",
+            F.expr(
+                "CASE WHEN c6 >= 0 AND ax_sum * cy + ay_sum * cx > 0 "
+                "THEN (2000000 * c6 * cx * cy) div (ax_sum * cy + ay_sum * cx) END"
+            ).cast("long"),
+        )
+        .withColumn("mined", F.col("margin_ppm") >= F.lit(margin_threshold_ppm))
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        "margin_ppm",
+        "mined",
+    )

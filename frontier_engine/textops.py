@@ -2361,3 +2361,75 @@ def quality_calibrate(
             "pct_rank"
         ),
     )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation census: pointwise mutual information over
+    adjacent whitespace-token bigrams — the classic phrase-detection /
+    multi-word-expression signal (Church & Hanks 1990; the phrasing step
+    of word2vec's ``word2phrase``). The reference tokenizes product names
+    for matching (crawler/stores/bhx.py:59-97); over a web corpus the
+    same token stream yields the phrase lexicon.
+
+    Output: one row per bigram seen >= min_count times —
+    (w1, w2, n_pair, n_w1, n_w2, lift, pmi) where
+    lift = P(w1,w2)/(P(w1)P(w2)) = (n_pair * N^2) / (M * n_w1 * n_w2)
+    and pmi = round(log2(lift), 6), with N total tokens and M total
+    bigrams. Both integer products stay in int64 (N ~ 1e6 tokens at
+    sf0.1 -> n_pair*N^2 ~ 1e17 < 2^63) and the int64->double casts plus
+    the single division are IEEE-identical across engines, so ``lift``
+    is emitted UNROUNDED and hash-compares bit-for-bit; only ``pmi``
+    touches libm (rounded to 6dp, the repo's standard).
+
+    Plan shape at 100 TB: one explode per stream (token / bigram), two
+    hash aggregations with map-side partial combine, two joins against
+    the unigram table keyed on the word (vocabulary-sized, not
+    corpus-sized), scalar totals broadcast via a 1-row cross join. No
+    windows, no sorts; the min_count filter prunes the hapax tail
+    before the joins.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) >= 1
+    )
+    t = df.select(toks.alias("t"))
+    uni = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    n_pairs = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, n_pairs),
+                F.slice("t", 2, n_pairs),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("long").alias("n_total"),
+    ).crossJoin(
+        pairs.agg(F.count("*").cast("long").alias("m_total"))
+    )
+    scored = (
+        big.join(F.broadcast(totals))
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .withColumn(
+            "lift",
+            (F.col("n_pair") * F.col("n_total") * F.col("n_total")).cast("double")
+            / (F.col("m_total") * F.col("n_w1") * F.col("n_w2")).cast("double"),
+        )
+        .withColumn("pmi", F.round(F.log2("lift"), 6))
+    )
+    return scored.select("w1", "w2", "n_pair", "n_w1", "n_w2", "lift", "pmi")

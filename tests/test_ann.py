@@ -269,3 +269,53 @@ def test_semantic_dedup_deterministic_across_partitioning(spark, corpus):
     )
     assert a == b
     assert len(a) == emb.count()  # verdict for every row
+
+
+def test_margin_mine_planted_pair(spark):
+    # x0 == y1 exactly (cosine 1.0); y3/y5 near-orthogonal noise. The
+    # planted pair must be rank-1 and mined; margin_ppm must equal the
+    # hand-computed integral division over floor(cos*1e6) sums.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # x pool (even)
+        (2, [0.0, 1.0, 0.0, 0.0]),   # x pool
+        (1, [1.0, 0.0, 0.0, 0.0]),   # y pool: exact match of x0
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    xs = df.filter(F.col("vec_id") % 2 == 0)
+    ys = df.filter(F.col("vec_id") % 2 == 1)
+    out = {
+        r["query_id"]: r
+        for r in ann.margin_mine(xs, ys, k=2, margin_threshold_ppm=1_020_000).collect()
+    }
+    assert set(out) == {0, 2}
+    best = out[0]
+    assert best["vec_id"] == 1 and best["cosine"] == 1.0
+    # c6: cos(x0,y1)=1.0 -> 1_000_000; cos(x0,y5)=0.5 -> 500_000
+    # ax_sum=1_500_000 (cx=2); y1's top-2 over X: cos 1 and 0 -> ay_sum=1_000_000 (cy=2)
+    want = (2_000_000 * 1_000_000 * 2 * 2) // (1_500_000 * 2 + 1_000_000 * 2)
+    assert best["margin_ppm"] == want and best["mined"] is True
+
+
+def test_margin_mine_hub_not_mined(spark):
+    # A "hub" x near EVERY y has margin ~1 -> not mined, even though its
+    # raw best cosine is high: the normalization is the whole point.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=4)
+    ys = [
+        (2 * i + 1, [float(v) for v in base + rng.normal(scale=0.01, size=4)])
+        for i in range(6)
+    ]
+    xs = [(0, [float(v) for v in base])]
+    df = spark.createDataFrame(xs + ys, "vec_id long, embedding array<double>")
+    out = ann.margin_mine(
+        df.filter(F.col("vec_id") % 2 == 0),
+        df.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["mined"] is False
+    assert out[0]["margin_ppm"] < 1_020_000

@@ -933,3 +933,29 @@ class TestQualityCalibrate:
         rows = [(i, "en", float(i % 3)) for i in range(30)]
         df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
         assert TX.quality_calibrate(df).count() == 30
+
+
+def test_collocations_hand_computed(spark):
+    # doc1 tokens [a b a b a b] -> bigrams (a,b)x3, (b,a)x2; doc2 "c" has
+    # one token (exercises the empty-bigram slice guard). N=7 tokens,
+    # M=5 bigrams, n_a=n_b=3.
+    df = spark.createDataFrame([("a b a b a b",), ("c",)], "text string")
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in TX.collocations(df, min_count=2).collect()
+    }
+    assert set(rows) == {("a", "b"), ("b", "a")}
+    ab = rows[("a", "b")]
+    assert ab["n_pair"] == 3 and ab["n_w1"] == 3 and ab["n_w2"] == 3
+    assert ab["lift"] == (3 * 49) / (5 * 9)
+    ba = rows[("b", "a")]
+    assert ba["n_pair"] == 2
+    assert ba["lift"] == (2 * 49) / (5 * 9)
+    import math
+    assert abs(ab["pmi"] - round(math.log2(147 / 45), 6)) < 2e-6
+
+
+def test_collocations_min_count_prunes(spark):
+    df = spark.createDataFrame([("x y z",)], "text string")
+    assert TX.collocations(df, min_count=2).count() == 0
+    assert TX.collocations(df, min_count=1).count() == 2
