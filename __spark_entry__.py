@@ -2118,6 +2118,18 @@ def q_margin_mine(spark, sf):
     return ann.margin_mine(xs, ys, k=4)
 
 
+def q_setsim_join(spark, sf):
+    """Exact prefix-filtered set-similarity self-join (textops.
+    set_similarity_join, Chaudhuri/PPJoin/Vernica lineage): every doc
+    pair with 3-shingle Jaccard >= 1/2, zero false negatives — the
+    provable-dedup sibling of minhash_near_dup. Selection is ALL-integer
+    (rational threshold, cross-multiplied compares, integer ceil via
+    div), so the DuckDB brute-force all-pairs oracle must match
+    hash-exact; the prefix filter only prunes the candidate join."""
+    d = _t(spark, sf, "documents")
+    return TX.set_similarity_join(d.select("doc_id", "text"), t_num=1, t_den=2)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2285,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "collocations": q_collocations,
         "margin_mine": q_margin_mine,
+        "setsim_join": q_setsim_join,
     }
 
 
@@ -4597,5 +4610,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(cosine, 4) AS cosine, margin_ppm,
                    margin_ppm >= 1020000 AS mined
             FROM m
+        """,
+        "setsim_join": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t)-1),
+                                         i -> array_to_string(t[i:i+2], ' ')) END
+              )) AS sh
+              FROM toks),
+            n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(count(*) AS BIGINT) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT id_a, id_b, na.n AS n_a, nb.n AS n_b, inter,
+                   CAST(inter AS DOUBLE)
+                     / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+            FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
+            WHERE 2 * inter >= 1 * (na.n + nb.n - inter)
         """,
     }

@@ -2433,3 +2433,103 @@ def collocations(
         .withColumn("pmi", F.round(F.log2("lift"), 6))
     )
     return scored.select("w1", "w2", "n_pair", "n_w1", "n_w2", "lift", "pmi")
+
+
+def set_similarity_join(
+    df: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs set-similarity self-join with prefix filtering
+    (Chaudhuri et al. ICDE'06; Xiao et al. PPJoin WWW'08; the MapReduce
+    formulation is Vernica et al. SIGMOD'10): every document pair whose
+    k-word-shingle sets have Jaccard >= t, with NO sketching — the
+    exactness-guaranteed sibling of minhash/simhash near-dup (those
+    trade recall for speed; this trades a filtered candidate join for
+    zero false negatives, the right tool when dedup must be provable).
+
+    Completeness comes from the prefix-filter theorem: order every
+    set by one global total order (corpus frequency asc, shingle asc —
+    rare first), keep each set's first n - ceil(t*n) + 1 elements; any
+    pair with J >= t must share an element inside both prefixes, so the
+    candidate join runs on prefixes (dominated by rare shingles) plus a
+    size-ratio filter n_b*t <= n_a <= n_b/t, never on full sets.
+
+    The threshold is the RATIONAL t = t_num/t_den: ceil(t*n) is the
+    integer (t_num*n + t_den - 1) div t_den and the final gate is the
+    cross-multiplied compare t_den*inter >= t_num*(n_a+n_b-inter) —
+    no float touches selection anywhere, and the emitted jaccard is one
+    exact int64->double division (bit-identical in any engine).
+
+    Plan shape at 100 TB: one explode; frequency agg at vocabulary
+    cardinality; per-doc sort of ITS OWN shingle list (array_sort in the
+    agg, no corpus sort); candidate self-join keyed on prefix shingles —
+    rare-first prefixes keep bucket sizes near 1, the frequency-ordered
+    twin of the LSH band join; exact verification joins only candidate
+    ids back to the shingle table. persist() on the shingle relation is
+    internal (it is read three times: frequency, prefix, verify).
+    """
+    if not 0 < t_num <= t_den:
+        raise ValueError("set_similarity_join: need 0 < t_num <= t_den")
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).alias("sh"),
+    ).persist()
+    freq = sh.groupBy("sh").agg(F.count("*").cast("long").alias("df_sh"))
+    per_doc = (
+        sh.join(freq, "sh")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df_sh", "sh"))).alias("els"))
+        .withColumn("n", F.size("els").cast("long"))
+    )
+    prefix_len = (
+        F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}") + 1
+    ).cast("int")
+    p = per_doc.select(
+        "_id", "n", F.explode(F.slice("els", F.lit(1), prefix_len)).alias("e")
+    ).select(F.col("e.sh").alias("sh"), "_id", "n")
+    cand = (
+        p.alias("a")
+        .join(p.alias("b"), "sh")
+        .filter(
+            (F.col("a._id") < F.col("b._id"))
+            & (F.lit(t_num) * F.col("a.n") <= F.lit(t_den) * F.col("b.n"))
+            & (F.lit(t_num) * F.col("b.n") <= F.lit(t_den) * F.col("a.n"))
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sizes = per_doc.select("_id", "n")
+    inter = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "inter",
+            (F.col("inter").cast("double") / union_sz.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -959,3 +959,55 @@ def test_collocations_min_count_prunes(spark):
     df = spark.createDataFrame([("x y z",)], "text string")
     assert TX.collocations(df, min_count=2).count() == 0
     assert TX.collocations(df, min_count=1).count() == 2
+
+
+def test_set_similarity_join_exact_vs_brute_force(spark):
+    # Random token soup + planted near-identical pairs; the prefix filter
+    # must lose NOTHING vs the all-pairs brute force (that's the theorem).
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    for i in range(5):  # planted: copy with one token changed
+        base = docs[i][1].split()
+        base[7] = "changed"
+        docs.append((100 + i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["inter"])
+        for r in TX.set_similarity_join(df, t_num=1, t_den=2).collect()
+    }
+
+    def shingleset(text):
+        t = text.split()
+        return set(" ".join(t[i : i + 3]) for i in range(len(t) - 2)) if len(t) >= 3 else {" ".join(t)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingleset(ta), shingleset(tb)
+        inter = len(sa & sb)
+        if 2 * inter >= len(sa | sb):
+            a, b = (ia, ib) if ia < ib else (ib, ia)
+            want[(a, b)] = (
+                (len(sa), len(sb), inter) if ia < ib else (len(sb), len(sa), inter)
+            )
+    assert got == want
+    assert len(want) >= 5  # the planted pairs actually qualified
+
+
+def test_set_similarity_join_threshold_rational(spark):
+    # Two docs sharing exactly half their shingles: J = 1/3 < 1/2 -> out;
+    # at t = 1/3 (t_num=1, t_den=3) -> in, inter/union exact.
+    d1 = "a b c d e f"   # shingles: abc bcd cde def (4)
+    d2 = "a b c d x y"   # shingles: abc bcd cdx dxy (4), inter=2, union=6
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    assert TX.set_similarity_join(df, t_num=1, t_den=2).count() == 0
+    rows = TX.set_similarity_join(df, t_num=1, t_den=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["inter"], r["n_a"], r["n_b"]) == (2, 4, 4)
+    assert r["jaccard"] == 2 / 6
