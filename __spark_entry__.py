@@ -2130,6 +2130,25 @@ def q_setsim_join(spark, sf):
     return TX.set_similarity_join(d.select("doc_id", "text"), t_num=1, t_den=2)
 
 
+def q_lpa(spark, sf):
+    """Label-propagation communities (graph.label_propagation, Raghavan
+    2007 / GraphX semantics) over the events-derived host graph, 3
+    synchronous rounds: density clusters for link-farm/site-family
+    census — a different fixpoint than hash-min CC (which only finds
+    reachability). Synchronous rounds + (count DESC, label ASC)
+    tie-break make the labels a pure function of the graph, so the
+    DuckDB oracle is the same 3 rounds unrolled as CTEs."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("src"),
+        F.when(
+            F.col("event_id") % 11 != 0,
+            F.concat(F.lit("h"), (F.col("event_id") % 23).cast("string")),
+        ).alias("dst"),
+    )
+    return GR.label_propagation(edges, rounds=3)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2298,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "margin_mine": q_margin_mine,
         "setsim_join": q_setsim_join,
+        "lpa": q_lpa,
     }
 
 
@@ -2620,6 +2640,39 @@ _BRUTE_TOPK_SQL = """
       FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q)
     WHERE rank <= 5
 """
+
+
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    """graph.label_propagation unrolled: one (count, argmax, carry) CTE
+    triple per synchronous round over the events-derived host graph."""
+    parts = [
+        """
+        e0 AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS a,
+                      CASE WHEN event_id % 11 <> 0
+                           THEN 'h' || CAST(event_id % 23 AS VARCHAR) END AS b
+               FROM events),
+        ed AS (SELECT DISTINCT a, b FROM e0 WHERE b IS NOT NULL AND a <> b),
+        und AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)
+        """
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+        c{r} AS (SELECT u.a AS node, l.label, count(*) AS c
+                 FROM und u JOIN l{r - 1} l ON l.node = u.b GROUP BY 1, 2),
+        p{r} AS (SELECT node, label, row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                 FROM c{r}),
+        l{r} AS (SELECT prev.node, coalesce(p.label, prev.label) AS label
+                 FROM l{r - 1} prev
+                 LEFT JOIN (SELECT node, label FROM p{r} WHERE rn = 1) p
+                 USING (node))
+            """
+        )
+    return (
+        "WITH " + ",".join(parts) + f" SELECT node, label FROM l{rounds}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4631,4 +4684,5 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
             WHERE 2 * inter >= 1 * (na.n + nb.n - inter)
         """,
+        "lpa": _lpa_oracle_sql(rounds=3),
     }

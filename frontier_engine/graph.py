@@ -970,3 +970,71 @@ def hyperball_harmonic(balls: DataFrame) -> DataFrame:
             F.sum(inc / F.col("radius").cast("double")).alias("harmonic_est"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, the GraphX ``LabelPropagation`` semantics): every node starts
+    labelled with itself; each round it adopts the most frequent label
+    among its (undirected) neighbors, ties broken by the smallest label.
+    After a fixed number of rounds the labels ARE the communities —
+    host-level site/mirror-family detection and the cheap first pass
+    before anything spectral. Differs from hash-min connected components
+    (textops.connected_components) in kind: CC converges to one label
+    per reachable region; LPA finds DENSITY clusters inside a connected
+    graph, which is what a link-farm census wants.
+
+    Determinism: synchronous rounds + total-order tie-break (count DESC,
+    label ASC) make the result a pure function of the graph — byte-equal
+    at any parallelism, so a fixed-round unrolled SQL oracle reproduces
+    it exactly. Isolated or fixed-point nodes keep their previous label
+    via the left-join coalesce.
+
+    Scale shape: per round, ONE edge⋈label hash join (edge list keyed on
+    the neighbor end), one (node, label) map-side-combined count, one
+    row_number window at node cardinality, and a left join back to carry
+    unchanged nodes; lineage cut per round with localCheckpoint (the
+    repo's driver-loop idiom). Rounds is a fixed small constant — LPA
+    converges in a handful of sweeps on power-law graphs."""
+    if rounds < 0:
+        raise ValueError("label_propagation: rounds must be >= 0")
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    try:
+        for _ in range(rounds):
+            nb = und.join(
+                labels.withColumnRenamed("node", "b"), "b"
+            ).select(F.col("a").alias("node"), "label")
+            top = (
+                nb.groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("node", F.col("label").alias("_new"))
+            )
+            labels = (
+                labels.join(top, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+        return labels
+    finally:
+        und.unpersist()

@@ -532,3 +532,44 @@ def test_hyperball_rejects_bad_p(spark):
     e = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError):
         hyperball(e, p=3)
+
+
+def test_label_propagation_two_cliques(spark):
+    # Two 4-cliques joined by a single bridge: LPA must give each clique
+    # one label and keep the two cliques in different communities.
+    def clique(names):
+        import itertools
+        return list(itertools.combinations(names, 2))
+
+    edges = clique("abcd") + clique("wxyz") + [("d", "w")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from frontier_engine.graph import label_propagation
+
+    got = {r["node"]: r["label"] for r in label_propagation(df, rounds=3).collect()}
+    left = {got[n] for n in "abcd"}
+    right = {got[n] for n in "wxyz"}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_zero_rounds_identity(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    from frontier_engine.graph import label_propagation
+
+    got = {r["node"]: r["label"] for r in label_propagation(df, rounds=0).collect()}
+    assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_label_propagation_deterministic_across_parallelism(spark):
+    import itertools
+    edges = [
+        (f"h{i}", f"h{j}")
+        for i, j in itertools.combinations(range(12), 2)
+        if (i * 7 + j) % 3 == 0
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from frontier_engine.graph import label_propagation
+
+    a = sorted(map(tuple, label_propagation(df.repartition(1), rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(16), rounds=3).collect()))
+    assert a == b
