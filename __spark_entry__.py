@@ -2149,6 +2149,21 @@ def q_lpa(spark, sf):
     return GR.label_propagation(edges, rounds=3)
 
 
+def q_phrase_search(spark, sf):
+    """Exact phrase query "big order scan" over a positional inverted
+    index (index.build_positional_postings + index.phrase_search):
+    postings fetched per term, positions shifted by -i and
+    array_intersect'ed down to surviving starts — 3 posting-list reads
+    and doc_id-keyed joins, never a corpus rescan. Counts exact; the
+    DuckDB oracle recounts adjacent-token windows directly on the
+    text."""
+    from frontier_engine import index as IX
+
+    d = _t(spark, sf, "documents")
+    postings = IX.build_positional_postings(d.select("doc_id", "text"))
+    return IX.phrase_search(postings, ["big", "order", "scan"])
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2318,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_mine": q_margin_mine,
         "setsim_join": q_setsim_join,
         "lpa": q_lpa,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -4685,4 +4701,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE 2 * inter >= 1 * (na.n + nb.n - inter)
         """,
         "lpa": _lpa_oracle_sql(rounds=3),
+        "phrase_search": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            m AS (SELECT doc_id,
+                         CAST(len(list_filter(range(1, len(t) - 1),
+                              i -> t[i] = 'big' AND t[i+1] = 'order'
+                                   AND t[i+2] = 'scan')) AS BIGINT)
+                           AS n_occurrences
+                  FROM t)
+            SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0
+        """,
     }

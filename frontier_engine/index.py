@@ -304,3 +304,70 @@ def rrf_fuse(
         F.count(F.lit(1)).cast("long").alias("n_channels"),
         F.sum("contrib").alias("rrf"),
     )
+
+
+def build_positional_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted index: ``(term, doc_id, positions)`` with
+    0-based token offsets, sorted — the structure phrase and proximity
+    queries run on (Manning et al., IIR §2.4; Lucene's position-enabled
+    postings). One posexplode + one (term, doc_id) hash aggregate with
+    map-side combine; positions sort per-posting arrays only (array_sort
+    in the agg), never a corpus sort. Layout/sharding composes with
+    write_index exactly like the n-gram postings."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) >= 1
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(toks).alias("pos", "term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_search(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase query over positional postings: a document matches
+    when some start s has term_i at position s+i for every i. Classic
+    positional intersection — fetch each term's postings, shift term_i's
+    positions by -i, array_intersect down to the surviving starts; the
+    doc is dropped the moment the running start-set empties.
+
+    Scale shape: one doc_id-keyed hash join per phrase term (terms
+    beyond the first probe only the docs still alive — selectivity
+    compounds left to right); the position arithmetic is JVM expression
+    work on per-doc arrays. Postings for a term are vocabulary-pruned
+    scans when the postings table is written via write_index
+    (partitionBy shard + term pruning), so a 3-word phrase reads 3
+    posting lists, not the corpus.
+
+    Output: (doc_id, n_occurrences) for matching docs, exact counts.
+    """
+    if not phrase:
+        raise ValueError("phrase_search: phrase must be non-empty")
+    cur = postings.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("positions").alias("_starts")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == term).select(
+            "doc_id", F.col("positions").alias("_q")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .withColumn(
+                "_starts",
+                F.array_intersect(
+                    "_starts", F.transform("_q", lambda x: x - i)
+                ),
+            )
+            .filter(F.size("_starts") > 0)
+            .select("doc_id", "_starts")
+        )
+    return cur.select(
+        "doc_id", F.size("_starts").cast("long").alias("n_occurrences")
+    )

@@ -90,3 +90,29 @@ def test_batch_infer_model_loads_once_per_worker(spark):
         model_key="singleton-test",
     )
     assert out.count() == 2000
+
+
+def test_phrase_search_counts_and_overlaps(spark):
+    from frontier_engine.index import build_positional_postings, phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),      # "a b c" twice
+            (2, "a a a a"),          # "a a" three times (overlapping)
+            (3, "c b a"),            # reversed -> no match
+            (4, "a b"),              # prefix only for "a b c"
+        ],
+        "doc_id long, text string",
+    )
+    p = build_positional_postings(df)
+    got = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(p, ["a", "b", "c"]).collect()}
+    assert got == {1: 2}
+    got2 = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(p, ["a", "a"]).collect()}
+    assert got2 == {2: 3}
+    got3 = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(p, ["a", "b"]).collect()}
+    assert got3 == {1: 2, 4: 1}
+    single = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(p, ["c"]).collect()}
+    assert single == {1: 2, 3: 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        phrase_search(p, [])
