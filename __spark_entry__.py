@@ -2164,6 +2164,24 @@ def q_phrase_search(spark, sf):
     return IX.phrase_search(postings, ["big", "order", "scan"])
 
 
+def q_kcore(spark, sf):
+    """k-core decomposition (graph.coreness, Lü et al. 2016 H-index
+    iteration) over the events-derived host graph, 4 synchronous
+    sweeps: degeneracy layers — dense link farms live in deep cores,
+    organic hosts in shallow ones. Integer H-index updates are a pure
+    function of the graph per round, so the DuckDB oracle is the same
+    4 rounds unrolled (row_number desc + count FILTER v >= rn)."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("src"),
+        F.when(
+            F.col("event_id") % 11 != 0,
+            F.concat(F.lit("h"), (F.col("event_id") % 23).cast("string")),
+        ).alias("dst"),
+    )
+    return GR.coreness(edges, rounds=4)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2334,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_join": q_setsim_join,
         "lpa": q_lpa,
         "phrase_search": q_phrase_search,
+        "kcore": q_kcore,
     }
 
 
@@ -2656,6 +2675,37 @@ _BRUTE_TOPK_SQL = """
       FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q)
     WHERE rank <= 5
 """
+
+
+def _kcore_oracle_sql(rounds: int = 4) -> str:
+    """graph.coreness unrolled: l0 = degree, then per round the H-index
+    of neighbor values — row_number on the descending sort, count of
+    ranks with v >= rn (tie order irrelevant: equal values satisfy the
+    same condition set)."""
+    parts = [
+        """
+        e0 AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS a,
+                      CASE WHEN event_id % 11 <> 0
+                           THEN 'h' || CAST(event_id % 23 AS VARCHAR) END AS b
+               FROM events),
+        ed AS (SELECT DISTINCT a, b FROM e0 WHERE b IS NOT NULL AND a <> b),
+        und AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        l0 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS v
+               FROM und GROUP BY a)
+        """
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+        c{r} AS (SELECT u.a AS node, l.v FROM und u
+                 JOIN l{r - 1} l ON l.node = u.b),
+        r{r} AS (SELECT node, v, row_number() OVER (
+                     PARTITION BY node ORDER BY v DESC) AS rn FROM c{r}),
+        l{r} AS (SELECT node, CAST(count(*) FILTER (WHERE v >= rn) AS BIGINT) AS v
+                 FROM r{r} GROUP BY node)
+            """
+        )
+    return "WITH " + ",".join(parts) + f" SELECT node, v AS core FROM l{rounds}"
 
 
 def _lpa_oracle_sql(rounds: int = 3) -> str:
@@ -4711,4 +4761,5 @@ def oracle_sql() -> dict[str, str]:
                   FROM t)
             SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0
         """,
+        "kcore": _kcore_oracle_sql(rounds=4),
     }

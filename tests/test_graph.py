@@ -573,3 +573,52 @@ def test_label_propagation_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, label_propagation(df.repartition(1), rounds=3).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(16), rounds=3).collect()))
     assert a == b
+
+
+def _peel_coreness(edges):
+    """Python reference: textbook min-degree peeling."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    core = {}
+    live = {n: set(v) for n, v in adj.items()}
+    k = 0
+    while live:
+        k_min = min(len(v) for v in live.values())
+        k = max(k, k_min)
+        peel = [n for n, v in live.items() if len(v) <= k]
+        for n in peel:
+            core[n] = k
+            for m in live[n]:
+                live[m].discard(n)
+            del live[n]
+    return core
+
+
+def test_coreness_clique_with_tail(spark):
+    import itertools
+    edges = list(itertools.combinations("abcde", 2)) + [("e", "t1"), ("t1", "t2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from frontier_engine.graph import coreness
+
+    got = {r["node"]: r["core"] for r in coreness(df, rounds=8).collect()}
+    assert got == _peel_coreness(edges)
+    assert got["a"] == 4 and got["t2"] == 1
+
+
+def test_coreness_converges_and_matches_peeling(spark):
+    import random
+    rng = random.Random(3)
+    edges = list({(f"h{rng.randrange(18)}", f"h{rng.randrange(18)}") for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from frontier_engine.graph import coreness
+
+    a = sorted(map(tuple, coreness(df, rounds=6).collect()))
+    b = sorted(map(tuple, coreness(df, rounds=12).collect()))
+    assert a == b  # fixpoint reached well before 6 sweeps
+    assert dict(a) == _peel_coreness(edges)  # and it IS the coreness
