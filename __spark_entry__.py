@@ -2182,6 +2182,26 @@ def q_kcore(spark, sf):
     return GR.coreness(edges, rounds=4)
 
 
+def q_triangles(spark, sf):
+    """Per-host triangle + clustering-coefficient census (graph.
+    triangle_counts, Becchetti KDD'08 spam signal) over the
+    events-derived host graph: degree-ordered edge orientation makes
+    every triangle ONE wedge at its minimum corner (out-degrees bounded
+    by sqrt(m) — no hub squares its neighborhood), then one wedge
+    self-join + one membership semi-join. All counts integer; the
+    clustering coefficient is one exact int64->double division, so the
+    brute-force DuckDB triple-join oracle matches hash-exact."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("src"),
+        F.when(
+            F.col("event_id") % 11 != 0,
+            F.concat(F.lit("h"), (F.col("event_id") % 23).cast("string")),
+        ).alias("dst"),
+    )
+    return GR.triangle_counts(edges)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2353,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa": q_lpa,
         "phrase_search": q_phrase_search,
         "kcore": q_kcore,
+        "triangles": q_triangles,
     }
 
 
@@ -4762,4 +4783,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0
         """,
         "kcore": _kcore_oracle_sql(rounds=4),
+        "triangles": """
+            WITH e0 AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS a,
+                               CASE WHEN event_id % 11 <> 0
+                                    THEN 'h' || CAST(event_id % 23 AS VARCHAR) END AS b
+                        FROM events),
+            ed AS (SELECT DISTINCT a, b FROM e0 WHERE b IS NOT NULL AND a <> b),
+            und AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+            deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+                    FROM und GROUP BY a),
+            tri AS (SELECT x.a AS v1, x.b AS v2, y.b AS v3
+                    FROM und x JOIN und y ON y.a = x.b
+                    JOIN und z ON z.a = x.a AND z.b = y.b
+                    WHERE x.a < x.b AND x.b < y.b),
+            per AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                    FROM (SELECT v1 AS node FROM tri
+                          UNION ALL SELECT v2 FROM tri
+                          UNION ALL SELECT v3 FROM tri)
+                    GROUP BY node)
+            SELECT d.node, d.degree,
+                   coalesce(p.n_triangles, 0) AS n_triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE)
+                             / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                        END AS clustering
+            FROM deg d LEFT JOIN per p ON p.node = d.node
+        """,
     }

@@ -1102,3 +1102,95 @@ def coreness(
         return vals.select("node", F.col("v").alias("core"))
     finally:
         und.unpersist()
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle count + local clustering coefficient —
+    the tightly-knit-neighborhood signal (link farms and copy rings
+    close triangles; organic link neighborhoods are sparse — Becchetti
+    et al. KDD'08 use exactly this census for web-spam demotion).
+
+    Scalable shape (Schank-Wagner / Cohen's MapReduce orientation, the
+    GraphX `TriangleCount` plan): orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher one — every triangle then
+    has exactly ONE wedge at its minimum vertex, so the wedge self-join
+    runs on out-degrees bounded by sqrt(m) (no hub ever enumerates its
+    full neighborhood square; the power-law killer for naive wedge
+    counting). One self-join on the wedge pivot + one membership probe
+    against the oriented edge list + three per-corner rollups.
+
+    clustering = 2*T / (d*(d-1)) is one exact int64->double division
+    (NULL for degree < 2). Counts are integers; the whole op is
+    engine-exact with no rounding anywhere.
+    """
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # orient: keep (a,b) iff (deg_a, a) < (deg_b, b) — a total order, so
+    # exactly one direction of every undirected edge survives
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .filter(
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+        .persist()
+    )
+    # wedges at the minimum corner: (a->b, a->c) with b < c; the triangle
+    # closes iff oriented edge (b, c) exists (b before c in the order is
+    # not guaranteed — probe both directions via canonical min/max)
+    w = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), "a")
+        .filter(F.col("x.b") < F.col("y.b"))
+        .select(
+            F.col("a").alias("v1"),
+            F.col("x.b").alias("v2"),
+            F.col("y.b").alias("v3"),
+        )
+    )
+    closure = oriented.select(
+        F.least("a", "b").alias("_lo"), F.greatest("a", "b").alias("_hi")
+    )
+    tris = w.join(
+        closure,
+        (F.least("v2", "v3") == F.col("_lo"))
+        & (F.greatest("v2", "v3") == F.col("_hi")),
+        "left_semi",
+    ).persist()
+    per_node = (
+        tris.select(F.col("v1").alias("node"))
+        .union(tris.select("v2"))
+        .union(tris.select("v3"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)).cast("long"))
+        .withColumn(
+            "clustering",
+            F.when(
+                F.col("deg") >= 2,
+                (F.lit(2) * F.col("n_triangles")).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            ),
+        )
+        .select("node", F.col("deg").alias("degree"), "n_triangles", "clustering")
+    )

@@ -622,3 +622,52 @@ def test_coreness_converges_and_matches_peeling(spark):
     b = sorted(map(tuple, coreness(df, rounds=12).collect()))
     assert a == b  # fixpoint reached well before 6 sweeps
     assert dict(a) == _peel_coreness(edges)  # and it IS the coreness
+
+
+def _brute_triangles(edges):
+    import itertools
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    count = {n: 0 for n in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            count[x] += 1
+            count[y] += 1
+            count[z] += 1
+    return {n: (len(adj[n]), count[n]) for n in adj}
+
+
+def test_triangle_counts_vs_brute_force(spark):
+    import random
+    rng = random.Random(9)
+    edges = list({(f"h{rng.randrange(15)}", f"h{rng.randrange(15)}") for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from frontier_engine.graph import triangle_counts
+
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in triangle_counts(df).collect()
+    }
+    want = _brute_triangles(edges)
+    assert set(got) == set(want)
+    for n, (d, t) in want.items():
+        cc = (2 * t) / (d * (d - 1)) if d >= 2 else None
+        assert got[n] == (d, t, cc), (n, got[n], (d, t, cc))
+
+
+def test_triangle_counts_hub_skew_orientation(spark):
+    # A star (hub degree 20, zero triangles) + one triangle hanging off:
+    # the orientation must keep the hub's out-degree tiny and counts exact.
+    edges = [("hub", f"s{i}") for i in range(20)] + [("s0", "s1"), ("hub", "s0"), ("hub", "s1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from frontier_engine.graph import triangle_counts
+
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got["hub"] == 1 and got["s0"] == 1 and got["s1"] == 1
+    assert got["s5"] == 0
