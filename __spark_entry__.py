@@ -2202,6 +2202,35 @@ def q_triangles(spark, sf):
     return GR.triangle_counts(edges)
 
 
+def q_bowtie(spark, sf):
+    """Broder bow-tie census (graph.scc + graph.bowtie, WWW 2000): SCC
+    decomposition by the Multistep trim + FW-coloring method (Slota
+    IPDPS'14), then CORE/IN/OUT/TUBE/TENDRIL/DISC classification via
+    four wavefront BFS passes from the largest SCC. All labels exact
+    strings — the DuckDB oracle computes the full recursive-CTE
+    transitive closure and the identical region CASE, hash-exact.
+    The graph layers an orders-derived 120-node cyclic web (the SCC
+    body) with events-derived source-only 'x' feeders (the IN side)
+    and sink-only 'y' leaves (OUT-side leaves / tendrils)."""
+    o = _t(spark, sf, "orders")
+    e = _t(spark, sf, "events")
+    body = o.filter(F.col("o_orderkey") % 91 == 0).select(
+        F.concat(F.lit("n"), (F.col("o_custkey") % 120).cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"), ((F.col("o_orderkey") / 91).cast("long") % 120).cast("string")
+        ).alias("dst"),
+    )
+    feeders = e.filter(F.col("event_id") % 151 == 0).select(
+        F.concat(F.lit("x"), (F.col("event_id") % 13).cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.col("user_id") % 120).cast("string")).alias("dst"),
+    )
+    leaves = e.filter(F.col("event_id") % 173 == 0).select(
+        F.concat(F.lit("n"), (F.col("user_id") % 120).cast("string")).alias("src"),
+        F.concat(F.lit("y"), (F.col("event_id") % 17).cast("string")).alias("dst"),
+    )
+    return GR.bowtie(body.unionByName(feeders).unionByName(leaves))
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2374,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "kcore": q_kcore,
         "triangles": q_triangles,
+        "bowtie": q_bowtie,
     }
 
 
@@ -4808,5 +4838,53 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(d.degree * (d.degree - 1) AS DOUBLE)
                         END AS clustering
             FROM deg d LEFT JOIN per p ON p.node = d.node
+        """,
+        "bowtie": """
+            WITH RECURSIVE
+            e0 AS (SELECT 'n' || CAST(o_custkey % 120 AS VARCHAR) AS a,
+                          'n' || CAST((o_orderkey // 91) % 120 AS VARCHAR) AS b
+                   FROM orders WHERE o_orderkey % 91 = 0
+                   UNION ALL
+                   SELECT 'x' || CAST(event_id % 13 AS VARCHAR),
+                          'n' || CAST(user_id % 120 AS VARCHAR)
+                   FROM events WHERE event_id % 151 = 0
+                   UNION ALL
+                   SELECT 'n' || CAST(user_id % 120 AS VARCHAR),
+                          'y' || CAST(event_id % 17 AS VARCHAR)
+                   FROM events WHERE event_id % 173 = 0),
+            e AS (SELECT DISTINCT a, b FROM e0 WHERE a <> b),
+            nds AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+            reach(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b),
+            mutual AS (SELECT r1.a AS v, r1.b AS u
+                       FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+            scc AS (SELECT n.n AS node, least(n.n, coalesce(min(m.u), n.n)) AS scc_id
+                    FROM nds n LEFT JOIN mutual m ON m.v = n.n GROUP BY n.n),
+            core_id AS (SELECT scc_id FROM (SELECT scc_id, count(*) AS c
+                                            FROM scc GROUP BY scc_id)
+                        ORDER BY c DESC, scc_id LIMIT 1),
+            core AS (SELECT node FROM scc WHERE scc_id = (SELECT scc_id FROM core_id)),
+            inn AS (SELECT DISTINCT r.a AS node FROM reach r
+                    WHERE r.b IN (SELECT node FROM core)
+                      AND r.a NOT IN (SELECT node FROM core)),
+            outt AS (SELECT DISTINCT r.b AS node FROM reach r
+                     WHERE r.a IN (SELECT node FROM core)
+                       AND r.b NOT IN (SELECT node FROM core)),
+            infwd AS (SELECT DISTINCT r.b AS node FROM reach r
+                      WHERE r.a IN (SELECT node FROM inn)),
+            outbwd AS (SELECT DISTINCT r.a AS node FROM reach r
+                       WHERE r.b IN (SELECT node FROM outt))
+            SELECT s.node, s.scc_id,
+                   CASE WHEN s.node IN (SELECT node FROM core) THEN 'CORE'
+                        WHEN s.node IN (SELECT node FROM inn) THEN 'IN'
+                        WHEN s.node IN (SELECT node FROM outt) THEN 'OUT'
+                        WHEN s.node IN (SELECT node FROM infwd)
+                             AND s.node IN (SELECT node FROM outbwd) THEN 'TUBE'
+                        WHEN s.node IN (SELECT node FROM infwd)
+                             OR s.node IN (SELECT node FROM outbwd) THEN 'TENDRIL'
+                        ELSE 'DISC' END AS region
+            FROM scc s
         """,
     }

@@ -1194,3 +1194,221 @@ def triangle_counts(
         )
         .select("node", F.col("deg").alias("degree"), "n_triangles", "clustering")
     )
+
+
+def _min_color_fixpoint(
+    e: DataFrame, nodes: DataFrame, max_iters: int
+) -> DataFrame:
+    """Forward min-label propagation to fixpoint: color(v) = min node id
+    (string order) over {v} ∪ {u : u reaches v} within the active
+    subgraph. One hash join + map-side-combined min per round; lineage
+    localCheckpoint-cut; stops early on the fixpoint probe. min() is
+    order-free, so the coloring is byte-deterministic at any parallelism.
+    """
+    lab = nodes.select("node").withColumn("lab", F.col("node")).localCheckpoint()
+    for _ in range(max_iters):
+        cand = (
+            e.join(lab, lab["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.min("lab").alias("_m"))
+        )
+        nxt = lab.join(cand, "node", "left").withColumn(
+            "_lab2", F.least(F.col("lab"), F.coalesce(F.col("_m"), F.col("lab")))
+        ).localCheckpoint()
+        if nxt.filter(F.col("_lab2") < F.col("lab")).isEmpty():
+            break
+        lab = nxt.select("node", F.col("_lab2").alias("lab")).localCheckpoint()
+    return lab
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_phases: int = 12,
+    max_iters: int = 48,
+) -> DataFrame:
+    """Strongly connected components of a directed link graph —
+    ``(node, scc_id)`` with ``scc_id`` = the lexicographically smallest
+    member of the component.
+
+    The web graph's macro-shape is Broder et al.'s bow-tie (WWW 2000):
+    one giant SCC, an IN region feeding it, an OUT region fed by it, and
+    a periphery of tendrils. Knowing each host's SCC is the first step of
+    that census (see :func:`bowtie`) and a crawl-planning primitive: a
+    frontier seeded inside the giant SCC will eventually see all of it,
+    while OUT-region hosts can never lead back. The reference's static
+    store list has no graph to decompose; this is the open-web
+    generalization.
+
+    Algorithm: the Multistep / FW-BW-coloring method used by every
+    distributed SCC system (Slota et al. IPDPS'14; Orzan's coloring;
+    same family as GraphX's ``StronglyConnectedComponents``) — per phase:
+
+    1. **Trim** to fixpoint: an active node with no in-edges or no
+       out-edges cannot sit on a cycle → settle it as a singleton SCC.
+       On real web graphs trim alone removes most of the periphery; each
+       round is one degree distinct + two anti-joins.
+    2. **Color** forward to fixpoint: color(v) = min id that reaches v
+       (:func:`_min_color_fixpoint` — one shuffle per round).
+    3. **Settle**: within each color class, the nodes that can reach the
+       color's root through same-color nodes are exactly SCC(root)
+       (root reaches them by construction; they reach root). Found by a
+       backward BFS from the roots restricted to same-color endpoints —
+       per-round work proportional to the wavefront.
+
+    Every phase settles at least the SCC of each color root, so phases
+    are bounded by the longest ascending-id chain in the condensation
+    DAG (on web graphs: shallow). Raises RuntimeError if ``max_phases``
+    is exhausted with nodes still active — never returns a wrong label.
+    """
+    e0 = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+    )
+    nodes = (
+        e0.select(F.col("_s").alias("node"))
+        .union(e0.select("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = e0.localCheckpoint()
+    remaining = nodes
+    spark = edges.sparkSession
+    result = spark.createDataFrame([], "node string, scc_id string")
+    for _ in range(max_phases):
+        # 1. trim periphery to fixpoint
+        for _ in range(max_iters):
+            has_in = e.select(F.col("_d").alias("node")).distinct()
+            has_out = e.select(F.col("_s").alias("node")).distinct()
+            trimmed = (
+                remaining.join(has_in, "node", "left_anti")
+                .union(remaining.join(has_out, "node", "left_anti"))
+                .distinct()
+                .localCheckpoint()
+            )
+            if trimmed.isEmpty():
+                break
+            result = result.unionByName(
+                trimmed.withColumn("scc_id", F.col("node"))
+            ).localCheckpoint()
+            remaining = remaining.join(trimmed, "node", "left_anti").localCheckpoint()
+            e = (
+                e.join(trimmed.withColumnRenamed("node", "_s"), "_s", "left_anti")
+                .join(trimmed.withColumnRenamed("node", "_d"), "_d", "left_anti")
+                .localCheckpoint()
+            )
+        if remaining.isEmpty():
+            break
+        # 2. forward coloring
+        colored = _min_color_fixpoint(e, remaining, max_iters)  # (node, lab)
+        # 3. backward reach from each color root within its color class
+        ec = (
+            e.join(colored.withColumnRenamed("node", "_s"), "_s")
+            .withColumnRenamed("lab", "_ls")
+            .join(colored.withColumnRenamed("node", "_d"), "_d")
+            .filter(F.col("_ls") == F.col("lab"))
+            .select("_s", "_d", F.col("lab").alias("_c"))
+            .localCheckpoint()
+        )
+        settled = colored.filter(F.col("node") == F.col("lab")).localCheckpoint()
+        wave = settled
+        for _ in range(max_iters):
+            nxt = (
+                ec.join(wave, (ec["_d"] == wave["node"]) & (ec["_c"] == wave["lab"]))
+                .select(F.col("_s").alias("node"), F.col("_c").alias("lab"))
+                .distinct()
+            )
+            new = nxt.join(settled, "node", "left_anti").localCheckpoint()
+            if new.isEmpty():
+                break
+            settled = settled.unionByName(new).localCheckpoint()
+            wave = new
+        result = result.unionByName(
+            settled.select("node", F.col("lab").alias("scc_id"))
+        ).localCheckpoint()
+        sn = settled.select("node")
+        remaining = remaining.join(sn, "node", "left_anti").localCheckpoint()
+        e = (
+            e.join(sn.withColumnRenamed("node", "_s"), "_s", "left_anti")
+            .join(sn.withColumnRenamed("node", "_d"), "_d", "left_anti")
+            .localCheckpoint()
+        )
+        if remaining.isEmpty():
+            break
+    if not remaining.isEmpty():
+        raise RuntimeError("scc: max_phases exhausted with active nodes remaining")
+    return result
+
+
+def bowtie(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_phases: int = 12,
+    max_iters: int = 48,
+) -> DataFrame:
+    """Broder bow-tie census (WWW 2000): classify every node of the link
+    graph relative to the largest SCC — ``(node, scc_id, region)`` with
+    region ∈ {CORE, IN, OUT, TUBE, TENDRIL, DISC}.
+
+    * CORE — the largest SCC (ties broken by smallest scc_id);
+    * IN — reaches CORE but is not in it;
+    * OUT — reachable from CORE but not in it;
+    * TUBE — reachable from IN and reaches OUT, bypassing CORE;
+    * TENDRIL — hangs off IN or leads into OUT (one side only);
+    * DISC — everything else (disconnected from the bow-tie).
+
+    The census that told the crawl community the web is not a ball: a
+    crawler seeded in IN∪CORE covers CORE+OUT+tubes+out-tendrils but can
+    NEVER discover the rest by link-following alone — the quantitative
+    argument for sitemap/CDX side-channels (`sitemap.py`, `cdx.py`).
+
+    Plan shape: one :func:`scc` run, one driver-side scalar (the core's
+    id — a 1-row collect of an aggregate, the same idiom as
+    ``hostctl``'s epoch scalars), then four wavefront BFS reachability
+    passes (:func:`bfs_depth`) — from CORE forward, from CORE backward,
+    from IN forward, from OUT backward. All label logic is exact string
+    comparison; no floats anywhere.
+    """
+    labels = scc(edges, src=src, dst=dst, max_phases=max_phases, max_iters=max_iters)
+    top = (
+        labels.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("scc_id"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return labels.withColumn("region", F.lit("DISC"))
+    core_id = top[0]["scc_id"]
+    labels = labels.localCheckpoint()
+    core = labels.filter(F.col("scc_id") == F.lit(core_id)).select("node")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = bfs_depth(e, core, max_depth=max_iters).select("node")  # CORE ∪ OUT
+    bwd = bfs_depth(rev, core, max_depth=max_iters).select("node")  # CORE ∪ IN
+    in_ = bwd.join(core, "node", "left_anti").localCheckpoint()
+    out = fwd.join(core, "node", "left_anti").localCheckpoint()
+    in_fwd = bfs_depth(e, in_, max_depth=max_iters).select("node")
+    out_bwd = bfs_depth(rev, out, max_depth=max_iters).select("node")
+    flag = lambda d, c: d.withColumn(c, F.lit(True))  # noqa: E731
+    return (
+        labels.join(flag(core, "_core"), "node", "left")
+        .join(flag(in_, "_in"), "node", "left")
+        .join(flag(out, "_out"), "node", "left")
+        .join(flag(in_fwd.distinct(), "_if"), "node", "left")
+        .join(flag(out_bwd.distinct(), "_ob"), "node", "left")
+        .withColumn(
+            "region",
+            F.when(F.col("_core"), "CORE")
+            .when(F.col("_in"), "IN")
+            .when(F.col("_out"), "OUT")
+            .when(F.col("_if") & F.col("_ob"), "TUBE")
+            .when(F.col("_if") | F.col("_ob"), "TENDRIL")
+            .otherwise("DISC"),
+        )
+        .select("node", "scc_id", "region")
+    )

@@ -671,3 +671,113 @@ def test_triangle_counts_hub_skew_orientation(spark):
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got["hub"] == 1 and got["s0"] == 1 and got["s1"] == 1
     assert got["s5"] == 0
+
+
+def _tarjan_scc(edges):
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            adj[a].append(b)
+            nodes.update((a, b))
+    index, low, onstk, stk, out = {}, {}, set(), [], []
+    counter = [0]
+
+    def strong(v):
+        # iterative Tarjan to dodge recursion limits
+        work = [(v, 0)]
+        while work:
+            n, i = work.pop()
+            if i == 0:
+                index[n] = low[n] = counter[0]
+                counter[0] += 1
+                stk.append(n)
+                onstk.add(n)
+            recurse = False
+            for j in range(i, len(adj[n])):
+                w = adj[n][j]
+                if w not in index:
+                    work.append((n, j + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstk:
+                    low[n] = min(low[n], index[w])
+            if recurse:
+                continue
+            if low[n] == index[n]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == n:
+                        break
+                out.append(comp)
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[n])
+        return out
+
+    for v in sorted(nodes):
+        if v not in index:
+            strong(v)
+    return {n: min(comp) for comp in out for n in comp}
+
+
+def test_scc_vs_tarjan_random(spark):
+    import random
+
+    from frontier_engine.graph import scc
+
+    rng = random.Random(17)
+    edges = sorted({(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["scc_id"] for r in scc(df).collect()}
+    assert got == _tarjan_scc(edges)
+
+
+def test_scc_ascending_chain_of_cycles(spark):
+    # condensation is an ascending-id chain — the adversarial case for
+    # coloring (each phase settles only the lowest remaining SCC)
+    from frontier_engine.graph import scc
+
+    edges = []
+    for k in range(4):
+        a, b = f"c{2 * k}", f"c{2 * k + 1}"
+        edges += [(a, b), (b, a)]
+        if k:
+            edges.append((f"c{2 * k - 1}", a))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["scc_id"] for r in scc(df).collect()}
+    assert got == _tarjan_scc(edges)
+
+
+def test_bowtie_regions(spark):
+    from frontier_engine.graph import bowtie
+
+    # CORE = {a,b,c} cycle; IN = i1->i2->a; OUT = c->o1->o2;
+    # TUBE = i2->t->o1 (bypasses core); TENDRIL = i1->td (off IN),
+    # tu->o2 (into OUT); DISC = {x,y} its own 2-cycle island.
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("i1", "i2"), ("i2", "a"),
+        ("c", "o1"), ("o1", "o2"),
+        ("i2", "t"), ("t", "o1"),
+        ("i1", "td"),
+        ("tu", "o2"),
+        ("x", "y"), ("y", "x"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["region"] for r in bowtie(df).collect()}
+    want = {
+        "a": "CORE", "b": "CORE", "c": "CORE",
+        "i1": "IN", "i2": "IN",
+        "o1": "OUT", "o2": "OUT",
+        "t": "TUBE", "td": "TENDRIL", "tu": "TENDRIL",
+        "x": "DISC", "y": "DISC",
+    }
+    assert got == want
