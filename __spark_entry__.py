@@ -2231,6 +2231,20 @@ def q_bowtie(spark, sf):
     return GR.bowtie(body.unionByName(feeders).unionByName(leaves))
 
 
+def q_cocitation(spark, sf):
+    """Related-host discovery by co-citation (graph.cocitation, Dean &
+    Henzinger WWW'99): pairs of pages cited by >=3 common citers, with
+    exact neighbor-set Jaccard. Wedge self-join on the citing page with
+    a max_fanout=64 degeneracy cap (directory-page guard) — the oracle
+    applies the identical cap via a HAVING pre-filter."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 400).cast("string")).alias("src"),
+        F.concat(F.lit("d"), (F.col("user_id") % 40).cast("string")).alias("dst"),
+    )
+    return GR.cocitation(edges, min_common=3, max_fanout=64)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2404,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "triangles": q_triangles,
         "bowtie": q_bowtie,
+        "cocitation": q_cocitation,
     }
 
 
@@ -4886,5 +4901,21 @@ def oracle_sql() -> dict[str, str]:
                              OR s.node IN (SELECT node FROM outbwd) THEN 'TENDRIL'
                         ELSE 'DISC' END AS region
             FROM scc s
+        """,
+        "cocitation": """
+            WITH e0 AS (SELECT DISTINCT
+                            'u' || CAST(event_id % 400 AS VARCHAR) AS p,
+                            'd' || CAST(user_id % 40 AS VARCHAR) AS l
+                        FROM events),
+            ok AS (SELECT p FROM e0 GROUP BY p HAVING count(*) <= 64),
+            pv AS (SELECT e0.p, e0.l FROM e0 JOIN ok USING (p)),
+            deg AS (SELECT l, CAST(count(*) AS BIGINT) AS d FROM pv GROUP BY l),
+            pairs AS (SELECT x.l AS a, y.l AS b, CAST(count(*) AS BIGINT) AS n_common
+                      FROM pv x JOIN pv y ON y.p = x.p AND x.l < y.l
+                      GROUP BY x.l, y.l HAVING count(*) >= 3)
+            SELECT p.a, p.b, p.n_common,
+                   CAST(p.n_common AS DOUBLE)
+                       / CAST(da.d + db.d - p.n_common AS DOUBLE) AS jaccard
+            FROM pairs p JOIN deg da ON da.l = p.a JOIN deg db ON db.l = p.b
         """,
     }

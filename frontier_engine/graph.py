@@ -1412,3 +1412,76 @@ def bowtie(
         )
         .select("node", "scc_id", "region")
     )
+
+
+def cocitation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    by: str = "citer",
+    min_common: int = 2,
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """Co-citation / bibliographic-coupling pair census — the classic
+    related-page signal (Dean & Henzinger, WWW'99 "Finding related pages
+    in the World Wide Web"): two URLs are related if many third pages
+    link to both (``by='citer'``, co-citation) or if they cite many of
+    the same targets (``by='cited'``, coupling). Output
+    ``(a, b, n_common, jaccard)`` for unordered pairs ``a < b`` with at
+    least ``min_common`` shared neighbors; ``jaccard`` is the exact
+    |common| / |union| over neighbor sets (one int→double division).
+
+    Complements the content-side mirror detectors (``textops.
+    mirror_hosts`` hashes bodies): co-citation finds related/duplicate
+    hosts from the *graph alone* — no fetch needed, so a frontier can
+    demote probable mirrors before spending budget on them.
+
+    Scale shape: one distinct, then a wedge self-join on the pivot
+    (citing page for co-citation) feeding a map-side-combined count on
+    the pair key. The quadratic risk is a pivot with huge fan-out (a
+    directory page linking 10^5 URLs yields 10^10 pairs);
+    ``max_fanout`` drops pivots above the cap *before* the self-join —
+    the standard co-citation degeneracy guard (such hubs carry ~zero
+    relatedness signal). With the cap on, per-pivot work is bounded by
+    ``max_fanout**2`` and the join partitions on the pivot key; skewed
+    pair keys are AQE's problem (counts map-side-combine first).
+    Default ``None`` = exact census.
+    """
+    if by not in ("citer", "cited"):
+        raise ValueError("cocitation: by must be 'citer' or 'cited'")
+    pivot, leaf = (src, dst) if by == "citer" else (dst, src)
+    p = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(pivot).alias("_p"), F.col(leaf).alias("_l"))
+        .distinct()
+    )
+    if max_fanout is not None:
+        ok = (
+            p.groupBy("_p")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_fanout)
+            .select("_p")
+        )
+        p = p.join(ok, "_p", "left_semi")
+    p = p.persist()
+    pairs = (
+        p.alias("x")
+        .join(p.alias("y"), "_p")
+        .filter(F.col("x._l") < F.col("y._l"))
+        .groupBy(F.col("x._l").alias("a"), F.col("y._l").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    deg = p.groupBy(F.col("_l").alias("_n")).agg(
+        F.count(F.lit(1)).cast("long").alias("_d")
+    )
+    return (
+        pairs.join(deg.withColumnRenamed("_n", "a").withColumnRenamed("_d", "_da"), "a")
+        .join(deg.withColumnRenamed("_n", "b").withColumnRenamed("_d", "_db"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("_da") + F.col("_db") - F.col("n_common")).cast("double"),
+        )
+        .select("a", "b", "n_common", "jaccard")
+    )

@@ -781,3 +781,50 @@ def test_bowtie_regions(spark):
         "x": "DISC", "y": "DISC",
     }
     assert got == want
+
+
+def test_cocitation_vs_brute(spark):
+    import itertools
+    import random
+    from collections import defaultdict
+
+    from frontier_engine.graph import cocitation
+
+    rng = random.Random(23)
+    edges = sorted({(f"u{rng.randrange(12)}", f"d{rng.randrange(9)}") for _ in range(50)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in cocitation(df, min_common=1).collect()
+    }
+    cites = defaultdict(set)
+    for u, d in edges:
+        cites[d].add(u)
+    want = {}
+    for a, b in itertools.combinations(sorted(cites), 2):
+        c = len(cites[a] & cites[b])
+        if c >= 1:
+            want[(a, b)] = (c, c / len(cites[a] | cites[b]))
+    assert got == want
+
+
+def test_cocitation_max_fanout_drops_hub(spark):
+    from frontier_engine.graph import cocitation
+
+    edges = [("hub", f"d{i}") for i in range(10)] + [("u1", "d0"), ("u1", "d1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = cocitation(df, min_common=1, max_fanout=5).collect()
+    # the hub's 45 pairs are gone; only u1's wedge survives, and the
+    # neighbor sets (degrees) are computed on the capped graph
+    assert [(r["a"], r["b"], r["n_common"], r["jaccard"]) for r in rows] == [
+        ("d0", "d1", 1, 1.0)
+    ]
+
+
+def test_cocitation_coupling_mode(spark):
+    from frontier_engine.graph import cocitation
+
+    edges = [("a", "t1"), ("a", "t2"), ("b", "t1"), ("b", "t2"), ("c", "t2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = cocitation(df, by="cited", min_common=2).collect()
+    assert [(r["a"], r["b"], r["n_common"]) for r in rows] == [("a", "b", 2)]
