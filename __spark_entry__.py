@@ -2245,6 +2245,29 @@ def q_cocitation(spark, sf):
     return GR.cocitation(edges, min_common=3, max_fanout=64)
 
 
+def q_fuzzy_join(spark, sf):
+    """Entity resolution across catalogs (textops.edit_distance_join,
+    Ed-Join VLDB'08): match part names against a deterministically
+    typo'd variant catalog (one char deleted at p_partkey mod len) with
+    Levenshtein <= 2. Exact — q-gram prefix filtering guarantees zero
+    false negatives, verified by built-in levenshtein; the DuckDB
+    oracle brute-forces the banded cross join with its own
+    levenshtein()."""
+    p = _t(spark, sf, "part")
+    left = p.filter(F.col("p_partkey") % 7 == 0).select(
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("val"),
+    )
+    right = p.filter(F.col("p_partkey") % 3 == 0).select(
+        F.concat(F.lit("q"), F.col("p_partkey").cast("string")).alias("id"),
+        F.concat(
+            F.expr("substring(p_name, 1, p_partkey % length(p_name))"),
+            F.expr("substring(p_name, p_partkey % length(p_name) + 2, 300)"),
+        ).alias("val"),
+    )
+    return TX.edit_distance_join(left, right, max_dist=2)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2419,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "bowtie": q_bowtie,
         "cocitation": q_cocitation,
+        "fuzzy_join": q_fuzzy_join,
     }
 
 
@@ -4917,5 +4941,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.n_common AS DOUBLE)
                        / CAST(da.d + db.d - p.n_common AS DOUBLE) AS jaccard
             FROM pairs p JOIN deg da ON da.l = p.a JOIN deg db ON db.l = p.b
+        """,
+        "fuzzy_join": """
+            WITH l AS (SELECT 'p' || CAST(p_partkey AS VARCHAR) AS id, p_name AS val
+                       FROM part WHERE p_partkey % 7 = 0),
+            r AS (SELECT 'q' || CAST(p_partkey AS VARCHAR) AS id,
+                         substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+                         || substring(p_name,
+                                      CAST(p_partkey % length(p_name) AS INT) + 2, 300)
+                             AS val
+                  FROM part WHERE p_partkey % 3 = 0)
+            SELECT l.id AS l_id, r.id AS r_id, l.val AS l_val, r.val AS r_val,
+                   CAST(levenshtein(l.val, r.val) AS BIGINT) AS dist
+            FROM l, r
+            WHERE abs(length(l.val) - length(r.val)) <= 2
+              AND levenshtein(l.val, r.val) <= 2
         """,
     }

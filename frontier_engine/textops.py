@@ -2533,3 +2533,116 @@ def set_similarity_join(
             ),
         )
     )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_dist: int = 2,
+    q: int = 2,
+    left_id: str = "id",
+    right_id: str = "id",
+    left_val: str = "val",
+    right_val: str = "val",
+) -> DataFrame:
+    """EXACT similarity join on Levenshtein distance with q-gram prefix
+    filtering (Ed-Join, Xiao et al. VLDB'08; the q-gram count bound is
+    Gravano et al. VLDB'01) — every (left, right) pair with
+    ``levenshtein(lv, rv) <= max_dist``, zero false negatives, never a
+    cross join. Entity resolution for crawled records: the reference
+    matches scraped product titles across store chains by normalized
+    name equality (`/root/reference/crawler/*/main.py` upserts on the
+    cleaned name), which silently drops every typo'd / reordered /
+    re-spaced variant — this operator is the scale-safe fuzzy
+    generalization.
+
+    Completeness argument (the Ed-Join prefix theorem): ``d`` edits
+    destroy at most ``q*d`` of a string's positional q-gram occurrences.
+    Order all gram occurrences by one global total order (corpus
+    frequency asc, gram asc, position asc — rare first) and keep each
+    string's first ``q*d + 1``; if ed <= d, both prefixes must contain a
+    preserved occurrence, and whichever ranks lower appears in BOTH
+    prefixes (a prefix contains every own-string occurrence ranking
+    below any member). Candidates therefore come from a prefix ⋈ prefix
+    equi-join on the gram value plus the length band |len_l - len_r| <=
+    d, then one built-in ``levenshtein`` verify (JVM codegen, no UDF).
+
+    Strings too short to own a guaranteed shared gram (len < q*(d+1))
+    are routed to a length-banded nested-loop among themselves — a
+    vanishing fraction of any real corpus — and any short↔long pair is
+    impossible by the length band. Plan shape at 100 TB: one explode per
+    side, a vocabulary-sized frequency agg, per-string window row_number
+    (partitioned by the string id — no global sort), and a candidate
+    join dominated by RARE grams, the same economics as
+    :func:`set_similarity_join`.
+    """
+    if max_dist < 0 or q < 1:
+        raise ValueError("edit_distance_join: max_dist >= 0 and q >= 1 required")
+    pref_n = q * max_dist + 1
+    short_len = q * (max_dist + 1)
+
+    def _prep(df, idc, vc, side):
+        return df.select(
+            F.col(idc).alias(f"{side}_id"),
+            F.col(vc).alias(f"{side}_val"),
+            F.length(F.col(vc)).alias(f"{side}_len"),
+        )
+
+    L = _prep(left, left_id, left_val, "l").persist()
+    R = _prep(right, right_id, right_val, "r").persist()
+
+    # positional q-grams via substring over a 1..len-q+1 index sequence
+    def _gram_arr(vcol, lncol):
+        return F.transform(
+            F.sequence(F.lit(1), F.col(lncol) - q + 1),
+            lambda i: F.col(vcol).substr(i, F.lit(q)),
+        )
+
+    lg = L.filter(F.col("l_len") >= q).select(
+        "l_id", "l_val", "l_len", F.posexplode(_gram_arr("l_val", "l_len")).alias("pos", "gram")
+    )
+    rg = R.filter(F.col("r_len") >= q).select(
+        "r_id", "r_val", "r_len", F.posexplode(_gram_arr("r_val", "r_len")).alias("pos", "gram")
+    )
+    freq = (
+        lg.select("gram")
+        .unionAll(rg.select("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    w_l = Window.partitionBy("l_id").orderBy("_f", "gram", "pos")
+    w_r = Window.partitionBy("r_id").orderBy("_f", "gram", "pos")
+    lp = (
+        lg.join(freq, "gram")
+        .withColumn("_rn", F.row_number().over(w_l))
+        .filter(F.col("_rn") <= pref_n)
+        .select("l_id", "l_val", "l_len", "gram")
+    )
+    rp = (
+        rg.join(freq, "gram")
+        .withColumn("_rn", F.row_number().over(w_r))
+        .filter(F.col("_rn") <= pref_n)
+        .select("r_id", "r_val", "r_len", "gram")
+    )
+    cand = (
+        lp.join(rp, "gram")
+        .filter(F.abs(F.col("l_len") - F.col("r_len")) <= max_dist)
+        .select("l_id", "l_val", "r_id", "r_val")
+        .distinct()
+    )
+    shorts = (
+        L.filter(F.col("l_len") < short_len)
+        .join(
+            R.filter(F.col("r_len") < short_len),
+            F.abs(F.col("l_len") - F.col("r_len")) <= max_dist,
+        )
+        .select("l_id", "l_val", "r_id", "r_val")
+    )
+    out = (
+        cand.unionByName(shorts)
+        .distinct()
+        .withColumn("dist", F.levenshtein("l_val", "r_val").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("l_id", "r_id", "l_val", "r_val", "dist")
+    )
+    return out

@@ -1011,3 +1011,66 @@ def test_set_similarity_join_threshold_rational(spark):
     r = rows[0]
     assert (r["inter"], r["n_a"], r["n_b"]) == (2, 4, 4)
     assert r["jaccard"] == 2 / 6
+
+
+def _brute_ed_pairs(ls, rs, d):
+    def ed(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    return {
+        (li, ri, lv, rv, ed(lv, rv))
+        for li, lv in ls
+        for ri, rv in rs
+        if ed(lv, rv) <= d
+    }
+
+
+def test_edit_distance_join_vs_brute_force(spark):
+    import random
+
+    from frontier_engine.textops import edit_distance_join
+
+    rng = random.Random(41)
+    alphabet = "abcde"
+    def mk(n, pfx):
+        out = []
+        for i in range(n):
+            L = rng.randrange(0, 12)
+            out.append((f"{pfx}{i}", "".join(rng.choice(alphabet) for _ in range(L))))
+        return out
+
+    ls, rs = mk(40, "L"), mk(40, "R")
+    ldf = spark.createDataFrame(ls, "id string, val string")
+    rdf = spark.createDataFrame(rs, "id string, val string")
+    for d in (0, 1, 2):
+        got = {
+            tuple(r) for r in edit_distance_join(ldf, rdf, max_dist=d).collect()
+        }
+        assert got == _brute_ed_pairs(ls, rs, d), d
+
+
+def test_edit_distance_join_typo_variants(spark):
+    from frontier_engine.textops import edit_distance_join
+
+    ls = [("a", "heinz tomato ketchup 500ml"), ("b", "nutella hazelnut 750g")]
+    rs = [
+        ("x", "heinz tomato ketchup 500ml"),   # exact
+        ("y", "heinz tomoto ketchup 500 ml"),  # 1 sub + 1 insert = 2
+        ("z", "nutela hazelnut 750g"),         # 1 deletion
+        ("w", "golden syrup 330g"),            # unrelated
+    ]
+    ldf = spark.createDataFrame(ls, "id string, val string")
+    rdf = spark.createDataFrame(rs, "id string, val string")
+    got = sorted(
+        (r["l_id"], r["r_id"], r["dist"])
+        for r in edit_distance_join(ldf, rdf, max_dist=2).collect()
+    )
+    assert got == [("a", "x", 0), ("a", "y", 2), ("b", "z", 1)]
