@@ -2268,6 +2268,18 @@ def q_fuzzy_join(spark, sf):
     return TX.edit_distance_join(left, right, max_dist=2)
 
 
+def q_kn_score(spark, sf):
+    """Kneser-Ney bigram LM quality scoring (textops.kn_bigram_score) —
+    the smoothing CCNet's KenLM filter uses, self-trained on the scored
+    corpus. Per distinct bigram the probability is integerized once
+    (floor(-log2 P * 1e6)); every per-document aggregate is exact int64
+    and mean_bits is one int->double division, so the DuckDB oracle
+    (same expression order, CAST(0.75 AS DOUBLE) discount) matches
+    hash-exact."""
+    d = _t(spark, sf, "documents")
+    return TX.kn_bigram_score(d)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2443,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "cocitation": q_cocitation,
         "fuzzy_join": q_fuzzy_join,
+        "kn_score": q_kn_score,
     }
 
 
@@ -4956,5 +4969,41 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE abs(length(l.val) - length(r.val)) <= 2
               AND levenshtein(l.val, r.val) <= 2
+        """,
+        "kn_score": f"""
+            WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+            tokp AS (SELECT doc_id, lang, i AS pos, toks[i] AS term
+                     FROM base, unnest(range(1, len(toks) + 1)) AS t(i)),
+            big AS (SELECT doc_id, lang,
+                           lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+                           term
+                    FROM tokp QUALIFY prev IS NOT NULL),
+            tf AS (SELECT doc_id, lang, prev, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM big GROUP BY ALL),
+            c2 AS (SELECT prev, term, CAST(sum(tf) AS BIGINT) AS c2
+                   FROM tf GROUP BY prev, term),
+            ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+                           CAST(count(*) AS BIGINT) AS n1v
+                    FROM c2 GROUP BY prev),
+            cont AS (SELECT term, CAST(count(*) AS BIGINT) AS n1w
+                     FROM c2 GROUP BY term),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM c2),
+            model AS (
+                SELECT prev, term,
+                       CAST(floor(-log2(
+                           (c2 - CAST(0.75 AS DOUBLE)) / c1
+                           + (CAST(0.75 AS DOUBLE) * n1v * n1w) / (c1 * n1tot)
+                       ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS microbits
+                FROM c2 JOIN ctx USING (prev) JOIN cont USING (term) CROSS JOIN tot),
+            per_doc AS (
+                SELECT doc_id, lang,
+                       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                       CAST(sum(tf * microbits) AS BIGINT) AS sum_microbits
+                FROM tf JOIN model USING (prev, term)
+                GROUP BY doc_id, lang)
+            SELECT doc_id, lang, n_bigrams, sum_microbits,
+                   CAST(sum_microbits AS DOUBLE)
+                       / CAST(n_bigrams * 1000000 AS DOUBLE) AS mean_bits
+            FROM per_doc
         """,
     }

@@ -2646,3 +2646,102 @@ def edit_distance_join(
         .select("l_id", "r_id", "l_val", "r_val", "dist")
     )
     return out
+
+
+def kn_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    discount: float = 0.75,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — the smoothing CCNet's
+    KenLM filter actually uses (Wenzek et al. 2020 score documents by a
+    KN-smoothed 5-gram model; this is the bigram self-trained analogue,
+    and the smoothing upgrade over :func:`bigram_surprisal`'s raw MLE
+    bits):
+
+        P(w|v) = (c(vw) - D)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+
+    with absolute discount ``D`` (Kneser & Ney 1995; Chen & Goodman
+    1999). The continuation term is what separates KN from plain
+    discounting: "francisco" is frequent but only ever follows "san",
+    so its continuation count N1+(·francisco)=1 keeps word-salad built
+    from frequent-but-glued tokens expensive — exactly the spam signal
+    a web-quality filter wants. Self-trained on the scored corpus, so
+    every scored bigram is in the model (no OOV path) and the result is
+    a pure function of the corpus.
+
+    Cross-engine exactness: per distinct bigram the score is integerized
+    ONCE — ``microbits = floor(-log2(P) * 1e6)`` — then all per-document
+    arithmetic is exact int64 (sum of tf·microbits); the reported
+    ``mean_bits`` is a single int→double division. The only libm call
+    sits behind a floor at 1e-6 grain on a per-row pure function, the
+    same isolation discipline as the repo's other libm queries (no
+    float ever enters an aggregation).
+
+    Plan shape at 100 TB: identical to :func:`bigram_surprisal` — per-doc
+    lag window over doc-sized groups, map-side-combined tf, model counts
+    as THREE partial aggs over the already-collapsed bigram vocabulary
+    (c1 by context, N1+ by context, N1+ by word — never re-reads the
+    corpus), one scalar N1+(··) via a broadcast-joined 1-row aggregate,
+    then a vocabulary join (broadcast by default).
+
+    Returns ``(id_col, lang, n_bigrams, sum_microbits, mean_bits)``;
+    single-token documents have no bigram and are absent.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    pos_tok = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    byd = Window.partitionBy(id_col).orderBy("pos")
+    big = pos_tok.select(
+        id_col, "lang", F.lag("term").over(byd).alias("prev"), "term"
+    ).filter(F.col("prev").isNotNull())
+    tf = big.groupBy(id_col, "lang", "prev", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    c2 = tf.groupBy("prev", "term").agg(F.sum("tf").cast("long").alias("c2"))
+    ctx = c2.groupBy("prev").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1v"),
+    )
+    cont = c2.groupBy("term").agg(F.count("*").cast("long").alias("n1w"))
+    tot = c2.agg(F.count("*").cast("long").alias("n1tot"))
+    model = (
+        c2.join(ctx, "prev")
+        .join(cont, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_p",
+            (F.col("c2").cast("double") - F.lit(float(discount))) / F.col("c1")
+            + (F.lit(float(discount)) * F.col("n1v") * F.col("n1w"))
+            / (F.col("c1") * F.col("n1tot")),
+        )
+        .withColumn(
+            "microbits",
+            F.floor(-F.log2(F.col("_p")) * F.lit(1000000.0)).cast("long"),
+        )
+        .select("prev", "term", "microbits")
+    )
+    if broadcast_vocab:
+        model = F.broadcast(model)
+    return (
+        tf.join(model, ["prev", "term"])
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("microbits")).cast("long").alias("sum_microbits"),
+        )
+        .withColumn(
+            "mean_bits",
+            F.col("sum_microbits").cast("double")
+            / (F.col("n_bigrams") * F.lit(1000000).cast("long")).cast("double"),
+        )
+    )

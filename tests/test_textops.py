@@ -1074,3 +1074,56 @@ def test_edit_distance_join_typo_variants(spark):
         for r in edit_distance_join(ldf, rdf, max_dist=2).collect()
     )
     assert got == [("a", "x", 0), ("a", "y", 2), ("b", "z", 1)]
+
+
+def test_kn_bigram_score_vs_reference_impl(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    from frontier_engine.textops import kn_bigram_score
+
+    docs = [
+        ("d1", "the cat sat on the mat", "en"),
+        ("d2", "the cat sat on the cat", "en"),
+        ("d3", "mat the on sat cat the", "en"),   # same unigrams, scrambled
+        ("d4", "one", "en"),                       # no bigram -> absent
+        ("d5", "san francisco san francisco", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string, lang string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_microbits"], r["mean_bits"])
+        for r in kn_bigram_score(df).collect()
+    }
+
+    D = 0.75
+    bi = Counter()
+    per_doc = {}
+    for did, text, _ in docs:
+        ws = text.split()
+        pairs = list(zip(ws, ws[1:]))
+        per_doc[did] = pairs
+        bi.update(pairs)
+    c1 = defaultdict(int)
+    n1v = defaultdict(int)
+    n1w = defaultdict(int)
+    for (v, w), c in bi.items():
+        c1[v] += c
+        n1v[v] += 1
+        n1w[w] += 1
+    n1tot = len(bi)
+    micro = {
+        vw: math.floor(
+            -math.log2((bi[vw] - D) / c1[vw[0]] + D * n1v[vw[0]] * n1w[vw[1]] / (c1[vw[0]] * n1tot))
+            * 1e6
+        )
+        for vw in bi
+    }
+    want = {}
+    for did, pairs in per_doc.items():
+        if not pairs:
+            continue
+        s = sum(micro[p] for p in pairs)
+        want[did] = (len(pairs), s, s / (len(pairs) * 1e6))
+    assert got == want
+    # the scrambled doc must be more surprising than the original
+    assert got["d3"][2] > got["d1"][2]
