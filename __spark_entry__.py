@@ -2280,6 +2280,27 @@ def q_kn_score(spark, sf):
     return TX.kn_bigram_score(d)
 
 
+def q_price_index(spark, sf):
+    """Matched-item unit-value price index (transforms.price_index, the
+    billion-prices-project CPI recipe) per part type and ship month:
+    lineitem spend in exact floor-cents, integer quantities, matched
+    against each category's earliest month. All aggregates int64; the
+    index is two single-cast double products and one division —
+    hash-exact vs the DuckDB twin."""
+    from frontier_engine import transforms as TR
+
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rows = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_type").alias("category"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("period"),
+        F.col("l_partkey").alias("item"),
+        _cents(F.col("l_extendedprice")).alias("spend_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return TR.price_index(rows)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2456,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "fuzzy_join": q_fuzzy_join,
         "kn_score": q_kn_score,
+        "price_index": q_price_index,
     }
 
 
@@ -5005,5 +5027,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum_microbits AS DOUBLE)
                        / CAST(n_bigrams * 1000000 AS DOUBLE) AS mean_bits
             FROM per_doc
+        """,
+        "price_index": """
+            WITH rows_ AS (
+                SELECT p.p_type AS category,
+                       strftime(l.l_shipdate, '%Y-%m') AS period,
+                       l.l_partkey AS item,
+                       CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS spend_cents,
+                       CAST(l.l_quantity AS BIGINT) AS qty
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            cells AS (
+                SELECT category, item, period,
+                       CAST(sum(spend_cents) AS BIGINT) AS v,
+                       CAST(sum(qty) AS BIGINT) AS q
+                FROM rows_ GROUP BY ALL),
+            basep AS (SELECT category, min(period) AS period FROM cells GROUP BY category),
+            base AS (SELECT c.category, c.item, c.v AS v0, c.q AS q0
+                     FROM cells c JOIN basep USING (category, period)),
+            agg AS (
+                SELECT c.category, c.period,
+                       CAST(count(*) AS BIGINT) AS n_matched,
+                       CAST(sum(c.v) AS BIGINT) AS vt,
+                       CAST(sum(c.q) AS BIGINT) AS qt,
+                       CAST(sum(b.v0) AS BIGINT) AS v0,
+                       CAST(sum(b.q0) AS BIGINT) AS q0
+                FROM cells c JOIN base b USING (category, item)
+                GROUP BY c.category, c.period)
+            SELECT category, period, n_matched,
+                   CASE WHEN qt > 0 AND v0 > 0
+                        THEN CAST(100.0 AS DOUBLE)
+                             * (CAST(vt AS DOUBLE) * CAST(q0 AS DOUBLE))
+                             / (CAST(qt AS DOUBLE) * CAST(v0 AS DOUBLE))
+                        END AS index
+            FROM agg
         """,
     }

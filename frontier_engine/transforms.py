@@ -398,3 +398,76 @@ def recrawl_schedule(
         .alias("change_rate"),
         clamped.cast("long").alias("next_interval_s"),
     )
+
+
+def price_index(
+    df: DataFrame,
+    cat_col: str = "category",
+    period_col: str = "period",
+    item_col: str = "item",
+    spend_col: str = "spend_cents",
+    qty_col: str = "qty",
+) -> DataFrame:
+    """Matched-item unit-value price index per category — the analytics
+    the reference's food-price crawl exists to feed (its pipeline ends
+    at per-product normalized prices, `/root/reference/crawler/*/main.py`
+    upserts `net_unit_value`; a price *index* over time is the canonical
+    downstream product, cf. the "billion prices project" methodology for
+    scraped-price CPI).
+
+    For each (category, period): restrict to the items traded in BOTH
+    the category's base period (its earliest) and this period — the
+    matched-model rule that keeps assortment churn out of the index —
+    then
+
+        index = 100 * (V_t / Q_t) / (V_0 / Q_0)
+              = 100 * (V_t * Q_0) / (Q_t * V_0)
+
+    where V = Σ spend (integer cents), Q = Σ quantity (integer), and
+    V_0/Q_0 are the base-period sums over the *same matched item set*.
+    Every aggregate is exact int64 (order-free), the two cross products
+    are computed in IEEE double after a single cast each, and the index
+    is one division — hash-identical on any engine, any partitioning.
+    ``n_matched`` counts the matched items; periods with no overlap (or
+    a zero denominator) report NULL.
+
+    Plan shape at 100 TB: one partial agg to (category, item, period)
+    cells — map-side combined, billions of rows in, cells out — then a
+    self-join of cells against the base-period cells on (category,
+    item) (both sides shuffle-partitioned on the same key), and a final
+    agg per (category, period). No window over raw rows, no broadcast
+    needed; skewed categories split fine because the join key includes
+    the item.
+    """
+    cells = df.groupBy(
+        F.col(cat_col).alias("category"),
+        F.col(item_col).alias("item"),
+        F.col(period_col).alias("period"),
+    ).agg(
+        F.sum(F.col(spend_col).cast("long")).alias("v"),
+        F.sum(F.col(qty_col).cast("long")).alias("q"),
+    )
+    base_period = cells.groupBy("category").agg(F.min("period").alias("period"))
+    base = (
+        cells.join(base_period, ["category", "period"])
+        .select("category", "item", F.col("v").alias("v0"), F.col("q").alias("q0"))
+    )
+    matched = cells.join(base, ["category", "item"])
+    agg = matched.groupBy("category", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("v").alias("vt"),
+        F.sum("q").alias("qt"),
+        F.sum("v0").alias("v0"),
+        F.sum("q0").alias("q0"),
+    )
+    return agg.select(
+        "category",
+        "period",
+        "n_matched",
+        F.when(
+            (F.col("qt") > 0) & (F.col("v0") > 0),
+            F.lit(100.0)
+            * (F.col("vt").cast("double") * F.col("q0").cast("double"))
+            / (F.col("qt").cast("double") * F.col("v0").cast("double")),
+        ).alias("index"),
+    )

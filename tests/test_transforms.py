@@ -224,3 +224,31 @@ def test_cdc_join_and_lag(spark):
     )
     lag_rows = {r["ts"]: r["price_changed"] for r in X.lag_cdc(hist, ("store", "sku"), "ts", "price").collect()}
     assert lag_rows == {1: True, 2: False, 3: True}
+
+
+def test_price_index_matched_unit_value(spark):
+    from frontier_engine.transforms import price_index
+
+    rows = [
+        # category A, base month 2024-01: items x (10 cents/unit), y (20)
+        ("A", "2024-01", "x", 1000, 100), ("A", "2024-01", "y", 4000, 200),
+        # 2024-02: x doubles, y absent, z new (z must NOT count)
+        ("A", "2024-02", "x", 400, 20), ("A", "2024-02", "z", 999, 1),
+        # 2024-03: both matched, prices unchanged -> exactly 100
+        ("A", "2024-03", "x", 100, 10), ("A", "2024-03", "y", 400, 20),
+        # category B: single month -> index 100 (base vs itself)
+        ("B", "2024-02", "k", 500, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "category string, period string, item string, spend_cents long, qty long"
+    )
+    got = {
+        (r["category"], r["period"]): (r["n_matched"], r["index"])
+        for r in price_index(df).collect()
+    }
+    # A/2024-02: matched={x}: V_t=400,Q_t=20 (20 c/u) vs V0=1000,Q0=100 (10 c/u) -> 200
+    assert got[("A", "2024-02")] == (1, 200.0)
+    # A/2024-03: matched={x,y}: unit value (500/30)/(5000/300)=100
+    assert got[("A", "2024-03")] == (2, 100.0)
+    assert got[("A", "2024-01")] == (2, 100.0)
+    assert got[("B", "2024-02")] == (1, 100.0)
