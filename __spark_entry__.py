@@ -2301,6 +2301,22 @@ def q_price_index(spark, sf):
     return TR.price_index(rows)
 
 
+def q_burst(spark, sf):
+    """Per-host fetch-rate burst census (hostctl.burst_detect): hourly
+    event counts per host, z-tested against the host's own mean/std via
+    the all-integer cross-multiplied predicate (no float enters
+    selection); zscore itself is engine-exact because IEEE sqrt and
+    division are correctly rounded over single-cast int64 moments."""
+    from frontier_engine import hostctl as HC
+
+    e = _t(spark, sf, "events")
+    rows = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        F.col("ts"),
+    )
+    return HC.burst_detect(rows, bucket="hour", k_num=2, k_den=1)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2478,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "kn_score": q_kn_score,
         "price_index": q_price_index,
+        "burst": q_burst,
     }
 
 
@@ -5060,5 +5077,25 @@ def oracle_sql() -> dict[str, str]:
                              / (CAST(qt AS DOUBLE) * CAST(v0 AS DOUBLE))
                         END AS index
             FROM agg
+        """,
+        "burst": """
+            WITH cells AS (
+                SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+                       date_trunc('hour', ts) AS bucket_ts,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY ALL),
+            m AS (SELECT host, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS s,
+                         CAST(sum(c * c) AS BIGINT) AS t
+                  FROM cells GROUP BY host)
+            SELECT c.host, c.bucket_ts, c.c, m.n AS n_buckets,
+                   CASE WHEN m.n * m.t - m.s * m.s > 0
+                        THEN CAST(m.n * c.c - m.s AS DOUBLE)
+                             / sqrt(CAST(m.n * m.t - m.s * m.s AS DOUBLE))
+                        END AS zscore,
+                   (m.n * c.c - m.s > 0
+                    AND (m.n * c.c - m.s) * (m.n * c.c - m.s) * 1
+                        > 4 * (m.n * m.t - m.s * m.s)) AS is_burst
+            FROM cells c JOIN m USING (host)
         """,
     }

@@ -750,3 +750,68 @@ def fairness_gini(
             ).alias("gini"),
         )
     )
+
+
+def burst_detect(
+    df: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    k_num: int = 2,
+    k_den: int = 1,
+) -> DataFrame:
+    """Per-host fetch-rate burst detection — the ops-side anomaly census
+    a crawl controller runs before pointing fingers: a host whose
+    request count in one bucket sits more than ``k = k_num/k_den``
+    standard deviations above its own mean is either a crawler-trap
+    explosion (see :func:`trap_census`), a mirror suddenly coming into
+    scope, or a politeness bug about to get the fleet blocked.
+
+    Exactness discipline: with integer bucket counts ``c_i`` over the
+    host's ``n`` observed buckets (S = Σc, T = Σc²), the z-test
+
+        (c - S/n) > k · sqrt(T/n - (S/n)²)
+
+    cross-multiplies to the ALL-INTEGER predicate (multiply both sides
+    by n and square; n·std = sqrt(n·T - S²))
+
+        (n·c - S) > 0  AND  (n·c - S)²·k_den² > k_num²·(n·T - S²)
+
+    so burst flags are int64-exact on any engine. The reported
+    ``zscore = (n·c - S) / sqrt(n·T - S²)`` is also engine-exact:
+    IEEE-754 specifies sqrt and division as correctly rounded, and both
+    operands are single-cast integers (NULL when the variance is 0).
+
+    Plan shape at 100 TB: one partial agg to (host, bucket) counts —
+    map-side combined, the only pass over raw rows — then a host-level
+    agg of three int64 moments and a broadcast-size join back. No
+    window, no sort; a skewed mega-host is one row after the first agg.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    cells = df.groupBy(F.col(host_col).alias("host"), b).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    moments = cells.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("t"),
+    )
+    j = cells.join(moments, "host")
+    dev = F.col("n") * F.col("c") - F.col("s")
+    varn = F.col("n") * F.col("t") - F.col("s") * F.col("s")
+    return j.select(
+        "host",
+        "bucket_ts",
+        "c",
+        F.col("n").alias("n_buckets"),
+        F.when(
+            varn > 0, dev.cast("double") / F.sqrt(varn.cast("double"))
+        ).alias("zscore"),
+        (
+            (dev > 0)
+            & (
+                dev * dev * F.lit(k_den * k_den)
+                > F.lit(k_num * k_num) * varn
+            )
+        ).alias("is_burst"),
+    )

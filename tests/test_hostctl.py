@@ -483,3 +483,34 @@ class TestFairnessGini:
         # p1: n=[1,2] -> (2*(1*1+2*2) - 3*3)/(2*3) = 1/6
         assert got["p1"] == pytest.approx(1 / 6, abs=1e-12)
         assert got["p2"] == 0.0
+
+
+def test_burst_detect_exact_flags(spark):
+    import datetime as dt
+    import math
+
+    from frontier_engine.hostctl import burst_detect
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # host A: 9 quiet hours of 2 fetches, one hour of 40 -> burst
+    for h in range(9):
+        rows += [("A", base + dt.timedelta(hours=h, minutes=m)) for m in (1, 2)]
+    rows += [("A", base + dt.timedelta(hours=9, minutes=m)) for m in range(40)]
+    # host B: flat -> zero variance, no burst, NULL z
+    for h in range(5):
+        rows += [("B", base + dt.timedelta(hours=h))]
+    df = spark.createDataFrame(rows, "host string, ts timestamp")
+    got = {
+        (r["host"], r["bucket_ts"].hour): (r["c"], r["zscore"], r["is_burst"])
+        for r in burst_detect(df).collect()
+    }
+    cs = [2] * 9 + [40]
+    n, s, t = len(cs), sum(cs), sum(c * c for c in cs)
+    for h, c in enumerate(cs):
+        z = (n * c - s) / math.sqrt(n * t - s * s)
+        burst = (n * c - s) > 0 and (n * c - s) ** 2 > 4 * (n * t - s * s)
+        assert got[("A", h)] == (c, z, burst), h
+    assert got[("A", 9)][2] is True
+    assert sum(1 for k, v in got.items() if k[0] == "A" and v[2]) == 1
+    assert got[("B", 0)] == (1, None, False)
