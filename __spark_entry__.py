@@ -2317,6 +2317,23 @@ def q_burst(spark, sf):
     return HC.burst_detect(rows, bucket="hour", k_num=2, k_den=1)
 
 
+def q_salsa(spark, sf):
+    """SALSA hub/authority scores (graph.salsa, Lempel & Moran WWW'00;
+    the WTF recommendation walk) over the same orders-derived 100-node
+    graph as q_pagerank/q_hits, 5 iterations, L1-normalized half-steps.
+    Degree-weighted propagation — the TKC-resistant HITS. Scores round
+    to 6 decimals (float summation order)."""
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    r = GR.salsa(edges, iterations=5)
+    return r.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2495,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_score": q_kn_score,
         "price_index": q_price_index,
         "burst": q_burst,
+        "salsa": q_salsa,
     }
 
 
@@ -2695,6 +2713,56 @@ def _hits_oracle_sql(iters: int = 5) -> str:
         ctes.append(
             f"hr{k} AS MATERIALIZED (SELECT n.node AS node,"
             f" coalesce(sum(a.auth), CAST(0.0 AS DOUBLE)) AS hub"
+            f" FROM nodes n LEFT JOIN e ON e.src = n.node"
+            f" LEFT JOIN a{k} a ON a.node = e.dst GROUP BY n.node)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT node, CASE WHEN t.s <> CAST(0.0 AS DOUBLE)"
+            f" THEN hub / t.s ELSE CAST(0.0 AS DOUBLE) END AS hub"
+            f" FROM hr{k}, (SELECT sum(hub) AS s FROM hr{k}) t)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.node AS node, round(h.hub, 6) AS hub,"
+        f" round(a.auth, 6) AS auth"
+        f" FROM h{iters} h JOIN a{iters} a ON a.node = h.node"
+    )
+
+
+def _salsa_oracle_sql(iters: int = 5) -> str:
+    """Unrolled-iteration DuckDB twin of graph.salsa over the q_salsa
+    edge derivation (same graph as q_hits). Identical structure to
+    _hits_oracle_sql but each propagation multiplies by the degree
+    weight (wo = 1/outdeg on the forward step, wi = 1/indeg on the
+    backward step). MATERIALIZED CTEs for the same reason as hits."""
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT (o_custkey % 100) AS src,"
+        " (o_orderkey % 100) AS dst FROM orders"
+        " WHERE (o_custkey % 100) <> (o_orderkey % 100))",
+        "od AS MATERIALIZED (SELECT src, count(*) AS d FROM e0 GROUP BY src)",
+        "id_ AS MATERIALIZED (SELECT dst, count(*) AS d FROM e0 GROUP BY dst)",
+        "e AS MATERIALIZED (SELECT e0.src, e0.dst,"
+        " CAST(1.0 AS DOUBLE) / od.d AS wo,"
+        " CAST(1.0 AS DOUBLE) / id_.d AS wi"
+        " FROM e0 JOIN od ON od.src = e0.src JOIN id_ ON id_.dst = e0.dst)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT n.node AS node,"
+            f" coalesce(sum(h.hub * e.wo), CAST(0.0 AS DOUBLE)) AS auth"
+            f" FROM nodes n LEFT JOIN e ON e.dst = n.node"
+            f" LEFT JOIN h{k - 1} h ON h.node = e.src GROUP BY n.node)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT node, CASE WHEN t.s <> CAST(0.0 AS DOUBLE)"
+            f" THEN auth / t.s ELSE CAST(0.0 AS DOUBLE) END AS auth"
+            f" FROM ar{k}, (SELECT sum(auth) AS s FROM ar{k}) t)"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT n.node AS node,"
+            f" coalesce(sum(a.auth * e.wi), CAST(0.0 AS DOUBLE)) AS hub"
             f" FROM nodes n LEFT JOIN e ON e.src = n.node"
             f" LEFT JOIN a{k} a ON a.node = e.dst GROUP BY n.node)"
         )
@@ -5098,4 +5166,5 @@ def oracle_sql() -> dict[str, str]:
                         > 4 * (m.n * m.t - m.s * m.s)) AS is_burst
             FROM cells c JOIN m USING (host)
         """,
+        "salsa": _salsa_oracle_sql(5),
     }

@@ -828,3 +828,53 @@ def test_cocitation_coupling_mode(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     rows = cocitation(df, by="cited", min_common=2).collect()
     assert [(r["a"], r["b"], r["n_common"]) for r in rows] == [("a", "b", 2)]
+
+
+def test_salsa_vs_reference_impl(spark):
+    import random
+    from collections import defaultdict
+
+    from frontier_engine.graph import salsa
+
+    rng = random.Random(31)
+    edges = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+
+    out_n = defaultdict(list)
+    in_n = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        out_n[a].append(b)
+        in_n[b].append(a)
+        nodes.update((a, b))
+    hub = {n: 1.0 for n in nodes}
+    for _ in range(5):
+        a_raw = {
+            n: sum(hub[u] / len(out_n[u]) for u in in_n[n]) for n in nodes
+        }
+        s = sum(a_raw.values())
+        auth = {n: (v / s if s else 0.0) for n, v in a_raw.items()}
+        h_raw = {
+            n: sum(auth[v] / len(in_n[v]) for v in out_n[n]) for n in nodes
+        }
+        s = sum(h_raw.values())
+        hub = {n: (v / s if s else 0.0) for n, v in h_raw.items()}
+    got = {r["node"]: (r["hub"], r["auth"]) for r in salsa(df, 5).collect()}
+    assert set(got) == nodes
+    for n in nodes:
+        assert abs(got[n][0] - hub[n]) < 1e-9, n
+        assert abs(got[n][1] - auth[n]) < 1e-9, n
+
+
+def test_salsa_demotes_tightly_knit_farm(spark):
+    from frontier_engine.graph import salsa, hits
+
+    # a 4-page complete link farm vs an organic authority cited by many
+    # independent hubs: SALSA's degree division keeps the organic page
+    # on top of the authority ranking.
+    farm = [(f"f{i}", f"f{j}") for i in range(4) for j in range(4) if i != j]
+    organic = [(f"u{i}", "star") for i in range(6)]
+    df = spark.createDataFrame(farm + organic, "src string, dst string")
+    a = {r["node"]: r["auth"] for r in salsa(df, 8).collect()}
+    assert a["star"] > max(a[f"f{i}"] for i in range(4))
