@@ -2334,6 +2334,33 @@ def q_salsa(spark, sf):
     )
 
 
+def q_cdc_dedup(spark, sf):
+    """Content-defined-chunking storage census (textops.cdc_chunks,
+    LBFS/FastCDC family): split every document at rolling-hash
+    boundaries (poly31, mod-64 mask) and report the per-source
+    chunk-level dedup ratio — what a content-addressed archive store
+    would actually keep. Pure expressions, no UDF; the oracle recomputes
+    the identical hash/cuts with list_reduce and matches hash-exact
+    (the ratio is one int->double division)."""
+    d = _t(spark, sf, "documents")
+    ch = TX.cdc_chunks(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    uniq = ch.groupBy("source", "chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("copies"),
+        F.min("chunk_len").alias("clen"),
+    )
+    return uniq.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.col("copies") * F.col("clen")).cast("long").alias("chars_total"),
+        F.sum("clen").cast("long").alias("chars_unique"),
+    ).withColumn(
+        "dedup_ratio",
+        F.col("chars_unique").cast("double") / F.col("chars_total").cast("double"),
+    )
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2513,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_index": q_price_index,
         "burst": q_burst,
         "salsa": q_salsa,
+        "cdc_dedup": q_cdc_dedup,
     }
 
 
@@ -5167,4 +5195,42 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c JOIN m USING (host)
         """,
         "salsa": _salsa_oracle_sql(5),
+        "cdc_dedup": """
+            WITH cps AS (
+              SELECT doc_id, source, coalesce(text, '') AS t,
+                     len(coalesce(text, '')) AS n,
+                     CAST(list_transform(range(1, len(coalesce(text, '')) + 1),
+                                         i -> unicode(coalesce(text, '')[i]))
+                          AS BIGINT[]) AS cp
+              FROM documents),
+            cuts AS (
+              SELECT doc_id, source, t, n,
+                     list_filter(range(2, greatest(n - 6, 2)),
+                                 i -> list_reduce(cp[i:i+7],
+                                      (acc, c) -> (acc * 257 + c) % 2147483647)
+                                      % 64 = 0) AS cut
+              FROM cps),
+            bounds AS (
+              SELECT doc_id, source, t,
+                     list_concat(list_concat([1], cut), [n + 1]) AS b
+              FROM cuts),
+            chunks AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(range(1, len(b)),
+                            ti -> t[b[ti]:b[ti+1] - 1])) AS chunk
+              FROM bounds),
+            uniq AS (
+              SELECT source, md5(chunk) AS h,
+                     CAST(count(*) AS BIGINT) AS copies,
+                     CAST(min(len(chunk)) AS BIGINT) AS clen
+              FROM chunks GROUP BY source, md5(chunk))
+            SELECT source,
+                   CAST(sum(copies) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   CAST(sum(copies * clen) AS BIGINT) AS chars_total,
+                   CAST(sum(clen) AS BIGINT) AS chars_unique,
+                   CAST(sum(clen) AS DOUBLE) / CAST(sum(copies * clen) AS DOUBLE)
+                       AS dedup_ratio
+            FROM uniq GROUP BY source
+        """,
     }

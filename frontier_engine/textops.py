@@ -2745,3 +2745,69 @@ def kn_bigram_score(
             / (F.col("n_bigrams") * F.lit(1000000).cast("long")).cast("double"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    mask_mod: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style CDC, the dedup family
+    behind LBFS/Venti and every dedup storage engine; FastCDC is the
+    tuned descendant): split each document at positions whose k-char
+    rolling-hash value ≡ 0 (mod ``mask_mod``), so chunk boundaries move
+    WITH the content — insert one word at the top of a mirrored page and
+    every chunk after it still aligns, which is exactly why fixed-size
+    or paragraph-boundary dedup misses shifted boilerplate that CDC
+    catches. Expected chunk length ≈ ``mask_mod`` chars. This is the
+    storage-planning census for a 100 TB crawl archive: chunk-level
+    dedup ratio ≈ how much a content-addressed page store actually has
+    to keep.
+
+    Pure-expression plan — NO UDF, no shuffle: per row, gram hashes are
+    the same poly31 codepoint Horner (base 257 mod 2^31-1) as
+    :func:`fingerprint_udf`'s oracle-reproducible scheme, computed by a
+    nested ``transform``/``aggregate`` over an index sequence inside
+    whole-stage codegen; cut positions are a ``filter`` over that array;
+    chunks are substrings between consecutive bounds, posexploded.
+    Documents shorter than k+1 chars yield one whole-doc chunk. The
+    chunk identity is md5 (portable across engines).
+
+    Returns ``(id_col, chunk_idx, chunk_len, chunk_hash)`` — one row per
+    chunk, 0-based index; downstream census is a plain aggregate.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+
+    def gram_hash(i):
+        return F.aggregate(
+            F.sequence(i, i + F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * 257 + F.ascii(t.substr(j, F.lit(1))))
+            % F.lit(2147483647),
+        )
+
+    idxs = F.when(
+        n - k + 1 >= 2, F.sequence(F.lit(2).cast("int"), (n - k + 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(idxs, lambda i: gram_hash(i) % mask_mod == 0)
+    bounds = F.concat(
+        F.array(F.lit(1).cast("int")), cuts, F.array((n + 1).cast("int"))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda ti: t.substr(
+            F.element_at(bounds, ti),
+            F.element_at(bounds, ti + 1) - F.element_at(bounds, ti),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_chunk")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length("_chunk").cast("long").alias("chunk_len"),
+        F.md5(F.col("_chunk")).alias("chunk_hash"),
+    )

@@ -1127,3 +1127,51 @@ def test_kn_bigram_score_vs_reference_impl(spark):
     assert got == want
     # the scrambled doc must be more surprising than the original
     assert got["d3"][2] > got["d1"][2]
+
+
+def _py_cdc(text, k=8, mask_mod=64):
+    n = len(text)
+    cuts = []
+    for i in range(2, n - k + 2):  # 1-based gram starts 2..n-k+1
+        acc = 0
+        for j in range(i - 1, i - 1 + k):
+            acc = (acc * 257 + ord(text[j])) % 2147483647
+        if acc % mask_mod == 0:
+            cuts.append(i)
+    bounds = [1] + cuts + [n + 1]
+    return [text[bounds[t] - 1 : bounds[t + 1] - 1] for t in range(len(bounds) - 1)]
+
+
+def test_cdc_chunks_vs_python_and_shift_invariance(spark):
+    import hashlib
+    import random
+
+    from frontier_engine.textops import cdc_chunks
+
+    rng = random.Random(7)
+    body = " ".join(
+        rng.choice(["alpha", "beta", "gamma", "delta", "eps", "zeta"]) for _ in range(200)
+    )
+    docs = [
+        ("d1", body),
+        ("d2", "INSERTED PREFIX " + body),   # shifted copy
+        ("d3", "tiny"),                        # shorter than k+1
+        ("d4", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_hash"])
+        )
+    for did, text in docs:
+        want = [
+            (i, len(c), hashlib.md5(c.encode()).hexdigest())
+            for i, c in enumerate(_py_cdc(text))
+        ]
+        assert sorted(got[did]) == want, did
+    # content-defined: the shifted copy re-aligns — most chunk hashes shared
+    h1 = {h for _, _, h in got["d1"]}
+    h2 = {h for _, _, h in got["d2"]}
+    assert len(h1 & h2) >= max(1, len(h1) - 2)
+    assert got["d3"] == [(0, 4, __import__("hashlib").md5(b"tiny").hexdigest())]
