@@ -2361,6 +2361,20 @@ def q_cdc_dedup(spark, sf):
     )
 
 
+def q_gap_bits(spark, sf):
+    """Link-store compression planning (graph.gap_bits_census, the
+    Boldi-Vigna WebGraph γ-coding cost): per-host Elias-γ bits over
+    sorted outlink-id gaps vs the raw 64-bit id list. Integer bit
+    lengths via length(bin(g)) — no libm; ratio one int->double
+    division; oracle recomputes the identical list algebra."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 100).cast("string")).alias("src"),
+        (F.col("event_id") % 1000).cast("long").alias("dst"),
+    )
+    return GR.gap_bits_census(edges)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2541,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst": q_burst,
         "salsa": q_salsa,
         "cdc_dedup": q_cdc_dedup,
+        "gap_bits": q_gap_bits,
     }
 
 
@@ -5232,5 +5247,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(clen) AS DOUBLE) / CAST(sum(copies * clen) AS DOUBLE)
                        AS dedup_ratio
             FROM uniq GROUP BY source
+        """,
+        "gap_bits": """
+            WITH adj AS (
+              SELECT 'h' || CAST(user_id % 100 AS VARCHAR) AS src,
+                     list_sort(list(DISTINCT CAST(event_id % 1000 AS BIGINT))) AS a
+              FROM events GROUP BY 1),
+            g AS (
+              SELECT src, a,
+                     list_transform(range(1, len(a) + 1),
+                         i -> a[i] - CASE WHEN i > 1 THEN a[i-1]
+                                          ELSE CAST(-1 AS BIGINT) END) AS gaps
+              FROM adj)
+            SELECT src,
+                   CAST(len(a) AS BIGINT) AS outdeg,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(gaps, x -> CAST(2 * length(bin(x)) - 1 AS BIGINT))),
+                        (acc, v) -> acc + v) AS BIGINT) AS gamma_bits,
+                   CAST(len(a) * 64 AS BIGINT) AS raw_bits,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(gaps, x -> CAST(2 * length(bin(x)) - 1 AS BIGINT))),
+                        (acc, v) -> acc + v) AS DOUBLE)
+                       / CAST(len(a) * 64 AS DOUBLE) AS ratio
+            FROM g
         """,
     }

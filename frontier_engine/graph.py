@@ -1587,3 +1587,51 @@ def salsa(
         return hub.join(auth, "node").select("node", "hub", "auth")
     finally:
         e.unpersist()
+
+
+def gap_bits_census(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Adjacency-list compressibility census — the WebGraph/BV question
+    (Boldi & Vigna, WWW'04): how many bits per link does the link store
+    actually need? Web adjacency lists compress ~10× under gap coding
+    because outlinks cluster by locality; this census measures that on
+    YOUR crawl so the 100 TB link-store budget is a number, not a hope.
+
+    Per source node: sort its distinct integer destinations, take first
+    gap ``d_1 + 1`` and successive gaps ``d_i − d_{i−1}`` (all ≥ 1 by
+    distinctness), and charge each gap its Elias-γ length
+    ``2·bits(gap) − 1`` (bits(x) = floor(log2 x) + 1 — an integer bit
+    length, no libm). Returns ``(src, outdeg, gamma_bits, raw_bits,
+    ratio)`` where raw_bits = 64·outdeg (uncompressed id list) and
+    ratio = gamma_bits / raw_bits (one exact int→double division).
+
+    Plan shape: ONE map-side-combined ``collect_set`` per source — each
+    node's own list only, sorted per-row by ``array_sort`` (never a
+    global sort) — then pure array expressions inside codegen. A
+    mega-hub is one row with a long array, not a hot partition.
+    """
+    adj = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .groupBy(F.col(src).alias("node"))
+        .agg(F.array_sort(F.collect_set(F.col(dst).cast("long"))).alias("_a"))
+    )
+    gaps = F.transform(
+        F.sequence(F.lit(1), F.size("_a")),
+        lambda i: F.element_at(F.col("_a"), i)
+        - F.when(i > 1, F.element_at(F.col("_a"), i - 1)).otherwise(F.lit(-1).cast("long")),
+    )
+    gamma = F.aggregate(
+        gaps,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + 2 * F.length(F.bin(g)) - 1,
+    )
+    return adj.select(
+        F.col("node").alias("src"),
+        F.size("_a").cast("long").alias("outdeg"),
+        gamma.cast("long").alias("gamma_bits"),
+        (F.size("_a") * F.lit(64)).cast("long").alias("raw_bits"),
+        (
+            gamma.cast("double") / (F.size("_a") * F.lit(64)).cast("double")
+        ).alias("ratio"),
+    )

@@ -878,3 +878,25 @@ def test_salsa_demotes_tightly_knit_farm(spark):
     df = spark.createDataFrame(farm + organic, "src string, dst string")
     a = {r["node"]: r["auth"] for r in salsa(df, 8).collect()}
     assert a["star"] > max(a[f"f{i}"] for i in range(4))
+
+
+def test_gap_bits_census_hand_computed(spark):
+    from frontier_engine.graph import gap_bits_census
+
+    # node a -> {0, 1, 5, 13}: gaps 1,1,4,8 -> γ lens 1,1,5,7 = 14 bits
+    # node b -> {7}: gap 8 -> γ len 7
+    edges = [("a", 5), ("a", 0), ("a", 13), ("a", 1), ("a", 5), ("b", 7)]
+    df = spark.createDataFrame(edges, "src string, dst long")
+    got = {r["src"]: tuple(r)[1:] for r in gap_bits_census(df).collect()}
+    assert got["a"] == (4, 14, 256, 14 / 256)
+    assert got["b"] == (1, 7, 64, 7 / 64)
+
+
+def test_gap_bits_census_locality_compresses(spark):
+    from frontier_engine.graph import gap_bits_census
+
+    local = [("loc", i) for i in range(100, 164)]          # dense run: gaps of 1
+    spread = [("spr", i * 1_000_003) for i in range(1, 65)]  # far-flung ids
+    df = spark.createDataFrame(local + spread, "src string, dst long")
+    got = {r["src"]: r["gamma_bits"] for r in gap_bits_census(df).collect()}
+    assert got["loc"] < got["spr"] / 5
