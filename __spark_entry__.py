@@ -2375,6 +2375,20 @@ def q_gap_bits(spark, sf):
     return GR.gap_bits_census(edges)
 
 
+def q_assortativity(spark, sf):
+    """Degree assortativity r (graph.assortativity, Newman PRL'02) of
+    the events-derived host graph — the one-number web-shape check
+    (organic webs are disassortative; farms wire hubs together). Five
+    exact int64 moments, then single-cast IEEE products/sqrt/division —
+    engine-exact, no rounding."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 60).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("event_id") % 97).cast("string")).alias("dst"),
+    )
+    return GR.assortativity(edges)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2556,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "cdc_dedup": q_cdc_dedup,
         "gap_bits": q_gap_bits,
+        "assortativity": q_assortativity,
     }
 
 
@@ -5270,5 +5285,26 @@ def oracle_sql() -> dict[str, str]:
                         (acc, v) -> acc + v) AS DOUBLE)
                        / CAST(len(a) * 64 AS DOUBLE) AS ratio
             FROM g
+        """,
+        "assortativity": """
+            WITH e AS (SELECT 'h' || CAST(user_id % 60 AS VARCHAR) AS s,
+                              'h' || CAST(event_id % 97 AS VARCHAR) AS d
+                       FROM events),
+            od AS (SELECT s, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY s),
+            id_ AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY d),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM e JOIN od USING (s) JOIN id_ USING (d))
+            SELECT n, sx, sy, sxy, sxx, syy,
+                   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                        END AS r
+            FROM m
         """,
     }

@@ -1635,3 +1635,65 @@ def gap_bits_census(
             gamma.cast("double") / (F.size("_a") * F.lit(64)).cast("double")
         ).alias("ratio"),
     )
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of the directed link graph — Newman's r
+    (PRL 2002) over (out-degree of source, in-degree of target) across
+    edges: r < 0 is the disassortative signature of organic webs (hubs
+    link to leaves), while link farms wire high-degree nodes together
+    and push r toward +1 — a one-number structural spam/mirror smell
+    for the whole crawl, and the standard sanity check that a synthetic
+    or sampled graph still looks web-shaped.
+
+    r is the Pearson correlation of the per-edge degree pairs (x_e,
+    y_e). Exactness discipline: accumulate the five int64 moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) — order-free integer sums — then
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    with single-cast IEEE doubles: two correctly-rounded sqrt-free
+    products, one multiply, one sqrt, one division — engine-exact, the
+    same discipline as ``hostctl.burst_detect``. NULL when either
+    variance is zero.
+
+    Plan shape: two degree aggregates, two joins keyed on the edge
+    endpoints, ONE 1-row global aggregate. Nothing is ever collected
+    per node; a mega-hub contributes its degree as a joined constant.
+    """
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    )
+    outd = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ind = e.groupBy("_d").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    m = (
+        e.join(outd, "_s")
+        .join(ind, "_d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+        ).alias("r"),
+    )

@@ -900,3 +900,38 @@ def test_gap_bits_census_locality_compresses(spark):
     df = spark.createDataFrame(local + spread, "src string, dst long")
     got = {r["src"]: r["gamma_bits"] for r in gap_bits_census(df).collect()}
     assert got["loc"] < got["spr"] / 5
+
+
+def test_assortativity_exact_moments(spark):
+    import math
+    from collections import Counter
+    import random
+
+    from frontier_engine.graph import assortativity
+
+    rng = random.Random(3)
+    edges = sorted({(f"n{rng.randrange(12)}", f"n{rng.randrange(12)}") for _ in range(40)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    od = Counter(a for a, _ in edges)
+    idg = Counter(b for _, b in edges)
+    xs = [od[a] for a, b in edges]
+    ys = [idg[b] for a, b in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    r = (n * sxy - sx * sy) / math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    row = assortativity(df).collect()[0]
+    assert tuple(row) == (n, sx, sy, sxy, sxx, syy, r)
+
+
+def test_assortativity_star_is_disassortative(spark):
+    from frontier_engine.graph import assortativity
+
+    # star hub -> leaves plus one leaf->leaf edge: hub (high out-deg)
+    # feeds in-degree-1 leaves -> strongly negative r... but x is
+    # constant on hub edges; the mixed edge makes variance nonzero.
+    edges = [("hub", f"l{i}") for i in range(8)] + [("l0", "l1"), ("l1", "l0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = assortativity(df).collect()[0]["r"]
+    assert r is not None and r < 0
