@@ -2389,6 +2389,51 @@ def q_assortativity(spark, sf):
     return GR.assortativity(edges)
 
 
+def q_ndcg(spark, sf):
+    """Retrieval evaluation (index.ndcg_eval, Järvelin & Kekäläinen
+    NDCG@10): three term-frequency-ranked queries over documents,
+    judged by the graded tf of a correlated second term (rel =
+    min(3, tf)). Each gain/discount term integerized once
+    (floor(gain·1e9/log2(rank+1))); per-query sums exact int64; ndcg is
+    one int->double division — hash-exact vs the DuckDB twin."""
+    from frontier_engine import index as IX
+
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    pairs = [("q_spark", "spark", "data"), ("q_table", "table", "query"),
+             ("q_scan", "scan", "row")]
+    ranked_parts, qrel_parts = [], []
+    def _tf(term):
+        return F.size(F.filter(toks, lambda w: w == F.lit(term)))
+
+    for qid, term, relterm in pairs:
+        tf = _tf(term)
+        rtf = _tf(relterm)
+        ranked_parts.append(
+            d.select(
+                F.lit(qid).alias("query_id"), "doc_id", tf.alias("_tf")
+            ).filter(F.col("_tf") > 0)
+        )
+        qrel_parts.append(
+            d.select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                F.least(F.lit(3), rtf).cast("int").alias("rel"),
+            ).filter(F.col("rel") > 0)
+        )
+    ranked = ranked_parts[0].unionByName(ranked_parts[1]).unionByName(ranked_parts[2])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_tf").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = qrel_parts[0].unionByName(qrel_parts[1]).unionByName(qrel_parts[2])
+    return IX.ndcg_eval(ranked, qrels, k=10)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2571,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "gap_bits": q_gap_bits,
         "assortativity": q_assortativity,
+        "ndcg": q_ndcg,
     }
 
 
@@ -5306,5 +5352,53 @@ def oracle_sql() -> dict[str, str]:
                                     * CAST(n * syy - sy * sy AS DOUBLE))
                         END AS r
             FROM m
+        """,
+        "ndcg": """
+            WITH prs(query_id, term, relterm) AS (
+                VALUES ('q_spark', 'spark', 'data'),
+                       ('q_table', 'table', 'query'),
+                       ('q_scan', 'scan', 'row')),
+            tf AS (
+                SELECT p.query_id, d.doc_id,
+                       len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                       x -> x = p.term)) AS tf,
+                       least(3, len(list_filter(
+                           string_split_regex(lower(d.text), '\\s+'),
+                           x -> x = p.relterm))) AS rel
+                FROM documents d CROSS JOIN prs p),
+            ranked AS (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY tf DESC, doc_id ASC) AS rank
+                FROM tf WHERE tf > 0 QUALIFY rank <= 10),
+            qrels AS (SELECT query_id, doc_id, rel FROM tf WHERE rel > 0),
+            got AS (
+                SELECT r.query_id,
+                       CAST(sum(CASE WHEN coalesce(q.rel, 0) > 0
+                                THEN CAST(floor(CAST(((1 << q.rel) - 1)
+                                     * 1000000000 AS DOUBLE)
+                                     / log2(r.rank + 1)) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS dcg_micro,
+                       CAST(count(*) AS BIGINT) AS n_ranked,
+                       CAST(sum(CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_relevant_found
+                FROM ranked r LEFT JOIN qrels q USING (query_id, doc_id)
+                GROUP BY r.query_id),
+            ideal AS (
+                SELECT query_id,
+                       CAST(sum(CAST(floor(CAST(((1 << rel) - 1)
+                            * 1000000000 AS DOUBLE) / log2(irank + 1))
+                            AS BIGINT)) AS BIGINT) AS idcg_micro,
+                       CAST(count(*) AS BIGINT) AS n_judged_pos
+                FROM (SELECT query_id, rel,
+                             row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id ASC) AS irank
+                      FROM qrels) WHERE irank <= 10 GROUP BY query_id)
+            SELECT g.query_id, g.n_ranked, g.n_relevant_found, g.dcg_micro,
+                   coalesce(i.idcg_micro, 0) AS idcg_micro,
+                   CASE WHEN coalesce(i.idcg_micro, 0) > 0
+                        THEN CAST(g.dcg_micro AS DOUBLE)
+                             / CAST(i.idcg_micro AS DOUBLE) END AS ndcg
+            FROM got g LEFT JOIN ideal i USING (query_id)
         """,
     }

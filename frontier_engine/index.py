@@ -19,7 +19,7 @@ than silently dropped.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -370,4 +370,92 @@ def phrase_search(postings: DataFrame, phrase: list[str]) -> DataFrame:
         )
     return cur.select(
         "doc_id", F.size("_starts").cast("long").alias("n_occurrences")
+    )
+
+
+def ndcg_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k retrieval evaluation (Järvelin & Kekäläinen, TOIS 2002;
+    the burnout-style exponential gain used by every TREC-era leader
+    board): score a ranking table against graded relevance judgments —
+    the missing piece that turns the retrieval stack (bm25 / phrase /
+    RRF fusion) into something you can TUNE, because a ranking change
+    without an eval number is a vibe, not an improvement.
+
+        DCG@k  = Σ_{rank ≤ k} (2^rel − 1) / log2(rank + 1)
+        NDCG@k = DCG@k / IDCG@k   (IDCG: judged docs re-ranked by rel
+                                   desc, doc id asc — the ideal order)
+
+    Unjudged retrieved docs gain 0 (left join); queries with no
+    positive judgment report NULL ndcg. Exactness discipline: each
+    (gain, rank) term is integerized ONCE — floor(gain·1e9 /
+    log2(rank+1)) — so per-query accumulation is exact int64 and ndcg
+    is one int→double division, the same isolation as
+    ``textops.kn_bigram_score``.
+
+    Plan shape: one left join of the top-k ranking (k·|queries| rows —
+    never the corpus) against qrels on (query, doc), one aggregate; the
+    ideal side is a row_number window over qrels partitioned by query.
+    """
+    if k < 1:
+        raise ValueError("ndcg_eval: k must be >= 1")
+    q, d, rk, rl = query_col, doc_col, rank_col, rel_col
+
+    def micro(gain_col, rank_col_):
+        return F.floor(
+            (gain_col * F.lit(1000000000)).cast("double")
+            / F.log2(rank_col_ + F.lit(1))
+        ).cast("long")
+
+    gain = F.expr(f"shiftleft(1, cast({rl} as int))").cast("long") - 1
+    got = (
+        ranked.filter(F.col(rk) <= k)
+        .join(
+            qrels.select(F.col(q), F.col(d), F.col(rl)),
+            [q, d],
+            "left",
+        )
+        .withColumn("_g", F.coalesce(gain, F.lit(0)).cast("long"))
+        .groupBy(q)
+        .agg(
+            F.sum(F.when(F.col("_g") > 0, micro(F.col("_g"), F.col(rk))).otherwise(0))
+            .cast("long")
+            .alias("dcg_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            F.sum(F.when(F.col("_g") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_relevant_found"),
+        )
+    )
+    w = Window.partitionBy(q).orderBy(F.col(rl).desc(), F.col(d).asc())
+    ideal = (
+        qrels.filter(F.col(rl) > 0)
+        .withColumn("_irank", F.row_number().over(w))
+        .filter(F.col("_irank") <= k)
+        .withColumn("_g", gain.cast("long"))
+        .groupBy(q)
+        .agg(
+            F.sum(micro(F.col("_g"), F.col("_irank"))).cast("long").alias("idcg_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_judged_pos"),
+        )
+    )
+    return (
+        got.join(ideal, q, "left")
+        .withColumn("idcg_micro", F.coalesce("idcg_micro", F.lit(0)).cast("long"))
+        .withColumn("n_judged_pos", F.coalesce("n_judged_pos", F.lit(0)).cast("long"))
+        .withColumn(
+            "ndcg",
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro").cast("double"),
+            ),
+        )
+        .select(q, "n_ranked", "n_relevant_found", "dcg_micro", "idcg_micro", "ndcg")
     )

@@ -116,3 +116,35 @@ def test_phrase_search_counts_and_overlaps(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         phrase_search(p, [])
+
+
+def test_ndcg_eval_vs_reference(spark):
+    import math
+
+    from frontier_engine.index import ndcg_eval
+
+    ranked = [
+        ("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3), ("q1", "dx", 4),
+        ("q2", "d9", 1), ("q2", "d8", 2),          # nothing judged for q2
+        ("q3", "d5", 1),                             # perfect single hit
+    ]
+    qrels = [
+        ("q1", "d2", 3), ("q1", "d3", 1), ("q1", "d7", 2),  # d7 never retrieved
+        ("q3", "d5", 2),
+        ("q1", "dx", 0),                                     # judged irrelevant
+    ]
+    rdf = spark.createDataFrame(ranked, "query_id string, doc_id string, rank int")
+    qdf = spark.createDataFrame(qrels, "query_id string, doc_id string, rel int")
+    got = {r["query_id"]: r.asDict() for r in ndcg_eval(rdf, qdf, k=3).collect()}
+
+    def micro(g, r):
+        return math.floor(g * 1e9 / math.log2(r + 1))
+
+    dcg = micro(7, 2) + micro(1, 3)                  # d2 at rank 2, d3 at rank 3
+    idcg = micro(7, 1) + micro(3, 2) + micro(1, 3)   # ideal: d2, d7, d3
+    assert got["q1"]["dcg_micro"] == dcg
+    assert got["q1"]["idcg_micro"] == idcg
+    assert got["q1"]["ndcg"] == dcg / idcg
+    assert got["q1"]["n_relevant_found"] == 2
+    assert got["q2"]["ndcg"] is None and got["q2"]["idcg_micro"] == 0
+    assert got["q3"]["ndcg"] == 1.0
