@@ -2434,6 +2434,28 @@ def q_ndcg(spark, sf):
     return IX.ndcg_eval(ranked, qrels, k=10)
 
 
+def q_script_census(spark, sf):
+    """Unicode script census (textops.script_census): coarse per-doc
+    codepoint buckets (latin/cyrillic/cjk/arabic/greek/digit/space/
+    other) + argmax main_script — the pre-langid triage for a
+    multilingual crawl. Non-Latin snippets planted per doc_id mod 7 so
+    every bucket is exercised; all counts exact int64, argmax by
+    greatest() with fixed tie order."""
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 1, F.lit(" Привет мир"))
+            .when(F.col("doc_id") % 7 == 2, F.lit(" 日本語テキスト"))
+            .when(F.col("doc_id") % 7 == 3, F.lit(" مرحبا بالعالم"))
+            .when(F.col("doc_id") % 7 == 4, F.lit(" αβγδε"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TX.script_census(aug)
+
+
 def q_bfs_depth(spark, sf):
     """Crawl-depth census (graph.bfs_depth): BFS distance from a seed
     whitelist over the orders-derived 100-node link graph (custkey%100 ->
@@ -2617,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_bits": q_gap_bits,
         "assortativity": q_assortativity,
         "ndcg": q_ndcg,
+        "script_census": q_script_census,
     }
 
 
@@ -5400,5 +5423,46 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(g.dcg_micro AS DOUBLE)
                              / CAST(i.idcg_micro AS DOUBLE) END AS ndcg
             FROM got g LEFT JOIN ideal i USING (query_id)
+        """,
+        "script_census": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 7 = 1 THEN ' Привет мир'
+                                    WHEN doc_id % 7 = 2 THEN ' 日本語テキスト'
+                                    WHEN doc_id % 7 = 3 THEN ' مرحبا بالعالم'
+                                    WHEN doc_id % 7 = 4 THEN ' αβγδε'
+                                    ELSE '' END AS t
+                FROM documents),
+            cp AS (
+                SELECT doc_id, len(t) AS n_chars,
+                       list_transform(range(1, len(t) + 1), i -> unicode(t[i])) AS c
+                FROM aug),
+            b AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                       CAST(len(list_filter(c, x -> x >= 65 AND x <= 591)) AS BIGINT) AS n_latin,
+                       CAST(len(list_filter(c, x -> x >= 1024 AND x <= 1279)) AS BIGINT) AS n_cyrillic,
+                       CAST(len(list_filter(c, x -> (x >= 12352 AND x <= 12543)
+                                OR (x >= 13312 AND x <= 40959))) AS BIGINT) AS n_cjk,
+                       CAST(len(list_filter(c, x -> x >= 1536 AND x <= 1791)) AS BIGINT) AS n_arabic,
+                       CAST(len(list_filter(c, x -> x >= 880 AND x <= 1023)) AS BIGINT) AS n_greek,
+                       CAST(len(list_filter(c, x -> x >= 48 AND x <= 57)) AS BIGINT) AS n_digit,
+                       CAST(len(list_filter(c, x -> x = 32 OR x = 9 OR x = 10 OR x = 13)) AS BIGINT) AS n_space
+                FROM cp)
+            SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,
+                   n_digit, n_space,
+                   CAST(n_chars - n_latin - n_cyrillic - n_cjk - n_arabic - n_greek
+                        - n_digit - n_space AS BIGINT) AS n_other,
+                   CASE WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_greek) = 0
+                             THEN 'none'
+                        WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_greek)
+                             THEN 'latin'
+                        WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_greek)
+                             THEN 'cyrillic'
+                        WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_greek)
+                             THEN 'cjk'
+                        WHEN n_arabic = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_greek)
+                             THEN 'arabic'
+                        ELSE 'greek' END AS main_script
+            FROM b
         """,
     }

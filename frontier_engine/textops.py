@@ -2811,3 +2811,82 @@ def cdc_chunks(
         F.length("_chunk").cast("long").alias("chunk_len"),
         F.md5(F.col("_chunk")).alias("chunk_hash"),
     )
+
+
+def script_census(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode script census per document — the pre-langid triage of a
+    multilingual web corpus (CLD/fastText pipelines gate on script
+    first: Latin text never needs the CJK model, and a "Latin" page
+    that is 40% Cyrillic codepoints is mixed-script spam or mojibake
+    the single-label langid hides). Counts codepoints in five coarse
+    script buckets plus digits/whitespace/other:
+
+        latin  U+0041–U+024F (incl. extended)   cyrillic U+0400–U+04FF
+        cjk    U+3040–U+30FF, U+3400–U+9FFF     arabic   U+0600–U+06FF
+        greek  U+0370–U+03FF
+
+    Returns exact int64 counts ``(id_col, n_chars, n_latin, n_cyrillic,
+    n_cjk, n_arabic, n_greek, n_digit, n_space, n_other)`` and
+    ``main_script`` = argmax bucket (ties broken by the column order
+    above, 'none' for empty docs). Pure expressions — one
+    transform-to-codepoints + aggregate fold per row inside codegen, no
+    UDF, no shuffle; the census aggregate downstream is the caller's.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cps = F.transform(
+        F.split(t, ""),
+        lambda ch: F.ascii(ch),
+    )
+
+    def count_in(lo, hi, extra=None):
+        def pred(c):
+            p = (c >= lo) & (c <= hi)
+            if extra:
+                p = p | ((c >= extra[0]) & (c <= extra[1]))
+            return p
+
+        return F.size(F.filter(cps, pred)).cast("long")
+
+    n_digit = F.size(
+        F.filter(cps, lambda c: (c >= 0x30) & (c <= 0x39))
+    ).cast("long")
+    n_space = F.size(
+        F.filter(cps, lambda c: (c == 0x20) | (c == 0x09) | (c == 0x0A) | (c == 0x0D))
+    ).cast("long")
+    buckets = {
+        "n_latin": count_in(0x41, 0x24F),
+        "n_cyrillic": count_in(0x400, 0x4FF),
+        "n_cjk": count_in(0x3040, 0x30FF, extra=(0x3400, 0x9FFF)),
+        "n_arabic": count_in(0x600, 0x6FF),
+        "n_greek": count_in(0x370, 0x3FF),
+    }
+    out = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        *[v.alias(k) for k, v in buckets.items()],
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+    )
+    out = out.withColumn(
+        "n_other",
+        (
+            F.col("n_chars")
+            - F.col("n_latin")
+            - F.col("n_cyrillic")
+            - F.col("n_cjk")
+            - F.col("n_arabic")
+            - F.col("n_greek")
+            - F.col("n_digit")
+            - F.col("n_space")
+        ).cast("long"),
+    )
+    order = ["n_latin", "n_cyrillic", "n_cjk", "n_arabic", "n_greek"]
+    best = F.lit("none")
+    best_n = F.lit(0).cast("long")
+    for name in order:  # strict '>' in forward order: first bucket wins ties
+        cond = F.col(name) > best_n
+        best = F.when(cond, F.lit(name[2:])).otherwise(best)
+        best_n = F.when(cond, F.col(name)).otherwise(best_n)
+    return out.withColumn("main_script", best)

@@ -1175,3 +1175,32 @@ def test_cdc_chunks_vs_python_and_shift_invariance(spark):
     h2 = {h for _, _, h in got["d2"]}
     assert len(h1 & h2) >= max(1, len(h1) - 2)
     assert got["d3"] == [(0, 4, __import__("hashlib").md5(b"tiny").hexdigest())]
+
+
+def test_script_census_buckets_and_argmax(spark):
+    from frontier_engine.textops import script_census
+
+    docs = [
+        ("d1", "Hello world 42"),
+        ("d2", "Привет мир"),
+        ("d3", "日本語のテキスト"),
+        ("d4", "مرحبا"),
+        ("d5", "αβγ abc"),       # greek 3, latin 3 -> latin wins the tie
+        ("d6", ""),
+        ("d7", "!!!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in script_census(df).collect()}
+    assert got["d1"]["n_latin"] == 10 and got["d1"]["n_digit"] == 2
+    assert got["d1"]["n_space"] == 2 and got["d1"]["main_script"] == "latin"
+    assert got["d2"]["n_cyrillic"] == 9 and got["d2"]["main_script"] == "cyrillic"
+    assert got["d3"]["n_cjk"] == 8 and got["d3"]["main_script"] == "cjk"
+    assert got["d4"]["n_arabic"] == 5 and got["d4"]["main_script"] == "arabic"
+    assert got["d5"]["n_greek"] == 3 and got["d5"]["main_script"] == "latin"
+    assert got["d6"]["main_script"] == "none" and got["d6"]["n_chars"] == 0
+    assert got["d7"]["n_other"] == 3 and got["d7"]["main_script"] == "none"
+    for d in got.values():
+        assert (
+            d["n_latin"] + d["n_cyrillic"] + d["n_cjk"] + d["n_arabic"]
+            + d["n_greek"] + d["n_digit"] + d["n_space"] + d["n_other"]
+        ) == d["n_chars"]
