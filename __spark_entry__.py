@@ -2519,6 +2519,70 @@ def q_hyperball(spark, sf):
     return balls.select("node", "radius", "v_zero", "s_scaled", "est")
 
 
+def q_asof_join(spark, sf):
+    """As-of join (ops.asof_join): every click event joined to the
+    user's LATEST purchase at-or-before it — the which-state-governed-
+    this-fetch time-series join Spark lacks, implemented as the scalable
+    union+window carry (one shuffle on the key; never a per-row range
+    scan). Purchases are last-wins-deduped per (user, ts) first so the
+    carry is deterministic. The DuckDB oracle is its native ASOF LEFT
+    JOIN — an independent physical algorithm confirming value-for-value
+    equality, including the state-at-equal-ts (>=) boundary."""
+    e = _t(spark, sf, "events")
+    probe = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    state = ops.last_wins(
+        e.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        ["user_id", "ts"],
+        [F.col("event_id").desc()],
+    ).select("user_id", "ts", F.col("value").alias("purchase_value"))
+    return ops.asof_join(
+        probe, state, "user_id", "ts", ["purchase_value"], "purchase_ts"
+    )
+
+
+def q_range_join(spark, sf):
+    """Interval containment join (ops.range_join): attribute every event
+    to the 10-minute incident windows opened by sampled error events —
+    the bucketed range-join decomposition (explode intervals to
+    5-minute buckets, equi-join, exact containment post-filter; a fact
+    matches in exactly one bucket so no dedup pass). The oracle is
+    DuckDB's plain inequality join — a different algorithm entirely."""
+    e = _t(spark, sf, "events")
+    iv = e.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 97 == 0)
+    ).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    joined = ops.range_join(
+        e.select("event_id", "ts", "event_type"),
+        iv,
+        "ts",
+        "w_start",
+        "w_end",
+        bucket_s=300,
+    )
+    return joined.select("interval_id", "event_id", "ts", "event_type")
+
+
+def q_weighted_sample(spark, sf):
+    """Weighted k-per-stratum sampling without replacement
+    (ops.weighted_sample, Efraimidis-Spirakis A-ES IPL'06): 5 documents
+    per language drawn proportional to n_chars — the quality-weighted
+    curation draw. Deterministic u from the Knuth multiplicative hash of
+    doc_id; key = ln(u)/w; top-k per stratum. The oracle replays the
+    identical arithmetic in DuckDB."""
+    d = _t(spark, sf, "documents")
+    return ops.weighted_sample(d, ["lang"], 5, "doc_id", "n_chars").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2640,6 +2704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "ndcg": q_ndcg,
         "script_census": q_script_census,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -5464,5 +5531,44 @@ def oracle_sql() -> dict[str, str]:
                              THEN 'arabic'
                         ELSE 'greek' END AS main_script
             FROM b
+        """,
+        "asof_join": """
+            WITH probe AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'),
+            st0 AS (
+                SELECT user_id, ts, value AS purchase_value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'),
+            st AS (SELECT user_id, ts, purchase_value FROM st0 WHERE rn = 1)
+            SELECT p.user_id, p.ts, p.event_id, p.value,
+                   s.ts AS purchase_ts, s.purchase_value
+            FROM probe p ASOF LEFT JOIN st s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        "range_join": """
+            WITH iv AS (
+                SELECT event_id AS interval_id, ts AS w_start,
+                       ts + INTERVAL 10 MINUTES AS w_end
+                FROM events
+                WHERE event_type = 'error' AND event_id % 97 = 0)
+            SELECT interval_id, e.event_id, e.ts, e.event_type
+            FROM events e JOIN iv ON e.ts >= w_start AND e.ts < w_end
+        """,
+        "weighted_sample": """
+            WITH d AS (
+                SELECT doc_id, lang, source, n_chars,
+                       ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+                FROM documents WHERE n_chars > 0),
+            k AS (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ln((h + 0.5) / 4294967296.0)
+                                    / CAST(n_chars AS DOUBLE) DESC,
+                                    doc_id ASC) AS rn
+                FROM d)
+            SELECT doc_id, lang, source, n_chars FROM k WHERE rn <= 5
         """,
     }

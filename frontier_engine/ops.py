@@ -300,3 +300,167 @@ def grouped_quantiles(
         .groupBy(*group_cols, "pct", "n", "rank")
         .agg(F.min(value_col).alias("q_value"))
     )
+
+
+def asof_join(
+    probe: DataFrame,
+    state: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_cols: list[str],
+    state_ts_alias: str = "state_ts",
+) -> DataFrame:
+    """As-of join: for every probe row, the state row with the LATEST
+    timestamp at-or-before the probe's (``state.ts <= probe.ts``, per key) —
+    the time-series join Spark has no built-in for.  In a crawler this is
+    "which robots.txt / sitemap / host-policy snapshot governed THIS fetch":
+    the reference re-reads its store config before every run
+    (/root/reference/crawler/stores/bhx.py:614-641), which is exactly an
+    as-of lookup of mutable state at fetch time.
+
+    NOT implemented as a range join (per-probe inequality scan is O(n*m)
+    per key and un-broadcastable at 10^10 fetches).  Instead the classic
+    scalable formulation: UNION both sides tagged, ONE window per key
+    ordered by (ts, tag) carrying the last non-null state forward
+    (``last(..., ignorenulls=True)`` over rowsBetween(unboundedPreceding,
+    current)), then keep the probe rows.  One shuffle on ``key_col``, one
+    within-partition sort — the same cost as any keyed window, independent
+    of how many state rows each probe skips over.  State rows sort BEFORE
+    probe rows at an equal timestamp, so equality is visible (``>=``
+    semantics, matching DuckDB/kdb ASOF JOIN).
+
+    ``state`` must be unique per (key, ts) — dedupe with
+    :func:`last_wins` first; the window carry would otherwise pick the
+    physically-last duplicate, which is plan-dependent.
+
+    Returns all probe columns plus ``state_cols`` (null when no state row
+    precedes the probe) and ``state_ts_alias`` (the matched state row's
+    timestamp).
+    """
+    payload = F.struct(
+        F.col(ts_col).alias("__ts"), *[F.col(c) for c in state_cols]
+    )
+    s = state.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("_tag"),
+        payload.alias("_st"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
+          for c in probe.columns if c not in (key_col, ts_col)],
+    )
+    p = probe.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(s.schema["_st"].dataType).alias("_st"),
+        *[c for c in probe.columns if c not in (key_col, ts_col)],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = s.unionByName(p).withColumn(
+        "_carry", F.last("_st", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("_tag") == 1)
+        .select(
+            key_col,
+            ts_col,
+            *[c for c in probe.columns if c not in (key_col, ts_col)],
+            F.col(f"_carry.__ts").alias(state_ts_alias),
+            *[F.col(f"_carry.{c}").alias(c) for c in state_cols],
+        )
+    )
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Interval containment join — every (fact, interval) pair with
+    ``start <= ts < end`` (half-open) — WITHOUT the O(n*m) cross product a
+    naive theta-join plans.  The crawl use case: attributing fetches to
+    incident/maintenance/burst windows (e.g. the windows
+    ``hostctl.burst_detect`` emits) for blame analysis.
+
+    Physical strategy: explode each interval to the fixed-width time
+    buckets it overlaps (``F.sequence`` over ``floor(ts / bucket_s)``), put
+    each fact in its single bucket, equi-join on the bucket, and apply the
+    exact containment predicate as a post-filter.  A fact lives in exactly
+    ONE bucket, so no pair can match twice — no dedup pass.  The join is a
+    plain hash equi-join Catalyst can broadcast or shuffle (and AQE can
+    skew-split); cost scales with interval-length/bucket_s, chosen by the
+    caller to match interval width.  This is the standard bucketed
+    range-join decomposition (Spark itself only has it behind the
+    Databricks-proprietary range-join hint).
+
+    Both inputs keep all their columns; interval columns win name clashes
+    — alias beforehand.
+    """
+    f = facts.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s)
+    )
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_s),
+                # end is exclusive, but a fact at floor(end) can still
+                # precede end inside the bucket: include end's bucket
+                F.floor(F.unix_timestamp(F.col(end_col)) / bucket_s),
+            )
+        ),
+    )
+    return (
+        f.join(iv, "_bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    id_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Deterministic weighted k-per-stratum sample WITHOUT replacement —
+    Efraimidis-Spirakis A-ES (IPL 2006): each row draws a reproducible
+    uniform u from the same Knuth multiplicative hash
+    :func:`stratified_sample` uses, scores ``key = ln(u) / w``, and the
+    top-k keys per stratum win.  P(row in sample) is exactly the
+    weighted-without-replacement probability; heavier rows draw keys
+    nearer 0.  THE curation primitive quality-weighted corpus sampling
+    needs (sample docs proportional to quality score, N per language)
+    that uniform stratified sampling can't express.
+
+    Same scale shape as stratified_sample: one window over the strata,
+    no driver state, rerunning on a grown corpus keeps prior draws'
+    keys unchanged (only the top-k cut moves).  ln is the only libm
+    call; selection ties are broken by id.  Rows with ``w <= 0`` are
+    excluded (A-ES is undefined there), matching "zero-quality docs
+    never sampled".
+    """
+    reduced = F.pmod(F.col(id_col).cast("long"), F.lit(2147483648))
+    h = F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*strata).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,129 @@
+"""Unit tests for ops.asof_join / ops.range_join / ops.weighted_sample —
+boundary semantics the sf-scale oracle queries exercise only statistically."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from frontier_engine import ops
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+class TestAsofJoin:
+    def _run(self, spark, probe_rows, state_rows):
+        probe = spark.createDataFrame(probe_rows, "id long, key long, ts timestamp, v double")
+        state = spark.createDataFrame(state_rows, "key long, ts timestamp, sv double")
+        out = ops.asof_join(probe, state, "key", "ts", ["sv"], "sv_ts")
+        return {r.id: (r.sv, r.sv_ts) for r in out.collect()}
+
+    def test_latest_at_or_before_wins(self, spark):
+        got = self._run(
+            spark,
+            [(1, 7, _ts(10), 0.0)],
+            [(7, _ts(1), 1.0), (7, _ts(9), 2.0), (7, _ts(11), 3.0)],
+        )
+        assert got == {1: (2.0, _ts(9))}
+
+    def test_equal_ts_state_is_visible(self, spark):
+        got = self._run(spark, [(1, 7, _ts(5), 0.0)], [(7, _ts(5), 9.0)])
+        assert got == {1: (9.0, _ts(5))}
+
+    def test_no_prior_state_yields_null(self, spark):
+        got = self._run(spark, [(1, 7, _ts(5), 0.0)], [(7, _ts(6), 9.0)])
+        assert got == {1: (None, None)}
+
+    def test_keys_do_not_leak(self, spark):
+        got = self._run(
+            spark,
+            [(1, 7, _ts(10), 0.0), (2, 8, _ts(10), 0.0)],
+            [(7, _ts(1), 1.0)],
+        )
+        assert got == {1: (1.0, _ts(1)), 2: (None, None)}
+
+    def test_multiple_probes_share_one_state(self, spark):
+        got = self._run(
+            spark,
+            [(1, 7, _ts(2), 0.0), (2, 7, _ts(3), 0.0)],
+            [(7, _ts(1), 5.0)],
+        )
+        assert got == {1: (5.0, _ts(1)), 2: (5.0, _ts(1))}
+
+
+class TestRangeJoin:
+    def _run(self, spark, fact_minutes, intervals, bucket_s=60):
+        facts = spark.createDataFrame(
+            [(i, _ts(m)) for i, m in enumerate(fact_minutes)], "fid long, ts timestamp"
+        )
+        iv = spark.createDataFrame(
+            [(j, _ts(a), _ts(b)) for j, (a, b) in enumerate(intervals)],
+            "iid long, w_start timestamp, w_end timestamp",
+        )
+        out = ops.range_join(facts, iv, "ts", "w_start", "w_end", bucket_s=bucket_s)
+        return sorted((r.iid, r.fid) for r in out.collect())
+
+    def test_half_open_boundaries(self, spark):
+        # fact at start is IN, fact at end is OUT
+        assert self._run(spark, [10.0, 20.0], [(10, 20)]) == [(0, 0)]
+
+    def test_interval_spanning_many_buckets(self, spark):
+        # 1-minute buckets, 30-minute interval: every in-window fact found once
+        got = self._run(spark, [0.0, 5.0, 29.9, 30.0, 31.0], [(0, 30)], bucket_s=60)
+        assert got == [(0, 0), (0, 1), (0, 2)]
+
+    def test_overlapping_intervals_both_match(self, spark):
+        got = self._run(spark, [15.0], [(10, 20), (14, 16)])
+        assert got == [(0, 0), (1, 0)]
+
+    def test_no_duplicate_pairs(self, spark):
+        # fact bucket inside a long interval: exactly one output row
+        got = self._run(spark, [500.0], [(0, 1000)], bucket_s=60)
+        assert got == [(0, 0)]
+
+
+class TestWeightedSample:
+    @staticmethod
+    def _key(doc_id: int, w: float) -> float:
+        h = ((doc_id % 2147483648) * 2654435761) % 4294967296
+        return math.log((h + 0.5) / 4294967296.0) / w
+
+    def test_matches_reference_formula(self, spark):
+        rows = [(i, "en", float(1 + i % 13)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+        got = sorted(
+            r.doc_id for r in ops.weighted_sample(df, ["lang"], 10, "doc_id", "w").collect()
+        )
+        want = sorted(
+            i for i, _, w in sorted(rows, key=lambda r: (-self._key(r[0], r[2]), r[0]))[:10]
+        )
+        assert got == want
+
+    def test_nonpositive_weights_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", 0.0), (2, "en", -5.0), (3, "en", 1.0)],
+            "doc_id long, lang string, w double",
+        )
+        got = [r.doc_id for r in ops.weighted_sample(df, ["lang"], 10, "doc_id", "w").collect()]
+        assert got == [3]
+
+    def test_k_larger_than_stratum(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", 1.0), (2, "vi", 2.0)], "doc_id long, lang string, w double"
+        )
+        out = ops.weighted_sample(df, ["lang"], 5, "doc_id", "w")
+        assert out.count() == 2
+
+    def test_heavy_weight_dominates(self, spark):
+        # one row with overwhelming weight is (near-)certain to be drawn:
+        # its key = ln(u)/1e9 ~ 0, above any unit-weight key for these ids
+        rows = [(i, "en", 1.0) for i in range(50)] + [(999, "en", 1e9)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+        got = {r.doc_id for r in ops.weighted_sample(df, ["lang"], 1, "doc_id", "w").collect()}
+        assert got == {999}
