@@ -2583,6 +2583,58 @@ def q_weighted_sample(spark, sf):
     )
 
 
+def q_kmv_overlap(spark, sf):
+    """Pairwise host-audience overlap from KMV sketches (sketch.kmv_sketch
+    / kmv_pair_overlap, Beyer et al. SIGMOD'07): what HLL cannot answer —
+    union AND intersection estimates between every host pair from k=64
+    longs per host, never re-shuffling the raw sets. Engine-exact portable
+    md5-prefix hashes, integer sketch state, floats only in the final
+    divisions. The exact union/Jaccard ride along so the oracle checks the
+    sketch's accuracy claim too. sf0.001 puts every host below k (exact
+    branch); sf0.01+ exercises the (k-1)*R/h_k estimator branch."""
+    e = _t(spark, sf, "events")
+    host = F.concat(F.lit("h"), (F.col("event_id") % 20).cast("string"))
+    val = F.concat(
+        F.lit("t"),
+        ((F.col("event_id") * 7 + F.col("user_id")) % 3000).cast("string"),
+    )
+    src = e.select(host.alias("host"), val.alias("v")).distinct()
+    k = 64
+    ov = SK.kmv_pair_overlap(SK.kmv_sketch(src, ["host"], "v", k=k), "host", k=k)
+    counts = src.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        src.alias("x")
+        .join(
+            src.alias("y"),
+            (F.col("x.v") == F.col("y.v")) & (F.col("x.host") < F.col("y.host")),
+        )
+        .groupBy(F.col("x.host").alias("ga"), F.col("y.host").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    out = (
+        ov.join(counts.select(F.col("host").alias("ga"), F.col("n").alias("na")), "ga")
+        .join(counts.select(F.col("host").alias("gb"), F.col("n").alias("nb")), "gb")
+        .join(inter, ["ga", "gb"], "left")
+        .withColumn("inter_exact", F.coalesce("inter_exact", F.lit(0)).cast("long"))
+    )
+    n_union_exact = (F.col("na") + F.col("nb") - F.col("inter_exact")).cast("long")
+    return out.select(
+        F.col("ga").alias("host_a"),
+        F.col("gb").alias("host_b"),
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        "merged_n",
+        "shared_n",
+        F.round("union_est", 6).alias("union_est"),
+        F.round("jacc_est", 6).alias("jacc_est"),
+        F.round("inter_est", 6).alias("inter_est"),
+        n_union_exact.alias("n_union_exact"),
+        F.round(
+            F.col("inter_exact").cast("double") / n_union_exact.cast("double"), 6
+        ).alias("jacc_exact"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2707,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "weighted_sample": q_weighted_sample,
+        "kmv_overlap": q_kmv_overlap,
     }
 
 
@@ -5570,5 +5623,77 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id ASC) AS rn
                 FROM d)
             SELECT doc_id, lang, source, n_chars FROM k WHERE rn <= 5
+        """,
+        "kmv_overlap": """
+            WITH src AS (
+                SELECT DISTINCT 'h' || CAST(event_id % 20 AS VARCHAR) AS host,
+                       't' || CAST((event_id * 7 + user_id) % 3000 AS VARCHAR) AS v
+                FROM events),
+            hs AS (
+                SELECT DISTINCT host,
+                       CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
+                FROM src),
+            rnk AS (
+                SELECT host, h,
+                       row_number() OVER (PARTITION BY host ORDER BY h) AS rn
+                FROM hs),
+            sk AS (SELECT host, h FROM rnk WHERE rn <= 64),
+            card AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n_sk, max(h) AS kth
+                FROM sk GROUP BY host),
+            est AS (
+                SELECT host, n_sk,
+                       CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+                            ELSE 63.0 * 1152921504606846976.0 / kth END AS d_est
+                FROM card),
+            pairs AS (
+                SELECT a.host AS ha, b.host AS hb
+                FROM card a JOIN card b ON a.host < b.host),
+            pu AS (
+                SELECT p.ha, p.hb, s.h, CAST(count(*) AS BIGINT) AS cnt
+                FROM pairs p JOIN sk s ON s.host = p.ha OR s.host = p.hb
+                GROUP BY p.ha, p.hb, s.h),
+            purn AS (
+                SELECT ha, hb, h, cnt,
+                       row_number() OVER (PARTITION BY ha, hb ORDER BY h) AS rn
+                FROM pu),
+            mg AS (SELECT ha, hb, h, cnt FROM purn WHERE rn <= 64),
+            mstat AS (
+                SELECT ha, hb, CAST(count(*) AS BIGINT) AS merged_n,
+                       max(h) AS kth,
+                       CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS shared_n
+                FROM mg GROUP BY ha, hb),
+            ovr AS (
+                SELECT ha, hb, merged_n, shared_n,
+                       CASE WHEN merged_n < 64 THEN CAST(merged_n AS DOUBLE)
+                            ELSE 63.0 * 1152921504606846976.0 / kth END AS union_est,
+                       CAST(shared_n AS DOUBLE) / CAST(merged_n AS DOUBLE) AS jacc
+                FROM mstat),
+            fullc AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY host),
+            ix AS (
+                SELECT x.host AS ha, y.host AS hb,
+                       CAST(count(*) AS BIGINT) AS inter_exact
+                FROM src x JOIN src y ON x.v = y.v AND x.host < y.host
+                GROUP BY x.host, y.host)
+            SELECT o.ha AS host_a, o.hb AS host_b,
+                   round(ea.d_est, 6) AS est_a,
+                   round(eb.d_est, 6) AS est_b,
+                   o.merged_n, o.shared_n,
+                   round(o.union_est, 6) AS union_est,
+                   round(o.jacc, 6) AS jacc_est,
+                   round(o.jacc * o.union_est, 6) AS inter_est,
+                   CAST(ca.n + cb.n - coalesce(ix.inter_exact, 0) AS BIGINT)
+                       AS n_union_exact,
+                   round(CAST(coalesce(ix.inter_exact, 0) AS DOUBLE)
+                         / CAST(ca.n + cb.n - coalesce(ix.inter_exact, 0) AS DOUBLE),
+                         6) AS jacc_exact
+            FROM ovr o
+            JOIN est ea ON ea.host = o.ha
+            JOIN est eb ON eb.host = o.hb
+            JOIN fullc ca ON ca.host = o.ha
+            JOIN fullc cb ON cb.host = o.hb
+            LEFT JOIN ix ON ix.ha = o.ha AND ix.hb = o.hb
         """,
     }

@@ -295,3 +295,101 @@ def cms_lookup(
         .groupBy(*group_cols, key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+# ------------------------------------------------- KMV (k-minimum values)
+
+_KMV_RANGE = float(1 << _HASH_BITS)  # hash space size, 2^60
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch (Bar-Yossef et al. RANDOM'02 / Beyer et al.
+    SIGMOD'07): the k smallest distinct portable 60-bit hashes of the
+    values, sorted ascending.  What HLL cannot do and KMV can: sketches
+    of two groups COMPOSE under union AND intersection, so pairwise
+    audience/outlink overlap between hosts is answerable from k*8 bytes
+    per host instead of re-shuffling the raw sets — the related-host /
+    mirror-candidate primitive at 10^10 URLs.
+
+    ENGINE-EXACT like the HLL here: portable md5-prefix hash, integer
+    state, floats only in the final estimate division.
+
+    Plan shape: one map-side-combinable distinct over (group, h), then a
+    rank window per group (same shape as topk_per_group; the histogram
+    precut pattern applies if a group's distinct set is pathological).
+    Output: (group_cols..., sketch array<long> ascending, n_sk).
+    """
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    from .textops import md5_hash60_col
+
+    hashed = df.select(*group_cols, md5_hash60_col(col).alias("_h")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_h")).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_sk"),
+    )
+
+
+def kmv_estimate_col(sketch: Column, n_sk: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch: exact when the group
+    had fewer than k distinct values (the sketch IS the set), else the
+    standard unbiased (k-1) * |hash space| / h_(k)."""
+    return F.when(
+        n_sk < k, n_sk.cast("double")
+    ).otherwise(F.lit((k - 1) * _KMV_RANGE) / F.element_at(sketch, k))
+
+
+def kmv_pair_overlap(sketches: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """All-pairs set-overlap estimates from per-group KMV sketches.
+
+    For each pair (a < b): the merged sketch is the k smallest of
+    ``union(sketch_a, sketch_b)``; with L = |merged| (< k only when the
+    union is exact), the Jaccard estimate is |merged ∩ a ∩ b| / L, the
+    union estimate follows the same exact-below-k rule as
+    :func:`kmv_estimate_col`, and intersection = jaccard * union.  This
+    is sketch algebra over arrays — the raw value sets are never
+    revisited, and the sketch table (k longs per group) broadcasts, so
+    the pair join is shuffle-free at any realistic host count.
+    """
+    a = sketches.select(
+        F.col(group_col).alias("ga"),
+        F.col("sketch").alias("sa"),
+        F.col("n_sk").alias("na"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("gb"),
+        F.col("sketch").alias("sb"),
+        F.col("n_sk").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ga") < F.col("gb"))
+    merged_full = F.array_sort(F.array_union(F.col("sa"), F.col("sb")))
+    merged = F.slice(merged_full, 1, k)
+    L = F.size(merged).cast("long")
+    shared = F.size(
+        F.array_intersect(merged, F.array_intersect(F.col("sa"), F.col("sb")))
+    ).cast("long")
+    union_est = F.when(L < k, L.cast("double")).otherwise(
+        F.lit((k - 1) * _KMV_RANGE) / F.element_at(merged, k)
+    )
+    jacc = shared.cast("double") / L.cast("double")
+    return pairs.select(
+        F.col("ga"),
+        F.col("gb"),
+        kmv_estimate_col(F.col("sa"), F.col("na"), k).alias("est_a"),
+        kmv_estimate_col(F.col("sb"), F.col("nb"), k).alias("est_b"),
+        L.alias("merged_n"),
+        shared.alias("shared_n"),
+        union_est.alias("union_est"),
+        jacc.alias("jacc_est"),
+        (jacc * union_est).alias("inter_est"),
+    )

@@ -109,3 +109,57 @@ def test_cms_absent_key_estimates_zero_or_small(spark):
     probes = spark.createDataFrame([("g", "never-seen-key")], ["g", "key"])
     est = SK.cms_lookup(cells, probes, ["g"]).collect()[0]["est"]
     assert 0 <= est <= 500  # one-sided; usually 0 with sparse cells
+
+
+# ------------------------------------------------- KMV
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer than k distinct values: the sketch IS the set, estimate exact
+    df = _urls(spark, 40)
+    sk = SK.kmv_sketch(df, ["g"], "u", k=64)
+    row = sk.collect()[0]
+    assert row.n_sk == 40 and len(row.sketch) == 40
+    assert row.sketch == sorted(row.sketch)
+    est = sk.select(SK.kmv_estimate_col(F.col("sketch"), F.col("n_sk"), 64).alias("e"))
+    assert est.collect()[0].e == 40.0
+
+
+def test_kmv_estimator_branch_accuracy(spark):
+    # 2000 distinct values, k=128: estimate within 30% (3-sigma ~ 26%)
+    df = _urls(spark, 2000)
+    sk = SK.kmv_sketch(df, ["g"], "u", k=128)
+    est = sk.select(
+        SK.kmv_estimate_col(F.col("sketch"), F.col("n_sk"), 128).alias("e")
+    ).collect()[0].e
+    assert 1400 < est < 2600, est
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    ident = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(30)] + [("b", f"v{i}") for i in range(30)],
+        "g string, v string",
+    )
+    row = SK.kmv_pair_overlap(SK.kmv_sketch(ident, ["g"], "v", k=64), "g", k=64).collect()[0]
+    assert (row.jacc_est, row.union_est, row.inter_est) == (1.0, 30.0, 30.0)
+    disj = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(30)] + [("b", f"y{i}") for i in range(30)],
+        "g string, v string",
+    )
+    row = SK.kmv_pair_overlap(SK.kmv_sketch(disj, ["g"], "v", k=64), "g", k=64).collect()[0]
+    assert (row.jacc_est, row.union_est, row.inter_est) == (0.0, 60.0, 0.0)
+
+
+def test_kmv_sketch_merge_is_union_prefix(spark):
+    # the merged sketch equals the sketch of the unioned raw sets
+    a = [("a", f"v{i}") for i in range(200)]
+    b = [("b", f"v{i}") for i in range(100, 300)]
+    df = spark.createDataFrame(a + b, "g string, v string")
+    k = 32
+    ov = SK.kmv_pair_overlap(SK.kmv_sketch(df, ["g"], "v", k=k), "g", k=k).collect()[0]
+    direct = SK.kmv_sketch(
+        df.withColumn("g", F.lit("u")), ["g"], "v", k=k
+    ).collect()[0]
+    kth = direct.sketch[k - 1]
+    expect = (k - 1) * float(1 << 60) / kth
+    assert abs(ov.union_est - expect) < 1e-6
