@@ -2635,6 +2635,70 @@ def q_kmv_overlap(spark, sf):
     )
 
 
+def q_url_templates(spark, sf):
+    """URL template census (canon.url_template_col): collapse URL paths
+    to their structural pattern (digit runs -> {n}, long hex ids -> {h},
+    query reduced to sorted parameter NAMES) and count URL-space mass per
+    (host, template) — the pattern-cluster substrate of rule-learned URL
+    de-dup (Koppula et al. WSDM'11) and per-template crawl budgeting.
+    Expression-only template + one map-side-combined census. The oracle
+    replays both regexes with DuckDB's 'g' flag and the same name sort."""
+    e = _t(spark, sf, "events")
+    hostnum = (F.col("user_id") % 15).cast("string")
+    eid = F.col("event_id").cast("string")
+    kind = (F.col("event_id") % 4).cast("int")
+    url = F.concat(
+        F.lit("https://m"),
+        hostnum,
+        F.lit(".example"),
+        F.when(
+            kind == 0,
+            F.concat(
+                F.lit("/product/"), eid, F.lit("/rev/"),
+                (F.col("user_id") % 5).cast("string"),
+            ),
+        )
+        .when(
+            kind == 1,
+            F.concat(F.lit("/obj/"), F.substring(F.md5(eid), 1, 12), F.lit("/view")),
+        )
+        .when(
+            kind == 2,
+            F.concat(
+                F.lit("/list?page="), (F.col("event_id") % 50).cast("string"),
+                F.lit("&sort=asc"),
+            ),
+        )
+        .otherwise(F.lit("/about/team")),
+    )
+    from frontier_engine import canon as CN
+
+    d = e.select(url.alias("url"))
+    return (
+        d.select(
+            CN.host_col(F.col("url")).alias("host"),
+            CN.url_template_col(F.col("url")).alias("template"),
+            F.col("url"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("url").alias("example"),
+        )
+    )
+
+
+def q_zipf_fit(spark, sf):
+    """Zipf frequency-spectrum fit per language (textops.zipf_fit): OLS
+    slope of ln(freq) on ln(rank) over the top-500 terms — the corpus-
+    health one-number (natural text ~ -1). Integerize-early discipline:
+    each term contributes floor(ln*1e3) ints once; all OLS sums are
+    exact int64; slope and intercept are two closed-form float exprs the
+    DuckDB oracle replays verbatim."""
+    d = _t(spark, sf, "documents")
+    return TX.zipf_fit(d, "text", "lang", top_n=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2760,6 +2824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "weighted_sample": q_weighted_sample,
         "kmv_overlap": q_kmv_overlap,
+        "url_templates": q_url_templates,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -5695,5 +5761,82 @@ def oracle_sql() -> dict[str, str]:
             JOIN fullc ca ON ca.host = o.ha
             JOIN fullc cb ON cb.host = o.hb
             LEFT JOIN ix ON ix.ha = o.ha AND ix.hb = o.hb
+        """,
+        "url_templates": r"""
+            WITH src AS (
+                SELECT 'https://m' || CAST(user_id % 15 AS VARCHAR) || '.example'
+                       || CASE CAST(event_id % 4 AS INT)
+                            WHEN 0 THEN '/product/' || CAST(event_id AS VARCHAR)
+                                 || '/rev/' || CAST(user_id % 5 AS VARCHAR)
+                            WHEN 1 THEN '/obj/'
+                                 || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+                                 || '/view'
+                            WHEN 2 THEN '/list?page='
+                                 || CAST(event_id % 50 AS VARCHAR) || '&sort=asc'
+                            ELSE '/about/team' END AS url
+                FROM events),
+            f AS (
+                SELECT url,
+                       split_part(split_part(url, '://', 2), '/', 1) AS host,
+                       regexp_replace(url,
+                           '^[a-z][a-z0-9+.-]*://[^/]*', '') AS pathq
+                FROM src),
+            g AS (
+                SELECT url, host,
+                       split_part(pathq, '?', 1) AS path,
+                       split_part(pathq, '?', 2) AS query
+                FROM f),
+            t AS (
+                SELECT url, host,
+                       regexp_replace(regexp_replace(path,
+                           '[0-9a-f]{8,}', '{h}', 'g'), '[0-9]+', '{n}', 'g')
+                           AS tpath,
+                       coalesce(array_to_string(list_sort(list_filter(
+                           list_transform(string_split(query, '&'),
+                                          kv -> split_part(kv, '=', 1)),
+                           s -> length(s) > 0)), ','), '') AS names
+                FROM g)
+            SELECT host,
+                   CASE WHEN length(names) = 0 THEN tpath
+                        ELSE tpath || '?' || names END AS template,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   min(url) AS example
+            FROM t GROUP BY 1, 2
+        """,
+        "zipf_fit": f"""
+            WITH base AS (
+                SELECT lang, unnest({_TOKS}) AS term FROM documents),
+            tf AS (
+                SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+                FROM base GROUP BY lang, term),
+            rk AS (
+                SELECT lang, tf,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY tf DESC, term ASC) AS rank
+                FROM tf),
+            xy AS (
+                SELECT lang,
+                       CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT)
+                           AS ix,
+                       CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000.0) AS BIGINT)
+                           AS iy
+                FROM rk WHERE rank <= 500),
+            s AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+                       CAST(sum(ix) AS BIGINT) AS sx,
+                       CAST(sum(iy) AS BIGINT) AS sy,
+                       CAST(sum(ix * iy) AS BIGINT) AS sxy,
+                       CAST(sum(ix * ix) AS BIGINT) AS sxx
+                FROM xy GROUP BY lang HAVING count(*) >= 2)
+            SELECT lang, n_terms,
+                   round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - (CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                             / CAST(n_terms * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / (CAST(n_terms AS DOUBLE) * 1000.0), 6)
+                       AS intercept_ln
+            FROM s
         """,
     }

@@ -317,6 +317,45 @@ def url_features_col(url: Column) -> dict[str, Column]:
     }
 
 
+def url_template_col(url: Column) -> Column:
+    """Generalize a URL's path into its TEMPLATE: long hex runs (ids,
+    uuids, content hashes; >= 8 hex chars) become ``{h}``, then any digit
+    run becomes ``{n}`` — so ``/product/4711/rev/2`` and
+    ``/product/9/rev/31`` collapse to ``/product/{n}/rev/{n}``.  The
+    query string is reduced to its sorted parameter NAMES (values
+    stripped), since names identify the handler and values identify the
+    instance.  Template mining is the URL-space structure census behind
+    de-dup rule learning (Koppula et al. WSDM'11 learn near-dup rules
+    over exactly such URL pattern clusters) and crawl-trap triage: a
+    host whose URL count is large but template count is tiny is a
+    parameterized space, budgetable per TEMPLATE rather than per URL.
+
+    Expression-only (two regexp_replace + split/sort, whole-stage
+    codegen) with exact DuckDB twins.
+    """
+    pathq = F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    path = F.split_part(pathq, F.lit("?"), F.lit(1))
+    query = F.split_part(pathq, F.lit("?"), F.lit(2))
+    tpath = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{h}"), r"[0-9]+", "{n}"
+    )
+    names = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.transform(
+                    F.split(query, "&"),
+                    lambda kv: F.split_part(kv, F.lit("="), F.lit(1)),
+                ),
+                lambda s: F.length(s) > 0,
+            )
+        ),
+        ",",
+    )
+    return F.when(F.length(names) == 0, tpath).otherwise(
+        F.concat(tpath, F.lit("?"), names)
+    )
+
+
 # PSL-lite: the common multi-part public suffixes. The full Public Suffix
 # List is a runtime data file; a crawler that can't ship it still must not
 # treat 'co.uk' as a registrable domain (IRLbot computes its STAR budgets

@@ -2890,3 +2890,81 @@ def script_census(
         best = F.when(cond, F.lit(name[2:])).otherwise(best)
         best_n = F.when(cond, F.col(name)).otherwise(best_n)
     return out.withColumn("main_script", best)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_n: int = 500,
+) -> DataFrame:
+    """Zipf-law fit per language: OLS slope of ln(freq) on ln(rank) over
+    the ``top_n`` most frequent terms — the one-number corpus-health
+    diagnostic (natural text sits near slope -1; boilerplate/spam floods
+    flatten it, template explosions steepen it; cf. Piantadosi 2014
+    review).  Companion to the Heaps-style ``vocab_coverage``: that one
+    watches vocabulary growth, this one watches the frequency spectrum.
+
+    Cross-engine exactness (the repo's integerize-early discipline):
+    each term contributes ``ix = floor(ln(rank)*1e3)``, ``iy =
+    floor(ln(tf)*1e3)`` ONCE per (lang, term) row; all sums (n, Σx, Σy,
+    Σxy, Σx²) are exact int64 — with the 1e-3 grain, ``n·Σxy`` stays
+    below ~2e13 for any corpus, nowhere near int64 — and the slope /
+    intercept are two closed-form float expressions over those integers
+    (the grain cancels in the slope; the intercept divides it back out).
+    No float ever enters an aggregation.
+
+    Plan shape at 100 TB: term frequencies are ONE map-side-combined
+    aggregate over (lang, term); the rank window sorts only the already
+    collapsed per-language vocabulary (the drain's histogram precut
+    applies if a vocabulary is pathological); the OLS sums aggregate
+    <= top_n rows per language.
+
+    Returns (lang, n_terms, slope, intercept_ln) — slope unitless,
+    intercept in ln-frequency units, both rounded 6 dp.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    tf = (
+        df.select(F.col(lang_col).alias("lang"), F.explode(toks).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("term").asc())
+    ranked = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "lang",
+            F.floor(F.log(F.col("rank").cast("double")) * 1000.0)
+            .cast("long")
+            .alias("ix"),
+            F.floor(F.log(F.col("tf").cast("double")) * 1000.0)
+            .cast("long")
+            .alias("iy"),
+        )
+    )
+    sums = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("ix").cast("long").alias("sx"),
+        F.sum("iy").cast("long").alias("sy"),
+        F.sum(F.col("ix") * F.col("iy")).cast("long").alias("sxy"),
+        F.sum(F.col("ix") * F.col("ix")).cast("long").alias("sxx"),
+    )
+    n = F.col("n_terms")
+    slope = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / (n.cast("double") * 1000.0)
+    )
+    return sums.filter(n >= 2).select(
+        "lang",
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept_ln"),
+    )

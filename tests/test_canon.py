@@ -241,3 +241,22 @@ def test_registrable_domain_parity_and_values(spark):
         for r in df.select(registrable_domain_col(F.col("h")).alias("d")).collect()
     ]
     assert got == [registrable_domain_py(h) for h in cases]
+
+
+def test_url_template_col(spark):
+    from frontier_engine.canon import url_template_col
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://a.example/product/4711/rev/2", "/product/{n}/rev/{n}"),
+        ("https://a.example/obj/deadbeef1234/view", "/obj/{h}/view"),
+        # short hex run (<8) is NOT an id; its digits still generalize
+        ("https://a.example/cafe12/x", "/cafe{n}/x"),
+        ("https://a.example/list?page=3&sort=asc", "/list?page,sort"),
+        # param names sort; values and empties drop
+        ("https://a.example/p?z=1&a=2", "/p?a,z"),
+        ("https://a.example/about/team", "/about/team"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.t for r in df.select(url_template_col(F.col("url")).alias("t")).collect()]
+    assert got == [t for _, t in cases]

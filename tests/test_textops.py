@@ -1204,3 +1204,19 @@ def test_script_census_buckets_and_argmax(spark):
             d["n_latin"] + d["n_cyrillic"] + d["n_cjk"] + d["n_arabic"]
             + d["n_greek"] + d["n_digit"] + d["n_space"] + d["n_other"]
         ) == d["n_chars"]
+
+
+def test_zipf_fit_recovers_slope(spark):
+    # synthetic corpus with EXACT zipf-ish counts: term i appears
+    # floor(1000 / (i+1)) times -> ln f = ln 1000 - ln rank, slope -1
+    rows = []
+    for i in range(50):
+        rows += [("en", f"w{i:03d}")] * (1000 // (i + 1))
+    df = spark.createDataFrame(rows, "lang string, term string").groupBy(
+        "lang"
+    ).agg(F.concat_ws(" ", F.collect_list("term")).alias("text"))
+    out = TX.zipf_fit(df, "text", "lang", top_n=50).collect()[0]
+    assert out.n_terms == 50
+    assert -1.05 < out.slope < -0.93, out.slope
+    # intercept_ln ~ ln(1000) = 6.9
+    assert 6.4 < out.intercept_ln < 7.2, out.intercept_ln
