@@ -2699,6 +2699,31 @@ def q_zipf_fit(spark, sf):
     return TX.zipf_fit(d, "text", "lang", top_n=500)
 
 
+def q_compaction_plan(spark, sf):
+    """Small-files compaction planning (shardplan.compaction_plan, the
+    Delta-OPTIMIZE/Iceberg-binpack planner as a distributed query): a
+    synthetic file census (one 'file' per (lang, source, doc_id%40)
+    bucket, bytes = sum of n_chars) packed into ~20 KB rewrite bins per
+    lang partition via one window running-sum + integer DIV — no
+    driver-side listing loop. Integer-exact; the oracle replays the
+    window with // and %."""
+    d = _t(spark, sf, "documents")
+    files = (
+        d.select(
+            "lang",
+            F.concat(
+                F.col("source"), F.lit("-"), (F.col("doc_id") % 40).cast("string")
+            ).alias("file_id"),
+            "n_chars",
+        )
+        .groupBy("lang", "file_id")
+        .agg(F.sum("n_chars").cast("long").alias("bytes"))
+    )
+    from frontier_engine import shardplan as SP
+
+    return SP.compaction_plan(files, ["lang"], "file_id", "bytes", 20000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2826,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "url_templates": q_url_templates,
         "zipf_fit": q_zipf_fit,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -5838,5 +5864,23 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n_terms AS DOUBLE) * 1000.0), 6)
                        AS intercept_ln
             FROM s
+        """,
+        "compaction_plan": """
+            WITH files AS (
+                SELECT lang,
+                       source || '-' || CAST(doc_id % 40 AS VARCHAR) AS file_id,
+                       CAST(sum(n_chars) AS BIGINT) AS bytes
+                FROM documents GROUP BY 1, 2),
+            c AS (
+                SELECT lang, file_id, bytes,
+                       CAST(coalesce(sum(bytes) OVER (
+                           PARTITION BY lang ORDER BY file_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS cum
+                FROM files)
+            SELECT lang, file_id, bytes,
+                   CAST(cum // 20000 AS BIGINT) AS bin_idx,
+                   CAST(cum % 20000 AS BIGINT) AS bin_offset
+            FROM c
         """,
     }

@@ -188,3 +188,47 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_cols: list[str],
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction planner: assign each file to a rewrite BIN
+    per table partition so every bin is ~``target_bytes`` — the plan
+    behind Delta OPTIMIZE / Iceberg binpack, computed as data instead of
+    driver-side listing loops.  A 100 TB ingest writes millions of
+    sub-target files (one per task per epoch); the compactor's planning
+    pass must itself be distributed, and this one is: ONE window per
+    partition (running sum over files in deterministic ``file_col``
+    order), then ``bin = cum_before DIV target`` — offset-based packing,
+    so every bin except a partition's last holds >= target bytes once
+    its straddling file lands, and no bin exceeds target by more than
+    one file (the same guarantee greedy next-fit gives, without the
+    sequential scan).
+
+    Integer arithmetic only.  Returns one row per file:
+    (part_cols..., file_col, size_col, bin_idx, bin_offset) — feed a
+    groupBy(part, bin_idx) to drive the rewrite jobs.
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(size_col).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    # integer DIV/MOD, never float division: cum can pass 2^53 at scale
+    return files.withColumn("_cum", cum_before).select(
+        *part_cols,
+        file_col,
+        F.col(size_col).cast("long").alias(size_col),
+        F.expr(f"_cum DIV {int(target_bytes)}").alias("bin_idx"),
+        F.pmod(F.col("_cum"), F.lit(int(target_bytes))).cast("long").alias(
+            "bin_offset"
+        ),
+    )

@@ -150,3 +150,24 @@ def test_zorder_write_prunes_non_leading_dim(spark, tmp_path):
     z_span = mean_span(zpath, "d2")
     assert lex_span > 40  # sanity: lex layout really is blind on d2
     assert z_span < 0.6 * lex_span
+
+
+def test_compaction_plan_bins(spark):
+    from frontier_engine.shardplan import compaction_plan
+    files = spark.createDataFrame(
+        [("p", "f1", 60), ("p", "f2", 60), ("p", "f3", 60), ("p", "f4", 10),
+         ("q", "f1", 250)],
+        "part string, file_id string, bytes long",
+    )
+    got = {
+        (r.part, r.file_id): (r.bin_idx, r.bin_offset)
+        for r in compaction_plan(files, ["part"], "file_id", "bytes", 100).collect()
+    }
+    # offsets 0,60,120,180 -> bins 0,0,1,1; q single file bin 0
+    assert got == {
+        ("p", "f1"): (0, 0), ("p", "f2"): (0, 60),
+        ("p", "f3"): (1, 20), ("p", "f4"): (1, 80),
+        ("q", "f1"): (0, 0),
+    }
+    # every bin except a partition's last reaches >= target once its
+    # straddling file lands: bin 0 holds f1+f2+part of f3's mass
