@@ -309,6 +309,8 @@ def asof_join(
     ts_col: str,
     state_cols: list[str],
     state_ts_alias: str = "state_ts",
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """As-of join: for every probe row, the state row with the LATEST
     timestamp at-or-before the probe's (``state.ts <= probe.ts``, per key) —
@@ -333,10 +335,18 @@ def asof_join(
     :func:`last_wins` first; the window carry would otherwise pick the
     physically-last duplicate, which is plan-dependent.
 
+    ``direction='forward'`` flips the search: the EARLIEST state at-or-
+    after the probe ("first fetch after this sitemap update") — same
+    plan, window ordered descending.  ``tolerance_s`` bounds staleness
+    (pandas merge_asof semantics): a match farther than tolerance_s
+    seconds from the probe is nulled out, so "governed by a robots
+    snapshot" can require the snapshot be fresh enough to trust.
+
     Returns all probe columns plus ``state_cols`` (null when no state row
-    precedes the probe) and ``state_ts_alias`` (the matched state row's
-    timestamp).
+    matches) and ``state_ts_alias`` (the matched state row's timestamp).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(
         F.col(ts_col).alias("__ts"), *[F.col(c) for c in state_cols]
     )
@@ -355,21 +365,32 @@ def asof_join(
         F.lit(None).cast(s.schema["_st"].dataType).alias("_st"),
         *[c for c in probe.columns if c not in (key_col, ts_col)],
     )
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
+        .orderBy(ts_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = s.unionByName(p).withColumn(
         "_carry", F.last("_st", ignorenulls=True).over(w)
     )
+    if tolerance_s is not None:
+        gap = F.abs(
+            F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(F.col("_carry.__ts"))
+        )
+        carried = carried.withColumn(
+            "_carry", F.when(gap <= tolerance_s, F.col("_carry"))
+        )
     return (
         carried.filter(F.col("_tag") == 1)
         .select(
             key_col,
             ts_col,
             *[c for c in probe.columns if c not in (key_col, ts_col)],
-            F.col(f"_carry.__ts").alias(state_ts_alias),
+            F.col("_carry.__ts").alias(state_ts_alias),
             *[F.col(f"_carry.{c}").alias(c) for c in state_cols],
         )
     )

@@ -393,3 +393,19 @@ def kmv_pair_overlap(sketches: DataFrame, group_col: str, k: int = 64) -> DataFr
         jacc.alias("jacc_est"),
         (jacc * union_est).alias("inter_est"),
     )
+
+
+def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge KMV sketch rows per group — union the epochs'/partitions'
+    sketch tables and call this once: the merged sketch is the k smallest
+    of the distinct union, which is EXACTLY the sketch of the unioned raw
+    sets (KMV's lossless-merge property — what makes per-epoch lineage
+    sketches roll up to per-crawl ones without revisiting URLs).  One
+    map-side-combinable aggregate over tiny arrays."""
+    merged = sketches.groupBy(*group_cols).agg(
+        F.flatten(F.collect_list("sketch")).alias("_all")
+    )
+    m = F.slice(F.array_sort(F.array_distinct(F.col("_all"))), 1, k)
+    return merged.select(
+        *group_cols, m.alias("sketch"), F.size(m).cast("long").alias("n_sk")
+    )

@@ -127,3 +127,38 @@ class TestWeightedSample:
         df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
         got = {r.doc_id for r in ops.weighted_sample(df, ["lang"], 1, "doc_id", "w").collect()}
         assert got == {999}
+
+
+class TestAsofDirectionTolerance:
+    def _run(self, spark, probe_rows, state_rows, **kw):
+        probe = spark.createDataFrame(probe_rows, "id long, key long, ts timestamp, v double")
+        state = spark.createDataFrame(state_rows, "key long, ts timestamp, sv double")
+        out = ops.asof_join(probe, state, "key", "ts", ["sv"], "sv_ts", **kw)
+        return {r.id: (r.sv, r.sv_ts) for r in out.collect()}
+
+    def test_forward_picks_earliest_at_or_after(self, spark):
+        got = self._run(
+            spark,
+            [(1, 7, _ts(10), 0.0)],
+            [(7, _ts(9), 1.0), (7, _ts(11), 2.0), (7, _ts(12), 3.0)],
+            direction="forward",
+        )
+        assert got == {1: (2.0, _ts(11))}
+
+    def test_forward_equal_ts_visible(self, spark):
+        got = self._run(spark, [(1, 7, _ts(5), 0.0)], [(7, _ts(5), 9.0)], direction="forward")
+        assert got == {1: (9.0, _ts(5))}
+
+    def test_tolerance_nulls_stale_match(self, spark):
+        got = self._run(
+            spark,
+            [(1, 7, _ts(10), 0.0), (2, 7, _ts(70), 0.0)],
+            [(7, _ts(9), 1.0)],
+            tolerance_s=300,
+        )
+        assert got == {1: (1.0, _ts(9)), 2: (None, None)}
+
+    def test_bad_direction_raises(self, spark):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            self._run(spark, [(1, 7, _ts(1), 0.0)], [(7, _ts(1), 1.0)], direction="sideways")

@@ -163,3 +163,14 @@ def test_kmv_sketch_merge_is_union_prefix(spark):
     kth = direct.sketch[k - 1]
     expect = (k - 1) * float(1 << 60) / kth
     assert abs(ov.union_est - expect) < 1e-6
+
+
+def test_kmv_merge_is_lossless(spark):
+    # sketch(A ∪ B) == merge(sketch(A), sketch(B)) — the rollup property
+    a = spark.createDataFrame([("g", f"v{i}") for i in range(150)], "g string, v string")
+    b = spark.createDataFrame([("g", f"v{i}") for i in range(100, 250)], "g string, v string")
+    k = 24
+    sa, sb = SK.kmv_sketch(a, ["g"], "v", k=k), SK.kmv_sketch(b, ["g"], "v", k=k)
+    merged = SK.kmv_merge(sa.unionByName(sb), ["g"], k=k).collect()[0]
+    direct = SK.kmv_sketch(a.unionByName(b), ["g"], "v", k=k).collect()[0]
+    assert merged.sketch == direct.sketch and merged.n_sk == direct.n_sk
