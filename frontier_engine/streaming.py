@@ -305,3 +305,71 @@ def session_rollup(
         F.col("sw.end").alias("session_end_gap"),
         "n_events",
     )
+
+
+ASOF_OUTPUT_SCHEMA = (
+    "key long, event_id long, ts timestamp, value double,"
+    " state_value double, state_ts timestamp"
+)
+ASOF_STATE_SCHEMA = "st_ts_ns long, st_value double"
+
+
+def asof_enrich(tagged: DataFrame) -> DataFrame:
+    """Streaming twin of :func:`frontier_engine.ops.asof_join` (backward):
+    ONE tagged stream carries both state updates and probes —
+    ``(key long, ts timestamp, is_state boolean, event_id long,
+    value double)`` — and every probe is enriched with the latest state
+    at-or-before it.  ``applyInPandasWithState`` keyed by ``key`` holds
+    exactly ONE (ts, value) pair per key (the newest state seen), so
+    state is O(keys) and watermark-free; within a trigger rows apply in
+    (ts, state-before-probe) order — the same ``>=`` tie rule as the
+    batch op, which it matches value-for-value when files arrive in
+    event-time order (asserted in tests/test_streaming.py).
+
+    Streaming caveat by construction: enrichment is at-trigger-time — a
+    state update arriving in a LATER trigger than a probe it precedes in
+    event time cannot retro-correct the already-emitted row (the same
+    contract as any stream enrichment; the batch op is the healer on
+    replay).  In the crawl this is "stamp each fetch with the robots/
+    sitemap snapshot the crawler knew at fetch time".
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def enrich(key, pdfs, state):
+        if state.exists:
+            st_ts, st_val = state.get
+        else:
+            st_ts, st_val = None, None
+        rows = []
+        for pdf in pdfs:
+            for ts, is_st, eid, val in zip(
+                pdf["ts"], pdf["is_state"], pdf["event_id"], pdf["value"]
+            ):
+                rows.append(
+                    (int(pd.Timestamp(ts).value), not bool(is_st), int(eid), float(val))
+                )
+        # (ts, probe-after-state) order: state at equal ts is visible (>=)
+        rows.sort(key=lambda r: (r[0], r[1], r[2]))
+        out = []
+        for ts_ns, is_probe, eid, val in rows:
+            if not is_probe:
+                st_ts, st_val = ts_ns, val
+            else:
+                out.append((key[0], eid, pd.Timestamp(ts_ns), val,
+                            st_val,
+                            pd.Timestamp(st_ts) if st_ts is not None else None))
+        if st_ts is not None:
+            state.update((int(st_ts), float(st_val)))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["key", "event_id", "ts", "value", "state_value", "state_ts"],
+            )
+
+    return tagged.groupBy("key").applyInPandasWithState(
+        enrich,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

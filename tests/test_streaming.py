@@ -226,3 +226,90 @@ def test_session_rollup_runs_as_stream(spark, tmp_path):
         for r in spark.sql("select * from sess_out").collect()
     }
     assert ("a.example", 2) in got and ("a.example", 1) in got
+
+
+def test_asof_enrich_matches_batch_asof_join(spark, tmp_path):
+    """Streaming as-of enrichment == ops.asof_join (backward) when files
+    arrive in event-time order — including the state-at-equal-ts (>=)
+    boundary and the no-prior-state null."""
+    import datetime as dt
+
+    from frontier_engine import streaming
+    from frontier_engine.ops import asof_join
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    # (key, ts, is_state, event_id, value); probes 100+, states 1+
+    early = [
+        (7, ts(0), True, 1, 10.0),
+        (7, ts(2), False, 100, 0.5),   # sees state@0
+        (8, ts(1), False, 200, 0.7),   # no prior state -> null
+        (7, ts(5), True, 2, 20.0),
+        (7, ts(5), False, 101, 0.6),   # equal ts -> sees state@5 (>=)
+    ]
+    late = [
+        (7, ts(9), False, 102, 0.8),   # state carried ACROSS triggers
+        (8, ts(10), True, 3, 30.0),
+        (8, ts(11), False, 201, 0.9),  # sees state@10
+    ]
+    schema = "key long, ts timestamp, is_state boolean, event_id long, value double"
+    d = tmp_path / "asof-stream"
+    d.mkdir()
+
+    import pyarrow as pa
+
+    def _write(rows, name):
+        t = pa.table(
+            {
+                "key": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                "is_state": [r[2] for r in rows],
+                "event_id": [r[3] for r in rows],
+                "value": [r[4] for r in rows],
+            }
+        )
+        pq.write_table(t, str(d / name))
+
+    _write(early, "f0.parquet")
+    _write(late, "f1.parquet")
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out_dir, ckpt = str(tmp_path / "asof-out"), str(tmp_path / "asof-ckpt")
+    (
+        streaming.asof_enrich(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        r.event_id: (r.state_value, r.state_ts)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    all_rows = early + late
+    probes = spark.createDataFrame(
+        [(k, t, e, v) for k, t, s, e, v in all_rows if not s],
+        "key long, ts timestamp, event_id long, value double",
+    )
+    states = spark.createDataFrame(
+        [(k, t, v) for k, t, s, e, v in all_rows if s],
+        "key long, ts timestamp, sv double",
+    )
+    want = {
+        r.event_id: (r.sv, r.sv_ts)
+        for r in asof_join(probes, states, "key", "ts", ["sv"], "sv_ts").collect()
+    }
+    assert got == want
+    assert got[200] == (None, None)
+    assert got[101][0] == 20.0
+    assert got[102][0] == 20.0
