@@ -2389,16 +2389,10 @@ def q_assortativity(spark, sf):
     return GR.assortativity(edges)
 
 
-def q_ndcg(spark, sf):
-    """Retrieval evaluation (index.ndcg_eval, Järvelin & Kekäläinen
-    NDCG@10): three term-frequency-ranked queries over documents,
-    judged by the graded tf of a correlated second term (rel =
-    min(3, tf)). Each gain/discount term integerized once
-    (floor(gain·1e9/log2(rank+1))); per-query sums exact int64; ndcg is
-    one int->double division — hash-exact vs the DuckDB twin."""
-    from frontier_engine import index as IX
-
-    d = _t(spark, sf, "documents")
+def _retrieval_eval_tables(d):
+    """Shared ranking/qrels construction for the retrieval-eval queries:
+    three tf-ranked queries over documents, judged by the graded tf of a
+    correlated second term (rel = min(3, tf))."""
     toks = F.split(F.lower(F.col("text")), r"\s+")
     pairs = [("q_spark", "spark", "data"), ("q_table", "table", "query"),
              ("q_scan", "scan", "row")]
@@ -2431,7 +2425,32 @@ def q_ndcg(spark, sf):
         .select("query_id", "doc_id", "rank")
     )
     qrels = qrel_parts[0].unionByName(qrel_parts[1]).unionByName(qrel_parts[2])
+    return ranked, qrels
+
+
+def q_ndcg(spark, sf):
+    """Retrieval evaluation (index.ndcg_eval, Järvelin & Kekäläinen
+    NDCG@10): three term-frequency-ranked queries over documents,
+    judged by the graded tf of a correlated second term (rel =
+    min(3, tf)). Each gain/discount term integerized once
+    (floor(gain·1e9/log2(rank+1))); per-query sums exact int64; ndcg is
+    one int->double division — hash-exact vs the DuckDB twin."""
+    from frontier_engine import index as IX
+
+    ranked, qrels = _retrieval_eval_tables(_t(spark, sf, "documents"))
     return IX.ndcg_eval(ranked, qrels, k=10)
+
+
+def q_recall_mrr(spark, sf):
+    """Recall@10 + MRR (index.recall_mrr_eval, Voorhees TREC-8): the
+    binary-relevance companions of q_ndcg over the SAME ranking/qrels
+    tables — did the ranking find the relevant docs, and how fast. All
+    counts exact int64; recall and rr are single int->int IEEE divisions
+    (no rounding step), hash-exact vs the DuckDB twin."""
+    from frontier_engine import index as IX
+
+    ranked, qrels = _retrieval_eval_tables(_t(spark, sf, "documents"))
+    return IX.recall_mrr_eval(ranked, qrels, k=10)
 
 
 def q_script_census(spark, sf):
@@ -2852,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "zipf_fit": q_zipf_fit,
         "compaction_plan": q_compaction_plan,
+        "recall_mrr": q_recall_mrr,
     }
 
 
@@ -5882,5 +5902,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum // 20000 AS BIGINT) AS bin_idx,
                    CAST(cum % 20000 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "recall_mrr": """
+            WITH prs(query_id, term, relterm) AS (
+                VALUES ('q_spark', 'spark', 'data'),
+                       ('q_table', 'table', 'query'),
+                       ('q_scan', 'scan', 'row')),
+            tf AS (
+                SELECT p.query_id, d.doc_id,
+                       len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                       x -> x = p.term)) AS tf,
+                       least(3, len(list_filter(
+                           string_split_regex(lower(d.text), '\\s+'),
+                           x -> x = p.relterm))) AS rel
+                FROM documents d CROSS JOIN prs p),
+            ranked AS (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY tf DESC, doc_id ASC) AS rank
+                FROM tf WHERE tf > 0 QUALIFY rank <= 10),
+            qrels AS (SELECT query_id, doc_id, rel FROM tf WHERE rel > 0),
+            got AS (
+                SELECT r.query_id,
+                       CAST(count(*) AS BIGINT) AS n_ranked,
+                       CAST(sum(CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_relevant_found,
+                       CAST(min(CASE WHEN coalesce(q.rel, 0) > 0 THEN r.rank END)
+                            AS BIGINT) AS first_rel_rank
+                FROM ranked r LEFT JOIN qrels q USING (query_id, doc_id)
+                GROUP BY r.query_id),
+            pos AS (
+                SELECT query_id, CAST(count(*) AS BIGINT) AS n_judged_pos
+                FROM qrels GROUP BY query_id)
+            SELECT g.query_id, g.n_ranked, g.n_relevant_found,
+                   coalesce(p.n_judged_pos, 0) AS n_judged_pos,
+                   g.first_rel_rank,
+                   CASE WHEN coalesce(p.n_judged_pos, 0) > 0
+                        THEN CAST(g.n_relevant_found AS DOUBLE)
+                             / CAST(p.n_judged_pos AS DOUBLE) END AS recall_at_k,
+                   CASE WHEN coalesce(p.n_judged_pos, 0) = 0 THEN NULL
+                        WHEN g.first_rel_rank IS NOT NULL
+                        THEN 1.0 / CAST(g.first_rel_rank AS DOUBLE)
+                        ELSE 0.0 END AS rr
+            FROM got g LEFT JOIN pos p USING (query_id)
         """,
     }

@@ -459,3 +459,79 @@ def ndcg_eval(
         )
         .select(q, "n_ranked", "n_relevant_found", "dcg_micro", "idcg_micro", "ndcg")
     )
+
+
+def recall_mrr_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Recall@k and MRR@k — the binary-relevance companions of
+    :func:`ndcg_eval` (recall: did the ranking FIND the relevant docs;
+    reciprocal rank: how FAST — Voorhees TREC-8's QA metric), completing
+    the eval pair every retrieval stack tunes against.
+
+    Binary relevance is ``rel > 0``.  recall@k = |relevant ∩ top-k| /
+    |relevant|; rr = 1/rank of the first relevant hit within k, 0 when
+    positives exist but none was retrieved, NULL when the query has no
+    positive judgment.  All counting is exact int64; recall and rr are
+    single int→int IEEE divisions (correctly rounded, identical in any
+    engine — no rounding step needed).
+
+    Plan shape: same as ndcg_eval — one left join of the top-k table
+    (k·|queries| rows) against qrels, two aggregates at query
+    cardinality.
+    """
+    if k < 1:
+        raise ValueError("recall_mrr_eval: k must be >= 1")
+    q, d, rk, rl = query_col, doc_col, rank_col, rel_col
+    hit = F.coalesce(F.col(rl), F.lit(0)) > 0
+    got = (
+        ranked.filter(F.col(rk) <= k)
+        .join(qrels.select(F.col(q), F.col(d), F.col(rl)), [q, d], "left")
+        .groupBy(q)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_relevant_found"),
+            F.min(F.when(hit, F.col(rk))).cast("long").alias("first_rel_rank"),
+        )
+    )
+    pos = (
+        qrels.filter(F.col(rl) > 0)
+        .groupBy(q)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_judged_pos"))
+    )
+    return (
+        got.join(pos, q, "left")
+        .withColumn("n_judged_pos", F.coalesce("n_judged_pos", F.lit(0)).cast("long"))
+        .withColumn(
+            "recall_at_k",
+            F.when(
+                F.col("n_judged_pos") > 0,
+                F.col("n_relevant_found").cast("double")
+                / F.col("n_judged_pos").cast("double"),
+            ),
+        )
+        .withColumn(
+            "rr",
+            F.when(F.col("n_judged_pos") == 0, F.lit(None).cast("double"))
+            .when(
+                F.col("first_rel_rank").isNotNull(),
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+            )
+            .otherwise(F.lit(0.0)),
+        )
+        .select(
+            q,
+            "n_ranked",
+            "n_relevant_found",
+            "n_judged_pos",
+            "first_rel_rank",
+            "recall_at_k",
+            "rr",
+        )
+    )

@@ -148,3 +148,29 @@ def test_ndcg_eval_vs_reference(spark):
     assert got["q1"]["n_relevant_found"] == 2
     assert got["q2"]["ndcg"] is None and got["q2"]["idcg_micro"] == 0
     assert got["q3"]["ndcg"] == 1.0
+
+
+def test_recall_mrr_eval(spark):
+    from frontier_engine.index import recall_mrr_eval
+
+    ranked = spark.createDataFrame(
+        # qA: relevant at rank 2; qB: no relevant retrieved; qC: unjudged query
+        [("qA", 1, 1), ("qA", 2, 2), ("qA", 3, 3),
+         ("qB", 10, 1), ("qB", 11, 2),
+         ("qC", 20, 1)],
+        "query_id string, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        # qA has 4 positives (2 never retrieved; one beyond-k denominator check)
+        [("qA", 2, 2), ("qA", 99, 1), ("qA", 98, 3), ("qA", 3, 1),
+         ("qB", 77, 1)],
+        "query_id string, doc_id long, rel int",
+    )
+    out = {r.query_id: r for r in recall_mrr_eval(ranked, qrels, k=2).collect()}
+    a = out["qA"]
+    assert (a.n_relevant_found, a.n_judged_pos, a.first_rel_rank) == (1, 4, 2)
+    assert a.recall_at_k == 0.25 and a.rr == 0.5
+    b = out["qB"]
+    assert (b.n_relevant_found, b.first_rel_rank, b.recall_at_k, b.rr) == (0, None, 0.0, 0.0)
+    c = out["qC"]
+    assert (c.n_judged_pos, c.recall_at_k, c.rr) == (0, None, None)
