@@ -2743,6 +2743,17 @@ def q_compaction_plan(spark, sf):
     return SP.compaction_plan(files, ["lang"], "file_id", "bytes", 20000)
 
 
+def q_heaps_fit(spark, sf):
+    """Heaps-law vocabulary-growth fit per language (textops.heaps_fit):
+    OLS of ln(vocab) on ln(tokens) over nested doc_id%8 prefix subsets —
+    V(N) ~ K·N^beta, zipf_fit's growth-side companion. One explode +
+    min(bucket)-per-term aggregate gives every point without rescans;
+    integerize-early OLS (floor(ln·1e3), exact int64 sums) so the DuckDB
+    twin matches hash-exact."""
+    d = _t(spark, sf, "documents")
+    return TX.heaps_fit(d, "text", "lang", "doc_id", n_buckets=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2872,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "compaction_plan": q_compaction_plan,
         "recall_mrr": q_recall_mrr,
+        "heaps_fit": q_heaps_fit,
     }
 
 
@@ -5945,5 +5957,52 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 / CAST(g.first_rel_rank AS DOUBLE)
                         ELSE 0.0 END AS rr
             FROM got g LEFT JOIN pos p USING (query_id)
+        """,
+        "heaps_fit": f"""
+            WITH tok AS (
+                SELECT lang, doc_id % 8 AS b, unnest({_TOKS}) AS term
+                FROM documents),
+            fs AS (
+                SELECT lang, term, min(b) AS min_b
+                FROM tok GROUP BY lang, term),
+            vb AS (
+                SELECT lang, min_b, CAST(count(*) AS BIGINT) AS nv
+                FROM fs GROUP BY lang, min_b),
+            nb AS (
+                SELECT lang, b, CAST(count(*) AS BIGINT) AS nt
+                FROM tok GROUP BY lang, b),
+            ms(m) AS (VALUES (1), (2), (4), (8)),
+            pts AS (
+                SELECT v.lang, m.m, v.v, n.n
+                FROM ms m
+                JOIN (SELECT lang, m, CAST(sum(nv) AS BIGINT) AS v
+                      FROM vb JOIN ms ON min_b < m GROUP BY lang, m) v
+                  ON v.m = m.m
+                JOIN (SELECT lang, m, CAST(sum(nt) AS BIGINT) AS n
+                      FROM nb JOIN ms ON b < m GROUP BY lang, m) n
+                  ON n.lang = v.lang AND n.m = m.m),
+            xy AS (
+                SELECT lang,
+                       CAST(floor(ln(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS ix,
+                       CAST(floor(ln(CAST(v AS DOUBLE)) * 1000.0) AS BIGINT) AS iy
+                FROM pts WHERE v > 0 AND n > 0),
+            s AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
+                       CAST(sum(ix) AS BIGINT) AS sx,
+                       CAST(sum(iy) AS BIGINT) AS sy,
+                       CAST(sum(ix * iy) AS BIGINT) AS sxy,
+                       CAST(sum(ix * ix) AS BIGINT) AS sxx
+                FROM xy GROUP BY lang
+                HAVING count(*) >= 2
+                   AND count(*) * sum(ix * ix) - sum(ix) * sum(ix) > 0)
+            SELECT lang, n_points,
+                   round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) AS beta,
+                   round((CAST(sy AS DOUBLE)
+                          - (CAST(n_points * sxy - sx * sy AS DOUBLE)
+                             / CAST(n_points * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / (CAST(n_points AS DOUBLE) * 1000.0), 6) AS k_ln
+            FROM s
         """,
     }

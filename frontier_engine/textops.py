@@ -2968,3 +2968,93 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept_ln"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Heaps-law fit per language: OLS of ln(vocabulary) on ln(tokens)
+    over nested corpus prefixes — V(N) ≈ K·N^β, the growth-side corpus
+    diagnostic that pairs with :func:`zipf_fit`'s frequency side
+    (Heaps 1978; natural text sits at β ≈ 0.4–0.6, template floods push
+    β → 0, id-soup pushes β → 1).
+
+    Nested prefixes WITHOUT re-reading the corpus per point: documents
+    hash to ``n_buckets`` buckets (doc_id % n_buckets); the measurement
+    points are the nested subsets ``bucket < m`` for m = 1, 2, 4, ...,
+    n_buckets.  One explode gives (lang, term, bucket); per (lang, term)
+    a map-side-combined ``min(bucket)`` marks WHERE the term first
+    appears, so V_m = #terms with min_bucket < m and N_m = Σ tokens in
+    buckets < m — both read from aggregates at vocabulary / bucket
+    cardinality, never a per-point rescan.
+
+    Same integerize-early OLS as zipf_fit: each point contributes
+    ``floor(ln·1e3)`` ints once, sums exact int64, slope/intercept two
+    closed-form float expressions.  Returns (lang, n_points, beta,
+    k_ln) — k_ln is ln K; rounded 6 dp.
+    """
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two >= 2")
+    import math as _math
+
+    ms = [1 << i for i in range(int(_math.log2(n_buckets)) + 1)]
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    tok = df.select(
+        F.col(lang_col).alias("lang"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).alias("b"),
+        F.explode(toks).alias("term"),
+    )
+    first_seen = tok.groupBy("lang", "term").agg(F.min("b").alias("min_b"))
+    v_by_bucket = first_seen.groupBy("lang", "min_b").agg(
+        F.count(F.lit(1)).cast("long").alias("nv")
+    )
+    n_by_bucket = tok.groupBy("lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    points = None
+    for m in ms:
+        v_m = v_by_bucket.filter(F.col("min_b") < m).groupBy("lang").agg(
+            F.sum("nv").cast("long").alias("v")
+        )
+        n_m = n_by_bucket.filter(F.col("b") < m).groupBy("lang").agg(
+            F.sum("nt").cast("long").alias("n")
+        )
+        pt = v_m.join(n_m, "lang").select(
+            "lang", F.lit(m).alias("m"), "v", "n"
+        )
+        points = pt if points is None else points.unionByName(pt)
+    xy = points.filter((F.col("v") > 0) & (F.col("n") > 0)).select(
+        "lang",
+        F.floor(F.log(F.col("n").cast("double")) * 1000.0).cast("long").alias("ix"),
+        F.floor(F.log(F.col("v").cast("double")) * 1000.0).cast("long").alias("iy"),
+    )
+    sums = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("ix").cast("long").alias("sx"),
+        F.sum("iy").cast("long").alias("sy"),
+        F.sum(F.col("ix") * F.col("iy")).cast("long").alias("sxy"),
+        F.sum(F.col("ix") * F.col("ix")).cast("long").alias("sxx"),
+    )
+    n = F.col("n_points")
+    beta = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    k_ln = (
+        (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+        / (n.cast("double") * 1000.0)
+    )
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.filter((n >= 2) & (denom > 0)).select(
+        "lang",
+        "n_points",
+        F.round(beta, 6).alias("beta"),
+        F.round(k_ln, 6).alias("k_ln"),
+    )

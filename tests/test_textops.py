@@ -1220,3 +1220,30 @@ def test_zipf_fit_recovers_slope(spark):
     assert -1.05 < out.slope < -0.93, out.slope
     # intercept_ln ~ ln(1000) = 6.9
     assert 6.4 < out.intercept_ln < 7.2, out.intercept_ln
+
+
+def test_heaps_fit_bounds_and_extremes(spark):
+    # template flood: one token repeated -> vocabulary never grows, beta ~ 0
+    flood = spark.createDataFrame(
+        [(i, "en", "spam " * 50) for i in range(64)],
+        "doc_id long, lang string, text string",
+    )
+    out = TX.heaps_fit(flood, "text", "lang", "doc_id", n_buckets=8).collect()[0]
+    assert out.beta == 0.0
+    # id-soup: every token globally unique -> V == N, beta == 1, k_ln ~ 0
+    soup = spark.createDataFrame(
+        [(i, "en", " ".join(f"u{i}x{j}" for j in range(20))) for i in range(64)],
+        "doc_id long, lang string, text string",
+    )
+    out = TX.heaps_fit(soup, "text", "lang", "doc_id", n_buckets=8).collect()[0]
+    assert abs(out.beta - 1.0) < 0.01 and abs(out.k_ln) < 0.02
+    # natural-ish mix sits strictly between
+    mix = spark.createDataFrame(
+        [(i, "en", " ".join(
+            (f"w{(i * 17 + j * 7) % 50}" if j % 2 else f"r{i}x{j}")
+            for j in range(30)))
+         for i in range(64)],
+        "doc_id long, lang string, text string",
+    )
+    out = TX.heaps_fit(mix, "text", "lang", "doc_id", n_buckets=8).collect()[0]
+    assert 0.3 < out.beta < 0.95
