@@ -3058,3 +3058,53 @@ def heaps_fit(
         F.round(beta, 6).alias("beta"),
         F.round(k_ln, 6).alias("k_ln"),
     )
+
+
+def lsh_plan(num_perm: int = 128, target_jaccard: float = 0.8) -> dict:
+    """Pick MinHash-LSH banding (bands b × rows r, b·r = num_perm) for a
+    target Jaccard threshold — the design calculation behind
+    :func:`minhash_candidate_pairs`'s defaults (Leskovec/Rajaraman/
+    Ullman, MMDS ch.3): the S-curve P(candidate | J) = 1−(1−J^r)^b has
+    its inflection near t ≈ (1/b)^(1/r); choose the divisor pair with
+    the LARGEST t that does not exceed the target (recall bias: a
+    threshold above target silently loses true pairs, below it only
+    costs verify work — the side dedup must err on), falling back to
+    the closest pair when every t is above target.  The full curve is
+    reported so the caller can eyeball recall at J = target and
+    precision below it.
+
+    Driver-side arithmetic over ~a dozen divisor pairs — this is a
+    PLANNER, not a distributed op; its output parameterizes the
+    distributed one.  Returns {"bands", "rows", "threshold", "curve"}
+    where curve maps J (0.1..0.9) to candidate probability for the
+    chosen pair.
+    """
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError("target_jaccard must be in (0, 1)")
+    pairs = [
+        (b, num_perm // b)
+        for b in range(1, num_perm + 1)
+        if num_perm % b == 0 and num_perm // b >= 1
+    ]
+    def t_of(br):
+        return (1.0 / br[0]) ** (1.0 / br[1])
+
+    under = [p for p in pairs if t_of(p) <= target_jaccard]
+    best = (
+        max(under, key=t_of)
+        if under
+        else min(pairs, key=lambda p: abs(t_of(p) - target_jaccard))
+    )
+    b, r = best
+    curve = {
+        round(j / 10.0, 1): round(1.0 - (1.0 - (j / 10.0) ** r) ** b, 6)
+        for j in range(1, 10)
+    }
+    return {
+        "bands": b,
+        "rows": r,
+        "threshold": round((1.0 / b) ** (1.0 / r), 6),
+        "curve": curve,
+    }

@@ -1247,3 +1247,19 @@ def test_heaps_fit_bounds_and_extremes(spark):
     )
     out = TX.heaps_fit(mix, "text", "lang", "doc_id", n_buckets=8).collect()[0]
     assert 0.3 < out.beta < 0.95
+
+
+def test_lsh_plan_picks_sane_banding():
+    plan80 = TX.lsh_plan(128, 0.8)
+    assert plan80["bands"] * plan80["rows"] == 128
+    assert 0.6 < plan80["threshold"] < 0.95
+    # S-curve: near-certain capture above threshold, steep falloff below
+    assert plan80["curve"][0.9] > 0.95
+    assert plan80["curve"][0.2] < 0.2
+    # lower target -> more bands (lower threshold)
+    plan50 = TX.lsh_plan(128, 0.5)
+    assert plan50["bands"] > plan80["bands"]
+    assert plan50["threshold"] < plan80["threshold"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TX.lsh_plan(128, 1.5)
