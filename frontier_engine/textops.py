@@ -3018,18 +3018,43 @@ def heaps_fit(
     n_by_bucket = tok.groupBy("lang", "b").agg(
         F.count(F.lit(1)).cast("long").alias("nt")
     )
-    points = None
-    for m in ms:
-        v_m = v_by_bucket.filter(F.col("min_b") < m).groupBy("lang").agg(
-            F.sum("nv").cast("long").alias("v")
+    # ONE lineage for all points: densify to the full (lang x bucket)
+    # grid, one cumulative window over <= n_buckets rows per language,
+    # then read V_m / N_m off the running totals at b = m-1.  (The naive
+    # per-m union re-plans the token explode once per point — 4x the
+    # scan in the static plan.)
+    grid = (
+        df.select(F.col(lang_col).alias("lang"))
+        .distinct()
+        .select(
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("b"),
         )
-        n_m = n_by_bucket.filter(F.col("b") < m).groupBy("lang").agg(
-            F.sum("nt").cast("long").alias("n")
+    )
+    dense = (
+        grid.join(
+            v_by_bucket.withColumnRenamed("min_b", "b"), ["lang", "b"], "left"
         )
-        pt = v_m.join(n_m, "lang").select(
-            "lang", F.lit(m).alias("m"), "v", "n"
+        .join(n_by_bucket, ["lang", "b"], "left")
+        .select(
+            "lang",
+            "b",
+            F.coalesce("nv", F.lit(0)).cast("long").alias("nv"),
+            F.coalesce("nt", F.lit(0)).cast("long").alias("nt"),
         )
-        points = pt if points is None else points.unionByName(pt)
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.select(
+        "lang",
+        "b",
+        F.sum("nv").over(wcum).cast("long").alias("v"),
+        F.sum("nt").over(wcum).cast("long").alias("n"),
+    )
+    points = cum.filter(F.col("b").isin([m - 1 for m in ms]))
     xy = points.filter((F.col("v") > 0) & (F.col("n") > 0)).select(
         "lang",
         F.floor(F.log(F.col("n").cast("double")) * 1000.0).cast("long").alias("ix"),
