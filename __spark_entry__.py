@@ -2754,6 +2754,27 @@ def q_heaps_fit(spark, sf):
     return TX.heaps_fit(d, "text", "lang", "doc_id", n_buckets=8)
 
 
+def q_funnel(spark, sf):
+    """Ordered-funnel conversion census (ops.funnel): per user the
+    earliest view, then the earliest click AT-OR-AFTER that view, then
+    the earliest purchase at-or-after that click — strictly sequential
+    (a click before the first view does not count), which is why it is
+    not a pivot. One corpus-sized shuffle on user_id; later joins and
+    aggregates reuse the partitioning. The oracle replays the chained
+    min-after-min in SQL."""
+    e = _t(spark, sf, "events")
+    return ops.funnel(e, ["view", "click", "purchase"], "user_id", "ts")
+
+
+def q_trimmed_mean(spark, sf):
+    """Robust per-language doc-length rollup (ops.trimmed_mean, 10%
+    two-sided trim): rank-ordered exact trim counts from integer
+    rational arithmetic, int64 kept-sums, one int->double division —
+    the domain-quality mean a single pathological page can't move."""
+    d = _t(spark, sf, "documents")
+    return ops.trimmed_mean(d, ["lang"], "n_chars", "doc_id", 1, 10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2884,6 +2905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "recall_mrr": q_recall_mrr,
         "heaps_fit": q_heaps_fit,
+        "funnel": q_funnel,
+        "trimmed_mean": q_trimmed_mean,
     }
 
 
@@ -6004,5 +6027,42 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(sx AS DOUBLE))
                          / (CAST(n_points AS DOUBLE) * 1000.0), 6) AS k_ln
             FROM s
+        """,
+        "funnel": """
+            WITH t1 AS (
+                SELECT user_id, min(ts) AS t_1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (
+                SELECT e.user_id, min(e.ts) AS t_2
+                FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click' AND e.ts >= t1.t_1
+                GROUP BY e.user_id),
+            t3 AS (
+                SELECT e.user_id, min(e.ts) AS t_3
+                FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= t2.t_2
+                GROUP BY e.user_id)
+            SELECT t1.user_id, t1.t_1, t2.t_2, t3.t_3
+            FROM t1
+            LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+        """,
+        "trimmed_mean": """
+            WITH r AS (
+                SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars ASC, doc_id ASC) AS rk,
+                       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+                FROM documents),
+            kept AS (
+                SELECT lang, v, n FROM r
+                WHERE rk > (n * 1) // 10 AND rk <= n - (n * 1) // 10)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(min(n) AS BIGINT) AS n_total,
+                   CAST(sum(v) AS BIGINT) AS sum_kept,
+                   CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS trimmed_mean
+            FROM kept GROUP BY lang
         """,
     }

@@ -485,3 +485,93 @@ def weighted_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, the earliest time it
+    completed step 1, then step 2 AT-OR-AFTER that, then step 3
+    at-or-after THAT, ... — the sequential-conversion census (the
+    classic product-analytics query; in a crawl pipeline the same shape
+    answers "discovered → fetched → extracted → stored" per URL cohort).
+
+    Strictly sequential semantics: a step-2 event BEFORE the key's
+    step-1 completion does not count — which is why this is not a plain
+    pivot.  Computed as one aggregate per step over the events of the
+    keys still alive, each keyed by ``key_col``: after the first
+    shuffle the remaining joins and aggregates reuse the same hash
+    partitioning, so the funnel costs ONE corpus-sized Exchange plus
+    step-count small ones.  No window over raw events, no UDF.
+
+    Returns one row per key that completed step 1:
+    (key_col, t_1, t_2, ..., t_n) with NULL from the first uncompleted
+    step onward; aggregate downstream for stage counts.
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(cur.select(key_col, F.col(f"t_{i-1}")), key_col)
+            .filter(F.col(ts_col) >= F.col(f"t_{i-1}"))
+            .groupBy(key_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, key_col, "left")
+    return cur
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+) -> DataFrame:
+    """Exact per-group trimmed mean: drop the lowest and highest
+    ``floor(n · trim_num / trim_den)`` values (rank-ordered, id
+    tie-break) and average the rest — the robust location estimate for
+    per-host/per-language quality rollups, where one pathological page
+    (a 100 MB blob, an empty doc) should not move the domain's number
+    (Tukey; the standard robust-stats alternative to medians when you
+    still want a mean's efficiency).
+
+    The trim count is exact integer arithmetic on the rational
+    ``trim_num/trim_den`` (never a float of n·α); with an integer
+    ``value_col`` the kept-sum is exact int64 and the mean is one
+    int→double division, bit-identical cross-engine.  One rank window
+    per group plus a count — no second pass over rows.
+    """
+    if not 0 <= trim_num * 2 < trim_den:
+        raise ValueError("trim fraction must be in [0, 0.5)")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("long").alias("_v"),
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("_n"),
+    )
+    cut = F.expr(f"(_n * {int(trim_num)}) DIV {int(trim_den)}")
+    kept = ranked.filter((F.col("_rk") > cut) & (F.col("_rk") <= F.col("_n") - cut))
+    return kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("_n").cast("long").alias("n_total"),
+        F.sum("_v").cast("long").alias("sum_kept"),
+        (F.sum("_v").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "trimmed_mean"
+        ),
+    )

@@ -162,3 +162,56 @@ class TestAsofDirectionTolerance:
         import pytest as _pt
         with _pt.raises(ValueError):
             self._run(spark, [(1, 7, _ts(1), 0.0)], [(7, _ts(1), 1.0)], direction="sideways")
+
+
+class TestFunnel:
+    def test_sequential_semantics(self, spark):
+        rows = [
+            # u1 completes all three in order
+            (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "purchase"),
+            # u2: click BEFORE first view must not count; no click after
+            (2, _ts(5), "click"), (2, _ts(6), "view"),
+            # u3: purchase before click -> stops at click
+            (3, _ts(0), "view"), (3, _ts(1), "purchase"), (3, _ts(2), "click"),
+            # u4: never views -> absent
+            (4, _ts(0), "click"),
+        ]
+        e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        got = {r.user_id: (r.t_1, r.t_2, r.t_3)
+               for r in ops.funnel(e, ["view", "click", "purchase"]).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1] == (_ts(0), _ts(1), _ts(2))
+        assert got[2] == (_ts(6), None, None)
+        assert got[3] == (_ts(0), _ts(2), None)
+
+    def test_equal_ts_counts(self, spark):
+        e = spark.createDataFrame(
+            [(1, _ts(0), "view"), (1, _ts(0), "click")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = ops.funnel(e, ["view", "click"]).collect()[0]
+        assert (got.t_1, got.t_2) == (_ts(0), _ts(0))
+
+
+class TestTrimmedMean:
+    def test_exact_trim(self, spark):
+        # 10 values 1..10, 10% trim -> drop 1 low + 1 high -> mean(2..9)=5.5
+        df = spark.createDataFrame(
+            [(i, "g", i) for i in range(1, 11)], "doc_id long, g string, v long"
+        )
+        r = ops.trimmed_mean(df, ["g"], "v", "doc_id", 1, 10).collect()[0]
+        assert (r.n_kept, r.n_total, r.sum_kept, r.trimmed_mean) == (8, 10, 44, 5.5)
+
+    def test_outlier_resistance(self, spark):
+        df = spark.createDataFrame(
+            [(i, "g", 100) for i in range(20)] + [(99, "g", 10**9)],
+            "doc_id long, g string, v long",
+        )
+        r = ops.trimmed_mean(df, ["g"], "v", "doc_id", 1, 10).collect()[0]
+        assert r.trimmed_mean == 100.0  # the blob is trimmed away
+
+    def test_bad_fraction_raises(self, spark):
+        import pytest as _pt
+        df = spark.createDataFrame([(1, "g", 1)], "doc_id long, g string, v long")
+        with _pt.raises(ValueError):
+            ops.trimmed_mean(df, ["g"], "v", "doc_id", 1, 2)
