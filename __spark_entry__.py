@@ -2775,6 +2775,17 @@ def q_trimmed_mean(spark, sf):
     return ops.trimmed_mean(d, ["lang"], "n_chars", "doc_id", 1, 10)
 
 
+def q_tfidf_keywords(spark, sf):
+    """Per-document keyword extraction (textops.tfidf_keywords): top-3
+    terms by tf·idf with idf integerized once per distinct term
+    (floor(ln(N/df)·1e6)) so every score is exact int64 and ranking
+    never compares floats; ties (score desc, term asc). The window
+    partitions by document — thousands of tiny groups. DuckDB twin
+    replays the identical arithmetic."""
+    d = _t(spark, sf, "documents")
+    return TX.tfidf_keywords(d, "text", "doc_id", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2907,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "funnel": q_funnel,
         "trimmed_mean": q_trimmed_mean,
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -6064,5 +6076,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                        AS trimmed_mean
             FROM kept GROUP BY lang
+        """,
+        "tfidf_keywords": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> len(x) >= 2)) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY doc_id, term),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+                FROM tf GROUP BY term),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                   FROM documents),
+            idf AS (
+                SELECT term,
+                       CAST(floor(ln(CAST(n_docs AS DOUBLE)
+                                     / CAST(df_docs AS DOUBLE)) * 1000000.0)
+                            AS BIGINT) AS idf_micro
+                FROM dfreq CROSS JOIN nd),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, idf.idf_micro,
+                       CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro
+                FROM tf JOIN idf USING (term)),
+            rk AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score_micro DESC, term ASC) AS rank
+                FROM scored)
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+                   idf_micro, score_micro
+            FROM rk WHERE rank <= 3
         """,
     }

@@ -3133,3 +3133,68 @@ def lsh_plan(num_perm: int = 128, target_jaccard: float = 0.8) -> dict:
         "threshold": round((1.0 / b) ** (1.0 / r), 6),
         "curve": curve,
     }
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by tf·idf (Salton &
+    Buckley 1988 — the snippet/tagging/related-search workhorse;
+    :func:`rare_term_topk` is its corpus-level census cousin, this is
+    the per-document view).
+
+    Exactness discipline: idf is integerized ONCE per distinct term —
+    ``idf_micro = floor(ln(N/df)·1e6)`` — so every per-document score is
+    exact int64 (``tf · idf_micro``; tf ≤ doc length, idf_micro ≤ ~21e6
+    → far under 2^63) and ranking never compares floats.  Ties break
+    (score desc, term asc): deterministic at any parallelism.
+
+    Plan shape: tf = one map-side-combined aggregate at (doc, term)
+    cardinality; df + N = two aggregates over the collapsed vocabulary
+    (N via a broadcast 1-row aggregate, the repo's scalar idiom); the
+    top-k window partitions BY DOCUMENT — thousands of tiny groups, the
+    cheapest window shape there is.  Returns (id_col, rank, term, tf,
+    idf_micro, score_micro).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) >= 2,
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.col("df_docs").cast("double"))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = tf.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "idf_micro",
+        (F.col("tf") * F.col("idf_micro")).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "idf_micro", "score_micro")
+    )

@@ -1263,3 +1263,32 @@ def test_lsh_plan_picks_sane_banding():
     import pytest as _pt
     with _pt.raises(ValueError):
         TX.lsh_plan(128, 1.5)
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    docs = [
+        (1, "apple apple banana common common"),
+        (2, "banana cherry common common"),
+        (3, "cherry cherry common durian"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = TX.tfidf_keywords(df, "text", "doc_id", k=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.score_micro) for r in out}
+
+    def idf_micro(dfreq):
+        return math.floor(math.log(3.0 / dfreq) * 1e6)
+
+    # doc 1: apple tf2·idf(1) beats banana tf1·idf(2); common idf=0
+    assert got[(1, 1)] == ("apple", 2 * idf_micro(1))
+    assert got[(1, 2)] == ("banana", idf_micro(2))
+    # doc 3: cherry tf2·idf(2) vs durian tf1·idf(1): 2*405465 > 1098612
+    assert got[(3, 1)] == ("durian", idf_micro(1)) or got[(3, 1)] == (
+        "cherry", 2 * idf_micro(2)
+    )
+    top3 = max(v for k, v in got.items() if k[0] == 3)
+    # exact winner: durian idf 1098612 > cherry 810930
+    assert got[(3, 1)][0] == "durian"
+    # ubiquitous term scores 0 and never ranks above idf-bearing terms
+    assert all(term != "common" for (_, rk), (term, _) in got.items() if rk == 1)
