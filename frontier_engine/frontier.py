@@ -187,19 +187,28 @@ class DrainResult:
             df.unpersist()
 
 
-def _budget_col(cfg: DrainConfig):
+def _budget_col(cfg: DrainConfig, cap_col: str = "_hb_cap"):
     """Per-host epoch budget: the politeness ceiling, optionally capped
-    by an external per-host allocation (``_hb_cap``, e.g. from
+    by an external per-host allocation (``cap_col``, e.g. from
     :func:`frontier_engine.hostctl.crawl_budget`). The cap only ever
     SHRINKS the budget. The precut route table applies the SAME
     least/coalesce (see ``_route_table``), so a capped host's histogram
     threshold keeps ~cap survivors — the cut stays exact under caps, not
-    merely a safe superset."""
+    merely a safe superset.
+
+    On the routed path ``cap_col`` is ``_bb`` — the capped budget carried
+    on the (already-broadcast) routing table rather than probed onto every
+    backlog row by a second broadcast join. Exact despite the route
+    table's needs-routing-only emission: a host whose cap binds
+    (cap < backlog) always has ``_bl > _bb`` and is emitted; a host NOT
+    emitted has backlog ≤ min(politeness, cap), so every row's rank is
+    ≤ the politeness fallback and ≤ the cap — both filters keep all rows.
+    """
     pol = F.greatest(
         F.lit(1),
         F.floor(F.lit(cfg.epoch_seconds) / F.col("crawl_delay")),
     ).cast("int")
-    return F.least(pol, F.coalesce(F.col("_hb_cap"), pol).cast("int"))
+    return F.least(pol, F.coalesce(F.col(cap_col), pol).cast("int"))
 
 
 def _finish(df: DataFrame, rank_col: str) -> DataFrame:
@@ -207,7 +216,7 @@ def _finish(df: DataFrame, rank_col: str) -> DataFrame:
         df.filter(F.col(rank_col) <= F.col("budget"))
         .withColumn("slot", (F.col(rank_col) - 1).cast("int"))
         .withColumn("sched_offset", (F.col(rank_col) - 1) * F.col("crawl_delay"))
-        .drop(rank_col, "budget", "salt", "_mega", "_hb_cap")
+        .drop(rank_col, "budget", "salt", "_mega", "_hb_cap", "_bb")
     )
 
 
@@ -224,10 +233,19 @@ def _precut_bin_col(nb: int):
     return F.when(F.col("priority").isNull(), F.lit(-1).cast("long")).otherwise(clamped)
 
 
-def _route_table(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
+def _route_table(
+    allowed: DataFrame, cfg: DrainConfig, host_caps: DataFrame | None = None
+) -> DataFrame:
     """ONE aggregate pass over the backlog → a tiny per-host routing table
-    ``(host, _tb, _mega)`` driving both the histogram pre-cut and the
-    skew-salting census.
+    ``(host, _tb, _mega, _bb)`` driving the histogram pre-cut, the
+    skew-salting census, and (``_bb``) the capped per-host budget.
+
+    ``host_caps`` (optional, ``(host, _hb_cap)``) joins AFTER the
+    ``groupBy(host, bin)`` aggregate — host×bins cardinality, never the
+    backlog — so external budget caps cost a tiny-on-tiny join instead of
+    a broadcast probe against every backlog row (the round-3 design's
+    measured overhead). The drain reads the cap back off this table via
+    ``_bb``; see :func:`_budget_col` for the exactness argument.
 
     Pre-cut (``_tb``): the drain must sort ~budget rows per host (they get
     slots); the round-2 design sorted the whole backlog to find them. At
@@ -258,16 +276,21 @@ def _route_table(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
     bin_expr = _precut_bin_col(nb) if nb else F.lit(0).cast("long")
     w_host = Window.partitionBy("host")
     w_cum = w_host.orderBy(F.col("_bin").desc())
-    if "_hb_cap" not in allowed.columns:
-        allowed = allowed.withColumn("_hb_cap", F.lit(None).cast("int"))
-    return (
-        allowed.groupBy(F.col("host"), bin_expr.alias("_bin"))
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.min("crawl_delay").alias("_delay"),
-            F.min("_hb_cap").alias("_cap"),
+    aggs = [F.count(F.lit(1)).alias("_cnt"), F.min("crawl_delay").alias("_delay")]
+    if host_caps is None and "_hb_cap" in allowed.columns:
+        # legacy path: caps pre-joined onto backlog rows by the caller
+        aggs.append(F.min("_hb_cap").alias("_cap"))
+    hist = allowed.groupBy(F.col("host"), bin_expr.alias("_bin")).agg(*aggs)
+    if host_caps is not None:
+        hist = hist.join(
+            F.broadcast(host_caps.select("host", F.col("_hb_cap").alias("_cap"))),
+            "host",
+            "left",
         )
-        .withColumn("_cum", F.sum("_cnt").over(w_cum))
+    elif "_cap" not in hist.columns:
+        hist = hist.withColumn("_cap", F.lit(None).cast("int"))
+    return (
+        hist.withColumn("_cum", F.sum("_cnt").over(w_cum))
         # the threshold budget is the TRUE per-host budget: politeness,
         # shrunk by an external allocation cap when one exists (same
         # least/coalesce as _budget_col) — so a budget-capped host's
@@ -307,7 +330,7 @@ def _route_table(allowed: DataFrame, cfg: DrainConfig) -> DataFrame:
             ) > F.lit(cfg.skew_threshold),
         )
         .filter(F.col("_mega") | F.col("_tb").isNotNull())
-        .select("host", "_tb", "_mega")
+        .select("host", "_tb", "_mega", F.col("_bb").cast("int").alias("_bb"))
     )
 
 
@@ -332,7 +355,10 @@ def drain(allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None =
 
 
 def drain_split(
-    allowed: DataFrame, cfg: DrainConfig, cached: list[DataFrame] | None = None
+    allowed: DataFrame,
+    cfg: DrainConfig,
+    cached: list[DataFrame] | None = None,
+    host_caps: DataFrame | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Select the exact per-host politeness-budget top-k of ``allowed``.
 
@@ -387,9 +413,12 @@ def drain_split(
     survivor set (small: ~budget rows/host) is persisted (appended to
     ``cached``) so its window sort runs once, not once per consumer branch.
     """
-    if "_hb_cap" not in allowed.columns:
-        allowed = allowed.withColumn("_hb_cap", F.lit(None).cast("int"))
     if cfg.skew_threshold is None:
+        # no routing pass to carry the caps on — probe them onto the rows
+        if host_caps is not None and "_hb_cap" not in allowed.columns:
+            allowed = allowed.join(F.broadcast(host_caps), "host", "left")
+        if "_hb_cap" not in allowed.columns:
+            allowed = allowed.withColumn("_hb_cap", F.lit(None).cast("int"))
         fr = allowed.withColumn("budget", _budget_col(cfg)).withColumn(
             "salt", F.pmod(F.col("url_hash"), F.lit(cfg.max_salts)).cast("int")
         )
@@ -403,7 +432,7 @@ def drain_split(
         )
         return _finish(final, "rn"), [rest1, final.filter(F.col("rn") > F.col("budget"))]
 
-    route = _route_table(allowed, cfg)
+    route = _route_table(allowed, cfg, host_caps)
     nb = cfg.precut_bins
     bin_expr = _precut_bin_col(nb) if nb else F.lit(0).cast("long")
     routed = allowed.join(F.broadcast(route), "host", "left")
@@ -414,7 +443,8 @@ def drain_split(
     fr = (
         routed.filter(~cut)
         .withColumn("_mega", F.coalesce(F.col("_mega"), F.lit(False)))
-        .withColumn("budget", _budget_col(cfg))
+        # budget caps ride the routing table (_bb), not a per-row probe
+        .withColumn("budget", _budget_col(cfg, "_bb"))
         .withColumn(
             "salt",
             F.when(
@@ -486,10 +516,11 @@ def drain_epoch(
 
     ``host_budgets`` (optional) is a host-cardinality ``(host, budget)``
     allocation table — e.g. :func:`frontier_engine.hostctl.crawl_budget`
-    over the trap census — broadcast-joined so each host's epoch budget
-    becomes ``min(politeness budget, allocation)``. Hosts absent from the
-    table keep the pure politeness budget; the cap never raises one. Rows
-    a cap defers stay in ``rest`` (carried forward, not dropped) — budget
+    over the trap census — joined onto the drain's routing table (host
+    cardinality, never the backlog) so each host's epoch budget becomes
+    ``min(politeness budget, allocation)``. Hosts absent from the table
+    keep the pure politeness budget; the cap never raises one. Rows a cap
+    defers stay in ``rest`` (carried forward, not dropped) — budget
     control demotes, it never discards.
     """
     frontier_cols = [f.name for f in FRONTIER_SCHEMA.fields]
@@ -503,12 +534,12 @@ def drain_epoch(
     # recomputing beats double-caching 10^8 wide rows.
     cached: list[DataFrame] = []
     allowed, blocked = apply_robots(frontier, robots, cfg)
+    caps = None
     if host_budgets is not None:
         caps = host_budgets.select(
             F.col("host"), F.col("budget").cast("int").alias("_hb_cap")
         )
-        allowed = allowed.join(F.broadcast(caps), "host", "left")
-    drained, rest_parts = drain_split(allowed, cfg, cached)
+    drained, rest_parts = drain_split(allowed, cfg, cached, host_caps=caps)
     # rest = the rank complement of the drain (drain_split docstring): no
     # anti-join back against the backlog, so the only full-backlog motion
     # in an epoch is the scan itself
