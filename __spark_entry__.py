@@ -2786,6 +2786,67 @@ def q_tfidf_keywords(spark, sf):
     return TX.tfidf_keywords(d, "text", "doc_id", k=3)
 
 
+def q_canonical_clusters(spark, sf):
+    """Page-level ``<link rel=canonical>`` alias clustering (the WAT-style
+    dedup signal): synthesize per-doc HTML whose canonical target is the
+    closed form ``http://ex.com/c{doc_id % 40}`` for doc_id % 7 != 0 (no
+    canonical otherwise), extract it with the REAL head-bounded parser
+    (extract.canonical_udf — attribute order, quoting, case, relative
+    hrefs, and a conflicting second declaration all vary by doc_id so
+    the parser is exercised, with first-declaration-wins semantics),
+    then cluster: canonical target → page count + smallest doc id. The
+    DuckDB twin recomputes the target arithmetic; parser edge cases are
+    pinned separately in tests/test_extract.py."""
+    import pandas as pd
+
+    from frontier_engine import extract as EX
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def make_html(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                tgt = f"http://ex.com/c{i % 40}"
+                if i % 7 == 0:
+                    link = ""  # no canonical declared
+                elif i % 3 == 0:
+                    link = f'<link rel="canonical" href="{tgt}">'
+                elif i % 3 == 1:
+                    # relative href + flipped attribute order, single quotes
+                    link = f"<link href='/c{i % 40}' rel='canonical'>"
+                else:
+                    # mixed case + a conflicting later declaration (first wins)
+                    link = (
+                        f'<LINK REL="Canonical" HREF="{tgt}">'
+                        '<link rel="canonical" href="http://other.com/decoy">'
+                    )
+                payloads.append(
+                    (
+                        '<html><head><link rel="stylesheet" href="/s.css">'
+                        f"{link}<title>p{i}</title></head>"
+                        "<body>canonical text decoy</body></html>"
+                    ).encode()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": payloads})
+
+    pages = d.mapInPandas(make_html, schema="doc_id long, html binary").withColumn(
+        "base_url", F.concat(F.lit("http://ex.com/p"), F.col("doc_id"))
+    )
+    return (
+        pages.withColumn("canonical", EX.canonical_udf("html", "base_url"))
+        .filter(F.col("canonical").isNotNull())
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2919,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "trimmed_mean": q_trimmed_mean,
         "tfidf_keywords": q_tfidf_keywords,
+        "canonical_clusters": q_canonical_clusters,
     }
 
 
@@ -6109,5 +6171,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
                    idf_micro, score_micro
             FROM rk WHERE rank <= 3
+        """,
+        "canonical_clusters": """
+            SELECT 'http://ex.com/c' || CAST(doc_id % 40 AS VARCHAR) AS canonical,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   min(doc_id) AS min_doc
+            FROM documents
+            WHERE doc_id % 7 <> 0
+            GROUP BY 1
         """,
     }

@@ -156,6 +156,41 @@ def noindex_py(html_bytes: bytes | None) -> bool:
     return "noindex" in meta_robots_py(html_bytes)
 
 
+_LINK_TAG_RE = re.compile(r"(?is)<link(\s[^>]*)>")
+
+
+def canonical_py(html_bytes: bytes | None, base_url: str) -> str | None:
+    """The page's ``<link rel=canonical>`` target as an absolute URL, or
+    None when absent/invalid. Head-region scan with a bytes fast path
+    (no case-folded ``canonical`` substring → no decode, no regex). The
+    FIRST canonical wins when a page declares several (the search-engine
+    convention for conflicting hints); relative hrefs resolve against
+    ``base_url``; only http(s) targets count. This is the page-level
+    dedup/alias signal Common Crawl surfaces in WAT metadata — mirror
+    clustering and index canonicalization consume it without content
+    comparison."""
+    if not html_bytes:
+        return None
+    region = _head_region(html_bytes)
+    if b"canonical" not in region.translate(_ASCII_LOWER):
+        return None
+    s = region.decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub(" ", s)
+    for attrs in _LINK_TAG_RE.findall(s):
+        rm = _REL_IN_RE.search(attrs)
+        if rm is None or "canonical" not in _DIRECTIVE_SPLIT_RE.split(
+            rm.group(1).strip().lower()
+        ):
+            continue
+        hm = _HREF_IN_RE.search(attrs)
+        if hm is None:
+            continue
+        absu = urljoin(base_url, _html.unescape(hm.group(1).strip()))
+        if absu.startswith(("http://", "https://")):
+            return absu
+    return None
+
+
 def extract_text_py(html_bytes: bytes | None) -> str:
     """Deterministic tag-stripping text extraction (shared engine+oracle);
     decodes by sniffed charset (BOM / meta declaration, UTF-8 default)."""
@@ -240,6 +275,16 @@ def text_meta_udf(html: pd.Series) -> pd.DataFrame:
             "noindex": html.map(noindex_py),
         },
         index=html.index,
+    )
+
+
+@F.pandas_udf(T.StringType())
+def canonical_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """pandas UDF (html, base_url) → the rel=canonical target (nullable)."""
+    return pd.Series(
+        [canonical_py(h, b) for h, b in zip(html, base_url)],
+        index=html.index,
+        dtype=object,
     )
 
 

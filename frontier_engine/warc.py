@@ -143,11 +143,79 @@ def write_warc(
     commit marker: written after the job succeeds, so readers that trust
     the manifest never see partial output).
     """
-    os.makedirs(out_dir, exist_ok=True)
+    def row_to_record(row) -> bytes:
+        body = bytes(row.html) if row.html is not None else b""
+        status = int(getattr(row, status_col)) if status_col else 200
+        payload = _http_envelope(body, status, mime)
+        headers = {
+            "WARC-Record-ID": _record_id(row.url, payload),
+            "WARC-Date": _warc_date(row.warc_ts),
+            "WARC-Target-URI": row.url,
+            "Content-Type": "application/http;msgtype=response",
+        }
+        lang = getattr(row, lang_col, None) if lang_col else None
+        if lang is not None and not pd.isna(lang):
+            headers[LANG_HEADER] = str(lang)
+        return build_record("response", payload, headers)
+
     cols = ["url", "warc_ts", "html"]
     cols += [status_col] if status_col else []
     cols += [lang_col] if lang_col else []
-    src = df.select(*cols)
+    return _write_shards(df.select(*cols), out_dir, prefix, row_to_record)
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    prefix: str = "wet",
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> list[dict]:
+    """Distributed WET sink (eager): the extracted-text twin of
+    :func:`write_warc`, matching Common Crawl's WET convention —
+    ``conversion`` records with a ``text/plain`` UTF-8 payload and no HTTP
+    envelope, one ``.warc.gz`` shard per partition, each record its own
+    gzip member behind a ``warcinfo`` record.
+
+    ``df`` needs ``url`` (string), ``warc_ts`` (timestamp) and
+    ``text_col`` (string). When the frame carries a ``record_id`` column
+    (e.g. it came through :func:`read_warc`), each conversion record gets
+    a ``WARC-Refers-To`` pointing back at its source response record —
+    the WAT/WET linkage downstream tools expect. :func:`read_warc` reads
+    WET shards back as rows with ``warc_type='conversion'`` and the text
+    in ``html`` (raw payload bytes; decode as UTF-8).
+    """
+    has_ref = "record_id" in df.columns
+
+    def row_to_record(row) -> bytes:
+        text = row.wet_text if isinstance(row.wet_text, str) else ""
+        payload = text.encode("utf-8")
+        headers = {
+            "WARC-Record-ID": _record_id(row.url, payload),
+            "WARC-Date": _warc_date(row.warc_ts),
+            "WARC-Target-URI": row.url,
+            "Content-Type": "text/plain",
+        }
+        ref = getattr(row, "record_id", None) if has_ref else None
+        if ref is not None and not pd.isna(ref):
+            headers["WARC-Refers-To"] = str(ref)
+        lang = getattr(row, lang_col, None) if lang_col else None
+        if lang is not None and not pd.isna(lang):
+            headers[LANG_HEADER] = str(lang)
+        return build_record("conversion", payload, headers)
+
+    cols = ["url", "warc_ts", F.col(text_col).alias("wet_text")]
+    cols += ["record_id"] if has_ref else []
+    cols += [lang_col] if lang_col else []
+    return _write_shards(df.select(*cols), out_dir, prefix, row_to_record)
+
+
+def _write_shards(src: DataFrame, out_dir: str, prefix: str, row_to_record) -> list[dict]:
+    """Shared executor-side shard writer behind :func:`write_warc` /
+    :func:`write_wet`: one ``.warc.gz`` per partition opened by a
+    ``warcinfo`` record, deterministic bytes, driver-side
+    ``manifest.json`` as the commit marker."""
+    os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -175,20 +243,7 @@ def write_warc(
             sha.update(member)
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    body = bytes(row.html) if row.html is not None else b""
-                    status = int(getattr(row, status_col)) if status_col else 200
-                    payload = _http_envelope(body, status, mime)
-                    headers = {
-                        "WARC-Record-ID": _record_id(row.url, payload),
-                        "WARC-Date": _warc_date(row.warc_ts),
-                        "WARC-Target-URI": row.url,
-                        "Content-Type": "application/http;msgtype=response",
-                    }
-                    lang = getattr(row, lang_col, None) if lang_col else None
-                    if lang is not None and not pd.isna(lang):
-                        headers[LANG_HEADER] = str(lang)
-                    rec = build_record("response", payload, headers)
-                    member = _gzip_member(rec)
+                    member = _gzip_member(row_to_record(row))
                     f.write(member)
                     sha.update(member)
                     n += 1

@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--warc-out", default=None,
                     help="after the crawl, archive every fetched page as "
                          "Common-Crawl-compatible .warc.gz shards in this dir")
+    ap.add_argument("--wet-out", default=None,
+                    help="after the crawl, export the latest extracted text "
+                         "per URL as Common-Crawl-style WET .warc.gz shards "
+                         "(conversion records) in this dir")
     ap.add_argument("--rank-every", type=int, default=None,
                     help="every N epochs, recompute URL-level PageRank over "
                          "the accumulated link graph and blend it into "
@@ -154,6 +158,23 @@ def main(argv=None):
         )
         summary["warc_shards"] = len(manifest)
         summary["warc_records"] = sum(m["n_records"] for m in manifest)
+
+    if args.wet_out:
+        # extracted-text twin of --warc-out: WET conversion records from the
+        # upsert view (one row per URL, newest epoch wins), matching the
+        # WARC/WET pair Common Crawl publishes per crawl
+        from frontier_engine.snapshot import SnapshotStore, latest_records
+        from frontier_engine.warc import write_wet
+
+        store = SnapshotStore(args.warehouse)
+        latest = latest_records(store.read(spark, "records"))
+        manifest = write_wet(
+            latest.select("url", "warc_ts", "text", "lang"),
+            args.wet_out,
+            lang_col="lang",
+        )
+        summary["wet_shards"] = len(manifest)
+        summary["wet_records"] = sum(m["n_records"] for m in manifest)
 
     if args.cdx_out:
         # index what the crawl captured: SURT-keyed, range-sharded,

@@ -64,3 +64,48 @@ def test_corpus_shape():
 
     top = Counter(hosts).most_common(1)[0]
     assert top[1] > t.num_rows * 0.25
+
+
+def test_canonical_py_variants():
+    from frontier_engine.extract import canonical_py
+
+    base = "http://ex.com/page?x=1"
+    # absolute, double quotes
+    assert canonical_py(
+        b'<html><head><link rel="canonical" href="http://ex.com/c1"></head>', base
+    ) == "http://ex.com/c1"
+    # flipped attribute order, single quotes, relative href
+    assert canonical_py(
+        b"<head><link href='/c2' rel='canonical'></head>", base
+    ) == "http://ex.com/c2"
+    # mixed case tag/rel; first declaration wins over a later conflict
+    assert canonical_py(
+        b'<head><LINK REL="Canonical" HREF="http://ex.com/c3">'
+        b'<link rel="canonical" href="http://other.com/x"></head>',
+        base,
+    ) == "http://ex.com/c3"
+    # rel token list (rel="alternate canonical") counts
+    assert canonical_py(
+        b'<head><link rel="alternate canonical" href="/c4"></head>', base
+    ) == "http://ex.com/c4"
+    # decoy: stylesheet link, canonical only in body text -> None
+    assert canonical_py(
+        b'<head><link rel="stylesheet" href="/s.css"></head>'
+        b"<body>rel=canonical prose</body>",
+        base,
+    ) is None
+    # entity-escaped href unescapes
+    assert canonical_py(
+        b'<head><link rel="canonical" href="/c?a=1&amp;b=2"></head>', base
+    ) == "http://ex.com/c?a=1&b=2"
+    # non-http target rejected; commented-out declaration ignored
+    assert canonical_py(
+        b'<head><link rel="canonical" href="ftp://x/y"></head>', base
+    ) is None
+    assert canonical_py(
+        b'<head><!-- <link rel="canonical" href="/c9"> --></head>', base
+    ) is None
+    # missing href / empty page / None
+    assert canonical_py(b'<head><link rel="canonical"></head>', base) is None
+    assert canonical_py(b"", base) is None
+    assert canonical_py(None, base) is None

@@ -179,3 +179,47 @@ def test_malformed_warc_date_nulls_timestamp_not_task(spark, tmp_path):
     assert set(back) == {"https://bad.example/", "https://good.example/"}
     assert back["https://bad.example/"]["warc_ts"] is None
     assert back["https://good.example/"]["warc_ts"] is not None
+
+
+def test_wet_round_trip(spark, pages, tmp_path):
+    from pyspark.sql import functions as F
+
+    # WARC -> read -> extract text -> WET -> read: the Common Crawl
+    # WARC/WET pipeline shape, with WARC-Refers-To linkage preserved
+    warc_dir = str(tmp_path / "warc")
+    warc.write_warc(pages.repartition(2), warc_dir, lang_col=None)
+    back = warc.read_warc(spark, warc_dir)
+    texts = back.withColumn(
+        "text", F.concat(F.lit("text of "), F.col("url"))
+    ).withColumn("lang", F.lit("en"))
+
+    wet_dir = str(tmp_path / "wet")
+    manifest = warc.write_wet(texts, wet_dir, lang_col="lang")
+    assert sum(m["n_records"] for m in manifest) == 3
+
+    got = {r["url"]: r for r in warc.read_warc(spark, wet_dir).collect()}
+    src_ids = {r["url"]: r["record_id"] for r in back.collect()}
+    assert set(got) == set(src_ids)
+    shard_bytes = b"".join(
+        gzip.decompress(open(m["shard"], "rb").read()) for m in manifest
+    )
+    for url, r in got.items():
+        assert r["warc_type"] == "conversion"
+        assert r["mime"] is None  # no HTTP envelope on conversion records
+        assert bytes(r["html"]).decode("utf-8") == f"text of {url}"
+        assert r["lang"] == "en"
+        # WARC-Refers-To points at the source response record
+        assert f"WARC-Refers-To: {src_ids[url]}".encode() in shard_bytes
+
+
+def test_wet_without_record_id(spark, pages, tmp_path):
+    from pyspark.sql import functions as F
+
+    texts = pages.withColumn("text", F.lit("plain"))
+    wet_dir = str(tmp_path / "wet2")
+    manifest = warc.write_wet(texts, wet_dir)
+    assert sum(m["n_records"] for m in manifest) == 3
+    raw = b"".join(gzip.decompress(open(m["shard"], "rb").read()) for m in manifest)
+    assert b"WARC-Refers-To" not in raw
+    rows = warc.read_warc(spark, wet_dir).collect()
+    assert all(bytes(r["html"]) == b"plain" for r in rows)
