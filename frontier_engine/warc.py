@@ -210,6 +210,66 @@ def write_wet(
     return _write_shards(df.select(*cols), out_dir, prefix, row_to_record)
 
 
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    prefix: str = "wat",
+    links_col: str = "links",
+    canonical_col: str | None = None,
+) -> list[dict]:
+    """Distributed WAT sink (eager): page-metadata twin of
+    :func:`write_warc` / :func:`write_wet`, completing the WARC/WAT/WET
+    triple Common Crawl publishes per crawl. One ``metadata`` record per
+    page with an ``application/json`` payload carrying the link graph and
+    head metadata — the subset downstream graph/dedup tools read
+    (``Envelope.Payload-Metadata.…HTML-Metadata.Links`` and
+    ``Head.Link`` for rel=canonical), with deterministic key order and
+    separators so identical rows yield identical bytes.
+
+    ``df`` needs ``url`` (string), ``warc_ts`` (timestamp) and
+    ``links_col`` (``array<string>`` of absolute out-links); optional
+    ``canonical_col`` (nullable string, e.g. from
+    :func:`frontier_engine.extract.canonical_udf`) and ``record_id``
+    (adds ``WARC-Refers-To``)."""
+    has_ref = "record_id" in df.columns
+
+    def row_to_record(row) -> bytes:
+        links = [] if row.wat_links is None else list(row.wat_links)
+        html_meta: dict = {"Links": [{"url": str(l)} for l in links]}
+        canon_v = getattr(row, "wat_canonical", None)
+        if canon_v is not None and not pd.isna(canon_v):
+            html_meta["Head"] = {
+                "Link": [{"rel": "canonical", "url": str(canon_v)}]
+            }
+        doc = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": str(row.url),
+                    "WARC-Date": _warc_date(row.warc_ts),
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {"HTML-Metadata": html_meta}
+                },
+            }
+        }
+        payload = json.dumps(doc, separators=(",", ":"), sort_keys=True).encode()
+        headers = {
+            "WARC-Record-ID": _record_id(row.url, payload),
+            "WARC-Date": _warc_date(row.warc_ts),
+            "WARC-Target-URI": row.url,
+            "Content-Type": "application/json",
+        }
+        ref = getattr(row, "record_id", None) if has_ref else None
+        if ref is not None and not pd.isna(ref):
+            headers["WARC-Refers-To"] = str(ref)
+        return build_record("metadata", payload, headers)
+
+    cols = ["url", "warc_ts", F.col(links_col).alias("wat_links")]
+    cols += [F.col(canonical_col).alias("wat_canonical")] if canonical_col else []
+    cols += ["record_id"] if has_ref else []
+    return _write_shards(df.select(*cols), out_dir, prefix, row_to_record)
+
+
 def _write_shards(src: DataFrame, out_dir: str, prefix: str, row_to_record) -> list[dict]:
     """Shared executor-side shard writer behind :func:`write_warc` /
     :func:`write_wet`: one ``.warc.gz`` per partition opened by a

@@ -50,6 +50,10 @@ def main(argv=None):
                     help="after the crawl, export the latest extracted text "
                          "per URL as Common-Crawl-style WET .warc.gz shards "
                          "(conversion records) in this dir")
+    ap.add_argument("--wat-out", default=None,
+                    help="after the crawl, export per-page metadata (out-"
+                         "links, rel=canonical) as Common-Crawl-style WAT "
+                         ".warc.gz shards in this dir")
     ap.add_argument("--rank-every", type=int, default=None,
                     help="every N epochs, recompute URL-level PageRank over "
                          "the accumulated link graph and blend it into "
@@ -175,6 +179,38 @@ def main(argv=None):
         )
         summary["wet_shards"] = len(manifest)
         summary["wet_records"] = sum(m["n_records"] for m in manifest)
+
+    if args.wat_out:
+        # metadata twin: out-links + rel=canonical per crawled page, from
+        # the canonicalized corpus html joined on the crawled URL set (the
+        # same join discipline as --warc-out)
+        from pyspark.sql import functions as F
+
+        from frontier_engine import canon
+        from frontier_engine.corpus import corpus_df, read_pages
+        from frontier_engine.extract import canonical_udf, links_udf
+        from frontier_engine.snapshot import SnapshotStore
+        from frontier_engine.warc import write_wat
+
+        store = SnapshotStore(args.warehouse)
+        crawled = store.read(spark, "records").select("url", "warc_ts").dropDuplicates(["url"])
+        if corpus_location is not None:
+            raw = corpus_df(spark, corpus_location).select("url", "html")
+        else:
+            raw = canon.canonical_first(
+                read_pages(spark, paths["pages"], args.pages_format)
+                .withColumnRenamed("url", "raw"),
+                F.col("raw"),
+                "url",
+            ).select("url", "html")
+        meta = (
+            crawled.join(raw, "url")
+            .withColumn("links", links_udf("html", "url"))
+            .withColumn("canonical", canonical_udf("html", "url"))
+        )
+        manifest = write_wat(meta, args.wat_out, canonical_col="canonical")
+        summary["wat_shards"] = len(manifest)
+        summary["wat_records"] = sum(m["n_records"] for m in manifest)
 
     if args.cdx_out:
         # index what the crawl captured: SURT-keyed, range-sharded,

@@ -223,3 +223,47 @@ def test_wet_without_record_id(spark, pages, tmp_path):
     assert b"WARC-Refers-To" not in raw
     rows = warc.read_warc(spark, wet_dir).collect()
     assert all(bytes(r["html"]) == b"plain" for r in rows)
+
+
+def test_wat_round_trip(spark, pages, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    meta = pages.withColumn(
+        "links",
+        F.array(F.concat(F.col("url"), F.lit("/child1")),
+                F.concat(F.col("url"), F.lit("/child2"))),
+    ).withColumn("canonical", F.concat(F.lit("http://canon/"), F.col("url")))
+    wat_dir = str(tmp_path / "wat")
+    manifest = warc.write_wat(meta, wat_dir, canonical_col="canonical")
+    assert sum(m["n_records"] for m in manifest) == 3
+
+    got = {r["url"]: r for r in warc.read_warc(spark, wat_dir).collect()}
+    assert set(got) == {r["url"] for r in pages.collect()}
+    for url, r in got.items():
+        assert r["warc_type"] == "metadata"
+        doc = _json.loads(bytes(r["html"]))
+        env = doc["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == url
+        hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+        assert [l["url"] for l in hm["Links"]] == [url + "/child1", url + "/child2"]
+        assert hm["Head"]["Link"][0] == {"rel": "canonical", "url": "http://canon/" + url}
+    # determinism: rewriting the same rows yields identical shard hashes
+    wat2 = str(tmp_path / "wat2")
+    m2 = warc.write_wat(meta, wat2, canonical_col="canonical")
+    assert [m["sha256"] for m in m2] == [m["sha256"] for m in manifest]
+
+
+def test_wat_null_links_and_canonical(spark, pages, tmp_path):
+    from pyspark.sql import functions as F
+
+    meta = pages.withColumn("links", F.lit(None).cast("array<string>")) \
+                .withColumn("canonical", F.lit(None).cast("string"))
+    wat_dir = str(tmp_path / "wat3")
+    warc.write_wat(meta, wat_dir, canonical_col="canonical")
+    import json as _json
+    for r in warc.read_warc(spark, wat_dir).collect():
+        doc = _json.loads(bytes(r["html"]))
+        hm = doc["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+        assert hm["Links"] == [] and "Head" not in hm
