@@ -2847,6 +2847,39 @@ def q_canonical_clusters(spark, sf):
     )
 
 
+def q_readability(spark, sf):
+    """Flesch Reading Ease / Flesch–Kincaid grade per document
+    (textops.readability): the published 1948/1975 formulas over fixed
+    regexp-count word/sentence/vowel-group rules — three codegen'd
+    regexp scans per row, no UDF, no tokenize-explode, no shuffle. The
+    DuckDB twin replays the identical counting rules and IEEE-double
+    operation order; both engines round to 6 decimals."""
+    d = _t(spark, sf, "documents")
+    return TX.readability(d, "text", "doc_id")
+
+
+def q_spam_mass(spark, sf):
+    """Link-spam mass estimation (graph.spam_mass; Gyöngyi et al., VLDB
+    2006): PageRank minus seed-scaled TrustRank over the same
+    orders-derived 100-node graph and node%10==0 seed set as
+    q_pagerank/q_trustrank — the fraction of each node's rank that no
+    trusted page vouches for. Factors round to 6 decimals BEFORE the
+    composition (each is independently hash-checked cross-engine), so
+    the subtraction/division stays bit-identical; the DuckDB twin
+    unrolls both 5-iteration chains as CTEs and replays the same
+    rounded-operand arithmetic."""
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % 10 == 0)
+    return GR.spam_mass(edges, seeds, iterations=5, damping=0.85)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -2981,6 +3014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "tfidf_keywords": q_tfidf_keywords,
         "canonical_clusters": q_canonical_clusters,
+        "readability": q_readability,
+        "spam_mass": q_spam_mass,
     }
 
 
@@ -3147,6 +3182,60 @@ def _trustrank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, round(trust, 6) AS trust FROM t{iters}"
+    )
+
+
+def _spam_mass_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin of graph.spam_mass over the q_spam_mass derivation:
+    both 5-iteration chains (uniform-teleport PageRank, seed-teleport
+    TrustRank) unrolled over the SHARED e/nodes/deg/we CTEs, factors
+    rounded to 6 decimals, then the paper's mass arithmetic replayed on
+    the rounded operands — identical IEEE op order to the engine."""
+    d = repr(damping)
+    ctes = [
+        "e AS (SELECT DISTINCT (o_custkey % 100) AS src,"
+        " (o_orderkey % 100) AS dst FROM orders"
+        " WHERE (o_custkey % 100) <> (o_orderkey % 100))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        "we AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.d AS w"
+        " FROM e JOIN deg ON deg.src = e.src)",
+        "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+        "seeds AS (SELECT node FROM nodes WHERE node % 10 = 0)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds)",
+        "t0r AS (SELECT node, CASE WHEN node IN (SELECT node FROM seeds)"
+        " THEN CAST(1.0 AS DOUBLE) / ns.n ELSE CAST(0.0 AS DOUBLE) END AS r0"
+        " FROM nodes, ns)",
+        "tr0 AS (SELECT node, r0 AS trust FROM t0r)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"pr{k} AS (SELECT n.node AS node,"
+            f" (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE))"
+            f" + CAST({d} AS DOUBLE) * coalesce(sum(r.rank * we.w),"
+            f" CAST(0.0 AS DOUBLE)) AS rank"
+            f" FROM nodes n LEFT JOIN we ON we.dst = n.node"
+            f" LEFT JOIN pr{k - 1} r ON r.node = we.src GROUP BY n.node)"
+        )
+        ctes.append(
+            f"tr{k} AS (SELECT r0.node AS node,"
+            f" (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) * r0.r0"
+            f" + CAST({d} AS DOUBLE) * coalesce(sum(t.trust * we.w),"
+            f" CAST(0.0 AS DOUBLE)) AS trust"
+            f" FROM t0r r0 LEFT JOIN we ON we.dst = r0.node"
+            f" LEFT JOIN tr{k - 1} t ON t.node = we.src"
+            f" GROUP BY r0.node, r0.r0)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),\n"
+        f"pv AS (SELECT node, round(rank, 6) AS rank FROM pr{iters}),\n"
+        f"tv AS (SELECT node, round(trust, 6) AS trust FROM tr{iters})\n"
+        "SELECT pv.node, pv.rank, tv.trust,\n"
+        "       round(pv.rank - tv.trust * nn.n_nodes, 6) AS spam_mass,\n"
+        "       round((pv.rank - tv.trust * nn.n_nodes) / pv.rank, 6)"
+        " AS rel_mass\n"
+        "FROM pv JOIN tv ON pv.node = tv.node, nn"
     )
 
 
@@ -6180,4 +6269,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 7 <> 0
             GROUP BY 1
         """,
+        "readability": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS words,
+                       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')),
+                                     1) AS BIGINT) AS sentences,
+                       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS BIGINT) AS vg
+                FROM documents),
+            s AS (
+                SELECT doc_id, words, sentences,
+                       greatest(vg, words) AS syllables
+                FROM c WHERE words >= 1),
+            r AS (
+                SELECT doc_id, words, sentences, syllables,
+                       CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)
+                           AS wps,
+                       CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)
+                           AS spw
+                FROM s)
+            SELECT doc_id, words, sentences, syllables,
+                   round(CAST(206.835 AS DOUBLE)
+                         - CAST(1.015 AS DOUBLE) * wps
+                         - CAST(84.6 AS DOUBLE) * spw, 6) AS flesch,
+                   round(CAST(0.39 AS DOUBLE) * wps
+                         + CAST(11.8 AS DOUBLE) * spw
+                         - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+            FROM r
+        """,
+        "spam_mass": _spam_mass_oracle_sql(),
     }

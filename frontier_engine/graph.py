@@ -1697,3 +1697,60 @@ def assortativity(
             / F.sqrt(vx.cast("double") * vy.cast("double")),
         ).alias("r"),
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    precision: int = 6,
+) -> DataFrame:
+    """Link-spam mass estimation (Gyöngyi, Berkhin, Garcia-Molina &
+    Pedersen, "Link Spam Detection Based on Mass Estimation", VLDB 2006):
+    how much of a page's PageRank arrives from OUTSIDE the trusted part of
+    the web. Pages whose rank is mostly untrusted mass are link-farm
+    boostees — the complement of TrustRank's demotion view, and the
+    paper's headline spam signal.
+
+    ``p`` is uniform-teleport PageRank in GraphX units (rank₀ = 1, total
+    mass ≈ N); ``t`` is :func:`trustrank` (teleport mass 1 spread over the
+    seed set). Trust is rescaled into PageRank units (``t' = N·t``), then
+
+        spam_mass = p − t'          (absolute mass)
+        rel_mass  = (p − t') / p    (fraction of rank that is untrusted)
+
+    ``rel_mass`` ∈ (−∞, 1]: ≈ 1 means virtually no trust reaches the node
+    (spam candidate), ≤ 0 means trust flow covers its whole rank (seeds
+    and their neighborhoods). ``p ≥ 1−d > 0`` so the division is total.
+
+    Both input scores are rounded to ``precision`` BEFORE the arithmetic:
+    each factor is already hash-checked cross-engine at that precision
+    (q_pagerank / q_trustrank), so the composition stays bit-identical in
+    any engine that replays the same rounded-operand expression.
+
+    Scale shape: two fixed-iteration rank loops over the SAME cached
+    distinct edge list (one shuffle per iteration each), one broadcast
+    1-row node count, one node-keyed equi-join — nothing here exceeds the
+    cost of running PageRank twice.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    p = pagerank(e, iterations=iterations, damping=damping)
+    t = trustrank(
+        e, seeds, iterations=iterations, damping=damping, seed_col=seed_col
+    )
+    n_nodes = p.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    pr = p.select("node", F.round("rank", precision).alias("rank"))
+    tr = t.select("node", F.round("trust", precision).alias("trust"))
+    joined = pr.join(tr, "node").crossJoin(F.broadcast(n_nodes))
+    untrusted = F.col("rank") - F.col("trust") * F.col("n_nodes")
+    return joined.select(
+        "node",
+        "rank",
+        "trust",
+        F.round(untrusted, precision).alias("spam_mass"),
+        F.round(untrusted / F.col("rank"), precision).alias("rel_mass"),
+    )

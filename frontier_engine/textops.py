@@ -3198,3 +3198,63 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "idf_micro", "score_micro")
     )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch Reading Ease + Flesch–Kincaid grade level per document — the
+    oldest quality signals in the filter family (Flesch 1948; Kincaid et
+    al. 1975), still used to triage boilerplate-ish legalese and
+    SEO-stuffed word salad that length/stopword gates miss.
+
+    Counting rules are fixed and engine-twin-exact, all evaluated inside
+    whole-stage codegen (three ``regexp_count`` scans per row, no UDF, no
+    explode — the expression-only alternative to tokenizing the corpus):
+
+    - ``words``     = ``regexp_count(text, '\\S+')``
+    - ``sentences`` = ``max(regexp_count(text, '[.!?]+'), 1)`` — runs of
+      terminators count once ("!?" is one boundary), unterminated text is
+      one sentence
+    - ``syllables`` = ``max(regexp_count(lower(text), '[aeiouy]+'), words)``
+      — the classic vowel-group heuristic with the one-syllable-per-word
+      floor applied globally (exact per-word flooring needs a tokenize +
+      explode; the global floor differs only on consonant-only tokens)
+
+    Scores are the published formulas in fixed IEEE-double operation
+    order, rounded to 6 decimals:
+
+        flesch   = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+        fk_grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Zero-word documents are dropped (both ratios are undefined).
+    Per-document, embarrassingly parallel: no shuffle at any scale.
+    """
+    words = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    vgroups = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+")).cast(
+        "long"
+    )
+    counted = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("words"),
+        sentences.alias("sentences"),
+        F.greatest(vgroups, words).alias("syllables"),
+    ).filter(F.col("words") >= 1)
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return counted.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )

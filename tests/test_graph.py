@@ -935,3 +935,49 @@ def test_assortativity_star_is_disassortative(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     r = assortativity(df).collect()[0]["r"]
     assert r is not None and r < 0
+
+
+def test_spam_mass_farm_boostee_has_full_untrusted_mass(spark):
+    """A node reachable ONLY from outside the trusted seed's reach gets
+    rel_mass == 1 (no trust arrives); the seed's own neighborhood gets
+    rel_mass well below 1."""
+    from frontier_engine.graph import spam_mass
+
+    # trusted chain 0 -> 1; farm 2,4,5 -> 3 with no path from 0
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 3), (5, 3)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,)], "node int")
+    out = {r["node"]: r for r in spam_mass(edges, seeds).collect()}
+    assert out[3]["trust"] == 0.0
+    assert out[3]["rel_mass"] == 1.0
+    # the seed itself holds teleport trust 1/|S| scaled by N=6 nodes:
+    # its rank is fully vouched for (rel_mass <= 0)
+    assert out[0]["rel_mass"] <= 0.0
+    # trust flows 0 -> 1, so 1 is partially vouched
+    assert out[1]["rel_mass"] < 1.0
+    # absolute mass is the rounded difference of the rounded factors
+    for r in out.values():
+        assert r["spam_mass"] == pytest.approx(
+            r["rank"] - r["trust"] * 6.0, abs=1e-6
+        )
+
+
+def test_spam_mass_matches_factor_queries(spark):
+    """spam_mass's rank/trust columns equal standalone pagerank/trustrank
+    (both rounded to 6) on the same graph — the composition adds no
+    arithmetic drift."""
+    from frontier_engine.graph import spam_mass, trustrank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 7) for i in range(30) if i % 7 != (i * 3 + 1) % 7],
+        "src int, dst int",
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node int")
+    sm = {r["node"]: r for r in spam_mass(edges, seeds).collect()}
+    pr = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    tr = {r["node"]: r["trust"] for r in trustrank(edges, seeds).collect()}
+    assert set(sm) == set(pr) == set(tr)
+    for n, r in sm.items():
+        assert r["rank"] == round(pr[n], 6)
+        assert r["trust"] == round(tr[n], 6)

@@ -1292,3 +1292,36 @@ def test_tfidf_keywords_hand_computed(spark):
     assert got[(3, 1)][0] == "durian"
     # ubiquitous term scores 0 and never ranks above idf-bearing terms
     assert all(term != "common" for (_, rk), (term, _) in got.items() if rk == 1)
+
+
+def test_readability_hand_computed(spark):
+    """Fixed counting rules on a hand-counted doc: 6 words, 2 sentence
+    boundaries ('.', '!?' run counts once), 7 vowel groups."""
+    from frontier_engine.textops import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. On a sofa!?")], "doc_id long, text string"
+    )
+    row = readability(df).collect()[0]
+    assert row["words"] == 6
+    assert row["sentences"] == 2
+    assert row["syllables"] == 7  # e, a, a, o, a, o, a
+    wps, spw = 6 / 2, 7 / 6
+    assert row["flesch"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+    assert row["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+
+
+def test_readability_floors_and_drops(spark):
+    """Consonant-only tokens floor syllables at one per word; unterminated
+    text is one sentence; zero-word docs are dropped."""
+    from frontier_engine.textops import readability
+
+    df = spark.createDataFrame(
+        [(1, "tsk brr pfft"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = readability(df).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["sentences"] == 1
+    assert rows[0]["words"] == 3
+    assert rows[0]["syllables"] == 3  # zero vowel groups, floored to words
