@@ -2880,6 +2880,32 @@ def q_spam_mass(spark, sf):
     return GR.spam_mass(edges, seeds, iterations=5, damping=0.85)
 
 
+def q_chunk_passages(spark, sf):
+    """RAG passage chunking (textops.chunk_passages): 64-word windows
+    every 48 words (16-word overlap) per document — split + sequence-
+    posexplode + slice/array_join, expression-only, zero shuffle. The
+    DuckDB twin replays the identical window arithmetic with
+    range/list_slice."""
+    d = _t(spark, sf, "documents")
+    return TX.chunk_passages(d, "text", "doc_id", size=64, stride=48)
+
+
+def q_term_drift(spark, sf):
+    """Snapshot-to-snapshot term-distribution drift (textops.term_drift):
+    even doc_ids play the old crawl, odd the new; top-20 terms by
+    symmetric smoothed-probability ratio. Division-first double
+    arithmetic (no ln, no overflow-able cross products); the DuckDB twin
+    replays the identical expression and the top-k set is tie-broken
+    deterministic."""
+    d = _t(spark, sf, "documents")
+    return TX.term_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        k=20,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -3016,6 +3042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_clusters": q_canonical_clusters,
         "readability": q_readability,
         "spam_mass": q_spam_mass,
+        "chunk_passages": q_chunk_passages,
+        "term_drift": q_term_drift,
     }
 
 
@@ -6300,4 +6328,62 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "spam_mass": _spam_mass_oracle_sql(),
+        "chunk_passages": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS words
+                FROM documents),
+            base AS (
+                SELECT doc_id, words FROM w WHERE len(words) >= 1),
+            st AS (
+                SELECT doc_id, words,
+                       unnest(range(1, len(words) + 1, 48)) AS start
+                FROM base)
+            SELECT doc_id,
+                   CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(words, start, start + 64 - 1))
+                       AS BIGINT) AS n_words,
+                   array_to_string(list_slice(words, start, start + 64 - 1),
+                                   ' ') AS passage
+            FROM st
+        """,
+        "term_drift": r"""
+            WITH tok_old AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS term
+                FROM documents WHERE doc_id % 2 = 0),
+            tok_new AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS term
+                FROM documents WHERE doc_id % 2 = 1),
+            co AS (SELECT term, CAST(count(*) AS BIGINT) AS c_old
+                   FROM tok_old GROUP BY term),
+            cn AS (SELECT term, CAST(count(*) AS BIGINT) AS c_new
+                   FROM tok_new GROUP BY term),
+            j AS (
+                SELECT coalesce(co.term, cn.term) AS term,
+                       CAST(coalesce(c_old, 0) AS BIGINT) AS c_old,
+                       CAST(coalesce(c_new, 0) AS BIGINT) AS c_new
+                FROM co FULL OUTER JOIN cn ON co.term = cn.term),
+            s AS (
+                SELECT CAST(sum(c_old) AS DOUBLE) AS n_old,
+                       CAST(sum(c_new) AS DOUBLE) AS n_new,
+                       CAST(count(*) AS DOUBLE) AS vocab
+                FROM j),
+            p AS (
+                SELECT term, c_old, c_new,
+                       CAST(c_old + 1 AS DOUBLE) / (n_old + vocab) AS p_old,
+                       CAST(c_new + 1 AS DOUBLE) / (n_new + vocab) AS p_new
+                FROM j, s)
+            SELECT term, c_old, c_new,
+                   round(greatest(p_new / p_old, p_old / p_new), 6) AS drift,
+                   CAST(CASE WHEN p_new >= p_old THEN 1 ELSE -1 END
+                       AS INTEGER) AS direction
+            FROM p
+            ORDER BY drift DESC, term ASC
+            LIMIT 20
+        """,
     }

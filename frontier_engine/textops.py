@@ -3258,3 +3258,131 @@ def readability(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
+
+
+def chunk_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window passage chunking — the retrieval-side prep step
+    (RAG / dense-passage indexing, cf. Karpukhin et al. 2020 DPR's
+    100-word passages): split each document into ``size``-word windows
+    every ``stride`` words (overlap = ``size − stride``), so a fact
+    straddling a window boundary still appears whole in the next window.
+    The retrieval twin of :func:`pack_sequences` (which packs for
+    PRETRAINING — cross-doc concat, no overlap; this chunks for INDEXING —
+    per-doc windows, overlap, no cross-doc mixing).
+
+    Words are ``\\s+``-separated non-empty tokens (the same rule as
+    :func:`readability`). Window starts are ``1, 1+stride, 1+2·stride, …``
+    while ``start ≤ n_words``, so every word lands in ≥ 1 passage, the
+    final passage may be short, and a document shorter than ``size``
+    yields exactly one passage. ``chunk_id`` is the 0-based window index;
+    ``n_words`` the window's actual word count.
+
+    Expression-only: one split + one ``sequence``-explode + one
+    ``slice``/``array_join`` per row — per-document, embarrassingly
+    parallel, no shuffle at any scale; output cardinality is
+    ``Σ ceil(max(n_i − size, 0)/stride) + 1`` rows, the index's true size.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("chunk_passages: size and stride must be >= 1")
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words.alias("_words")
+    ).filter(F.size("_words") >= 1)
+    starts = F.sequence(F.lit(1), F.size("_words"), F.lit(stride))
+    exploded = base.select(
+        "doc_id", "_words", F.posexplode(starts).alias("chunk_id", "_start")
+    )
+    window = F.slice(F.col("_words"), F.col("_start"), size)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("n_words"),
+        F.array_join(window, " ").alias("passage"),
+    )
+
+
+def term_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Corpus drift census between two crawl snapshots: the terms whose
+    unigram probability moved the most — the monitoring signal a
+    continuously-refreshed training corpus needs (topic surges, spam
+    injections, a broken extractor suddenly leaking markup tokens all
+    show up here before any downstream metric moves).
+
+    Terms are lowercased ``\\s+`` tokens. Each side's Laplace-smoothed
+    probability is ``p = (c+1)/(N+V)`` (``N`` = side's token count,
+    ``V`` = union vocabulary size, so unseen-on-one-side terms get a
+    finite probability). Drift is the symmetric probability ratio
+    ``max(p_new/p_old, p_old/p_new)`` — the exp of |log-ratio|, same
+    ranking, but NO transcendental calls: two divisions and a
+    ``greatest`` in fixed IEEE order, so any engine replaying the
+    expression agrees bitwise (the house tfidf integerized-ln trick is
+    unnecessary here). ``direction`` is +1 for rising terms, −1 falling.
+
+    Scale shape: two map-side-combined term counts, three broadcast
+    1-row scalars, ONE term-keyed full-outer join, and a global top-k
+    that plans as TakeOrderedAndProject (never a full sort). Probability
+    arithmetic is division-first, so no int64-overflowing cross
+    products at any corpus size. Ties break (drift desc, term asc) —
+    the returned SET is deterministic cross-engine.
+    """
+    if k < 1:
+        raise ValueError("term_drift: k must be >= 1")
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        toks = F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term")
+        return df.select(toks).groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    co = side_counts(old, "c_old")
+    cn = side_counts(new, "c_new")
+    joined = co.join(cn, "term", "full_outer").select(
+        "term",
+        F.coalesce("c_old", F.lit(0)).cast("long").alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).cast("long").alias("c_new"),
+    )
+    scalars = joined.agg(
+        F.sum("c_old").cast("double").alias("n_old"),
+        F.sum("c_new").cast("double").alias("n_new"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    p_old = (F.col("c_old") + F.lit(1)).cast("double") / (
+        F.col("n_old") + F.col("vocab")
+    )
+    p_new = (F.col("c_new") + F.lit(1)).cast("double") / (
+        F.col("n_new") + F.col("vocab")
+    )
+    drift = F.greatest(p_new / p_old, p_old / p_new)
+    return (
+        joined.crossJoin(F.broadcast(scalars))
+        .select(
+            "term",
+            "c_old",
+            "c_new",
+            F.round(drift, 6).alias("drift"),
+            F.when(p_new >= p_old, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("direction"),
+        )
+        .orderBy(F.desc("drift"), F.asc("term"))
+        .limit(k)
+    )

@@ -1325,3 +1325,83 @@ def test_readability_floors_and_drops(spark):
     assert rows[0]["sentences"] == 1
     assert rows[0]["words"] == 3
     assert rows[0]["syllables"] == 3  # zero vowel groups, floored to words
+
+
+def test_chunk_passages_windows_and_overlap(spark):
+    """size=3, stride=2 over 5 words: three windows, overlap of 1, short
+    tail window; every word appears in at least one passage."""
+    from frontier_engine.textops import chunk_passages
+
+    df = spark.createDataFrame(
+        [(1, " a b  c d e"), (2, "x"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_words"], r["passage"])
+        for r in chunk_passages(df, size=3, stride=2).collect()
+    )
+    assert rows == [
+        (1, 0, 3, "a b c"),
+        (1, 1, 3, "c d e"),
+        (1, 2, 1, "e"),
+        (2, 0, 1, "x"),
+    ]
+
+
+def test_chunk_passages_short_doc_single_window(spark):
+    from frontier_engine.textops import chunk_passages
+
+    df = spark.createDataFrame([(7, "only four words here")], "doc_id long, text string")
+    rows = chunk_passages(df, size=128, stride=96).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_words"] == 4
+    assert rows[0]["passage"] == "only four words here"
+
+
+def test_chunk_passages_validates_params(spark):
+    import pytest as _pytest
+
+    from frontier_engine.textops import chunk_passages
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_passages(df, size=0)
+    with _pytest.raises(ValueError):
+        chunk_passages(df, stride=0)
+
+
+def test_term_drift_surged_term_ranks_first(spark):
+    """A term that floods the new snapshot tops the drift ranking with
+    direction +1; a term that vanished ranks with direction -1; stable
+    vocabulary sits at drift ~1."""
+    from frontier_engine.textops import term_drift
+
+    old = spark.createDataFrame(
+        [(i, "stable words here gone gone") for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, "stable words here surge surge surge") for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = term_drift(old, new, k=10).collect()
+    by_term = {r["term"]: r for r in rows}
+    ranked = [r["term"] for r in rows]
+    assert set(ranked[:2]) == {"surge", "gone"}
+    assert by_term["surge"]["direction"] == 1
+    assert by_term["surge"]["c_old"] == 0 and by_term["surge"]["c_new"] == 60
+    assert by_term["gone"]["direction"] == -1
+    assert by_term["stable"]["drift"] < by_term["surge"]["drift"]
+
+
+def test_term_drift_identical_corpora_flat(spark):
+    from frontier_engine.textops import term_drift
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(5)], "doc_id long, text string"
+    )
+    rows = term_drift(df, df, k=5).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["drift"] == 1.0
+        assert r["direction"] == 1
