@@ -2906,6 +2906,34 @@ def q_term_drift(spark, sf):
     )
 
 
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (ann.hard_negatives, the DPR/ANCE recipe):
+    queries = vec_id < 3, qrels = vec_id % 50 == query_id (so each query
+    excludes ~2% of the corpus including itself); top-5 highest-cosine
+    non-relevant docs per query. The exclusion anti-joins the scored
+    pairs (never a post-filter on a fixed top window); the DuckDB twin
+    replays it with NOT EXISTS over the same closed-form qrels."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pos = emb.select("vec_id").crossJoin(
+        q.select("query_id")
+    ).filter(F.col("vec_id") % 50 == F.col("query_id"))
+    out = ann.hard_negatives(emb, q, pos, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -3044,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "chunk_passages": q_chunk_passages,
         "term_drift": q_term_drift,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -6385,5 +6414,24 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             ORDER BY drift DESC, term ASC
             LIMIT 20
+        """,
+        "hard_negatives": """
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[]))
+                         AS cosine,
+                     row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(
+                                      CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])) DESC,
+                                  c.vec_id ASC) AS rank
+              FROM embeddings c,
+                   (SELECT * FROM embeddings WHERE vec_id < 3) q
+              WHERE c.vec_id % 50 <> q.vec_id)
+            WHERE rank <= 5
         """,
     }

@@ -578,3 +578,54 @@ def margin_mine(
         "margin_ppm",
         "mined",
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    pos_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR / ANCE
+    recipe, Karpukhin et al. 2020 / Xiong et al. 2021): per training
+    query, the highest-cosine corpus docs NOT judged relevant — the
+    negatives that actually move a dense retriever, vs. the random
+    negatives in-batch sampling gives you.
+
+    ``positives`` is the qrels side: (query_id, vec_id) pairs to
+    exclude. The exclusion is an anti-join on the SCORED PAIRS — never a
+    post-filter on a fixed-size top window, which silently under-fills
+    whenever a query has many positives ranked high (exactly the queries
+    hard negatives matter for). Exactness matches
+    :func:`brute_force_topk`: same broadcast-queries ⨯ streamed-corpus
+    scan, same JVM-side ``zip_with`` cosine, ties broken by id.
+
+    Scale shape: one corpus scan (queries and qrels both broadcast —
+    training-query batches are small by construction), zero corpus
+    shuffle before the per-query top-k window, whose input is already
+    pair-pruned. Swap the scorer for the LSH/IVF bucketed variants when
+    the query batch outgrows a broadcast.
+    """
+    q = queries.select(F.col(query_id_col), F.col(query_vec_col))
+    pos = positives.select(
+        F.col(query_id_col), F.col(pos_id_col).alias(id_col)
+    ).distinct()
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", cosine_col(F.col(vec_col), F.col(query_vec_col)))
+        .join(F.broadcast(pos), [query_id_col, id_col], "left_anti")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -319,3 +319,30 @@ def test_margin_mine_hub_not_mined(spark):
     assert len(out) == 1
     assert out[0]["mined"] is False
     assert out[0]["margin_ppm"] < 1_020_000
+
+
+def test_hard_negatives_excludes_positives_never_underfills(spark):
+    """The anti-join happens on scored pairs: even when a query's
+    positives fill the entire top of the ranking, k negatives still come
+    back (a top-window post-filter would under-fill here)."""
+    import numpy as np
+
+    from frontier_engine.ann import brute_force_topk, hard_negatives
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    # judge the brute-force top-10 (incl. self) all as positives
+    top10 = brute_force_topk(emb, q, k=10)
+    pos = top10.selectExpr("query_id", "vec_id")
+    out = hard_negatives(emb, q, pos, k=5).collect()
+    assert len(out) == 5
+    banned = {r["vec_id"] for r in pos.collect()}
+    assert not banned & {r["vec_id"] for r in out}
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    # the mined negatives are exactly ranks 11..15 of the unfiltered scan
+    top15 = {r["vec_id"] for r in brute_force_topk(emb, q, k=15).collect()}
+    assert {r["vec_id"] for r in out} == top15 - banned
