@@ -460,6 +460,56 @@ def q_ivf_ann_pruned(spark, sf):
     )
 
 
+def q_pq_ann(spark, sf):
+    """Product-quantized ADC top-k with exact rerank, oracle-checked on a
+    corpus where PQ encoding is provably LOSSLESS.
+
+    dim 8 = 4 subspaces × 2 dims; every corpus subvector is exactly e0 or
+    e1 (choice bit b_s = (vec_id div (s+1)) % 2) scaled by a per-vector
+    g = 1 + vec_id % 7 that L2 normalization cancels, so each normalized
+    subvector is exactly e_b/2 — one of the TWO closed-form codebook
+    entries per subspace. Encoding therefore has zero quantization error
+    (squared-L2 of exactly 0 to its entry vs 0.5 to the other), the ADC
+    fold returns 0.25·matches — the EXACT cosine matches/4, a dyadic
+    rational both engines compute without rounding — and the reranked
+    output equals brute force deterministically (ties on the duplicated
+    vectors break vec_id-asc in both engines). The PQ machinery runs for
+    real: codes via the encode UDF, scoring via the LUT element_at fold,
+    a 20-row shortlist, exact rerank only on the shortlist. Natural-data
+    recall (trained codebooks, 64-dim) is exercised separately in
+    tests/test_ann.py.
+    """
+    import numpy as np
+
+    books = np.array([[[0.5, 0.0], [0.0, 0.5]]] * 4)
+    g = (F.lit(1) + F.col("vec_id") % 7).cast("double")
+    ids = _t(spark, sf, "embeddings").select("vec_id")
+
+    def choice_vec(key):
+        # component j: subspace s = j div 2, within-slot w = j % 2,
+        # value = scale·(w == (key div (s+1)) % 2)
+        def comp(j, scale):
+            b = F.floor(key / (F.floor(j / 2) + F.lit(1))) % 2
+            return F.when((j % 2).cast("long") == b, scale).otherwise(F.lit(0.0))
+
+        return comp
+
+    cvec = F.transform(
+        F.sequence(F.lit(0), F.lit(7)), lambda j: choice_vec(F.col("vec_id"))(j, g)
+    )
+    corpus = ids.select("vec_id", cvec.alias("embedding"))
+    qvec = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: choice_vec(F.col("id"))(j, F.lit(1.0)),
+    )
+    queries = spark.range(3).select(F.col("id").alias("query_id"), qvec.alias("query_vec"))
+    top = ann.pq_topk(corpus, queries, books, k=5, shortlist_factor=4)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_near_dup(spark, sf):
     # near-uniform random embeddings have no high-cosine pairs, so plant
     # exact duplicates (id+100000) of vec_id<20 — the op must find them all
@@ -2962,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "ivf_ann_pruned": q_ivf_ann_pruned,
+        "pq_ann": q_pq_ann,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "ngram_search": q_ngram_search,
@@ -3704,6 +3755,32 @@ def oracle_sql() -> dict[str, str]:
             ), q AS (
               SELECT i AS query_id,
                      list_transform(range(0, 8), j -> CASE WHEN j = i THEN 1.0 ELSE 0.0 END) AS qv
+              FROM range(0, 3) t(i)
+            )
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cosine,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                                                 c.vec_id ASC) AS rank
+              FROM corpus c, q)
+            WHERE rank <= 5
+        """,
+        # exact brute force over the lossless-PQ corpus; equals the ADC +
+        # rerank output by construction — see q_pq_ann's docstring
+        "pq_ann": """
+            WITH corpus AS (
+              SELECT vec_id,
+                     list_transform(range(0, 8), j -> CASE
+                        WHEN j % 2 = (vec_id // (j // 2 + 1)) % 2
+                        THEN CAST(1 + vec_id % 7 AS DOUBLE) ELSE 0.0 END) AS v
+              FROM embeddings
+            ), q AS (
+              SELECT i AS query_id,
+                     list_transform(range(0, 8), j -> CASE
+                        WHEN j % 2 = (i // (j // 2 + 1)) % 2
+                        THEN 1.0 ELSE 0.0 END) AS qv
               FROM range(0, 3) t(i)
             )
             SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank

@@ -629,3 +629,204 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks (Jégou et al., TPAMI
+    2011): split the (L2-normalized) vector into ``m`` contiguous
+    subspaces of ``dim // m`` dims and run per-subspace k-means with
+    ``n_codes`` centroids on a bounded sample.
+
+    Same determinism recipe as :func:`train_ivf_centroids` — sample =
+    first ``sample_rows`` rows ordered by ``xxhash64(id)`` (unbiased wrt
+    insertion order, identical across rebuilds), init = the sample's
+    first ``n_codes`` subvectors, fixed ``iters`` Lloyd iterations,
+    argmin ties to the lowest code — so codebooks are reproducible
+    byte-for-byte with no RNG. Returns shape ``(m, n_codes, dim // m)``.
+
+    Assignment metric is L2 on normalized vectors (the standard PQ
+    formulation); the ADC score downstream then approximates the inner
+    product, which equals cosine on normalized inputs.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = np.vstack(
+        [
+            r[vec_col]
+            for r in corpus.orderBy(
+                F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()
+            )
+            .limit(sample_rows)
+            .collect()
+        ]
+    ).astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    books = np.zeros((m, n_codes, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        cents = sub[:n_codes].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)  # ties -> lowest code, deterministic
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """pandas UDF: embedding → ``array<int>`` of ``m`` PQ codes.
+
+    L2-normalizes the vector, then per subspace picks the nearest
+    codebook entry (squared-L2 argmin, ties to the lowest code). One
+    ``(batch × n_codes)`` matmul per subspace per Arrow batch — no
+    per-row Python.
+    """
+    books = codebooks.astype(np.float64)
+    m, n_codes, dsub = books.shape
+    b_sq = [(books[s] * books[s]).sum(axis=1)[None, :] for s in range(m)]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vec: pd.Series) -> pd.Series:
+        mat = np.vstack(vec.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ books[s].T)
+                + b_sq[s]
+            )
+            codes[:, s] = d2.argmin(axis=1).astype(np.int32)
+        return pd.Series(list(codes), index=vec.index)
+
+    return encode
+
+
+def pq_lut_udf(codebooks: np.ndarray):
+    """pandas UDF: query vector → flattened ADC lookup table
+    (``array<double>`` of ``m · n_codes``): entry ``s·n_codes + c`` is the
+    inner product of the query's (normalized) subvector ``s`` with
+    codebook entry ``c``. Computed once per QUERY — the corpus scan then
+    scores each row with ``m`` array lookups, never a dot product.
+    """
+    books = codebooks.astype(np.float64)
+    m, n_codes, dsub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut(vec: pd.Series) -> pd.Series:
+        mat = np.vstack(vec.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        out = np.empty((len(mat), m * n_codes), dtype=np.float64)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            out[:, s * n_codes : (s + 1) * n_codes] = sub @ books[s].T
+        return pd.Series(list(out), index=vec.index)
+
+    return lut
+
+
+def pq_adc_col(codes: Column, lut: Column, m: int, n_codes: int) -> Column:
+    """ADC (asymmetric distance computation) score as a pure JVM
+    expression: ``sum_s lut[s·n_codes + codes[s]]`` — ``m`` 1-based
+    ``element_at`` lookups folded with ``aggregate``. The scan side
+    touches only the code bytes; no floats move per corpus row beyond
+    the fold."""
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            idx,
+            lambda c, s: F.element_at(lut, (s * F.lit(n_codes) + c + F.lit(1)).cast("int")),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Product-quantized cosine top-k with exact rerank — the third
+    quantization tier beside :func:`sq8_topk` (4× compression) and
+    :func:`ivf_topk` (scan pruning): PQ compresses each corpus vector to
+    ``m`` small codes (64-dim fp32 → 8 bytes at m=8 is 32×), the scan
+    scores rows via the per-query ADC lookup table as a JVM fold (no
+    dot products, no Python), a ``shortlist_factor × k`` per-query
+    shortlist survives, and ONLY the shortlist's original vectors are
+    re-read for the exact-cosine rerank.
+
+    At 100 TB this is the memory-bandwidth play: ADC makes the binding
+    scan read ~8-16 bytes/vector instead of 256-512, and composes with
+    IVF (encode only probed lists) for the classic IVFPQ layout. Queries
+    and their LUTs are broadcast; the only shuffles are the two
+    per-query top windows over (id, score) pairs.
+
+    Output: (query_id, vec_id, cosine, rank) — exact cosines, identical
+    schema and id-asc tie-break to :func:`brute_force_topk`."""
+    m, n_codes, _ = codebooks.shape
+    encode = pq_encode_udf(codebooks)
+    lut = pq_lut_udf(codebooks)
+    cq = corpus.select(F.col(id_col), encode(F.col(vec_col)).alias("_codes"))
+    qq = queries.select(
+        F.col(query_id_col), lut(F.col(query_vec_col)).alias("_lut")
+    )
+    approx = (
+        cq.crossJoin(F.broadcast(qq))
+        .withColumn("_adc", pq_adc_col(F.col("_codes"), F.col("_lut"), m, n_codes))
+    )
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.col("_adc").desc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        approx.withColumn("_srank", F.row_number().over(w_short))
+        .filter(F.col("_srank") <= shortlist_factor * k)
+        .select(query_id_col, id_col)
+    )
+    rerank = (
+        shortlist.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(
+            F.broadcast(queries.select(F.col(query_id_col), F.col(query_vec_col))),
+            query_id_col,
+        )
+        .withColumn("cosine", cosine_col(F.col(vec_col), F.col(query_vec_col)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
