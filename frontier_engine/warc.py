@@ -32,6 +32,7 @@ capability for the 100 TB webtext use-case.
 
 from __future__ import annotations
 
+import base64
 import gzip
 import hashlib
 import io
@@ -41,7 +42,7 @@ import uuid
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 WARC_VERSION = b"WARC/1.0"
@@ -49,8 +50,14 @@ _SOFTWARE = "frontier-engine/0.3"
 
 READ_SCHEMA = (
     "url string, warc_ts timestamp, html binary, record_id string, "
-    "warc_type string, http_status int, mime string, lang string, shard string"
+    "warc_type string, http_status int, mime string, lang string, shard string, "
+    "payload_digest string, refers_to_uri string"
 )
+
+# the WARC 1.1 / IIPC revisit profile Common Crawl uses for recrawl dedup:
+# a re-fetch whose entity body hashes identically to an earlier capture is
+# archived as a tiny `revisit` record pointing at that capture
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
 
 # Common Crawl's extension header for per-page language metadata (CC-MAIN
 # WARCs carry it since 2018); the sink writes it when a lang column is given
@@ -63,6 +70,13 @@ MANIFEST_SCHEMA = "shard string, n_records long, n_bytes long, sha256 string"
 def _record_id(url: str, payload: bytes) -> str:
     digest = hashlib.sha1(payload).hexdigest()
     return f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, f'{url}|{digest}')}>"
+
+
+def payload_digest_b32(body: bytes) -> str:
+    """``WARC-Payload-Digest`` value: sha1 of the entity BODY (not the
+    HTTP envelope), base32 per the convention every Common Crawl record
+    uses (``sha1:3I42H3S6...``)."""
+    return "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
 
 
 def _warc_date(ts) -> str:
@@ -130,6 +144,9 @@ def write_warc(
     status_col: str | None = None,
     mime: str = "text/html",
     lang_col: str | None = None,
+    revisit_col: str | None = None,
+    refers_url_col: str = "refers_url",
+    refers_ts_col: str = "refers_ts",
 ) -> list[dict]:
     """Distributed WARC sink (eager — runs the job, like ``.write.save``).
 
@@ -139,6 +156,17 @@ def write_warc(
     ``lang_col`` emits ``WARC-Identified-Content-Language`` per record (the
     Common Crawl convention), so :func:`read_warc` recovers a ``lang``
     column and a corpus survives the archive round trip losslessly.
+    Every response record carries ``WARC-Payload-Digest`` (sha1-base32 of
+    the entity body), as Common Crawl's do.
+
+    ``revisit_col`` (boolean, e.g. from :func:`mark_revisits`) switches a
+    row to the IIPC **identical-payload-digest revisit** record — the
+    archive-side dedup every at-scale recrawl uses: the record stores only
+    the HTTP response HEAD plus ``WARC-Refers-To-Target-URI`` /
+    ``WARC-Refers-To-Date`` (from ``refers_url_col`` / ``refers_ts_col``)
+    and the payload digest; the duplicate body bytes are never written
+    twice.  :func:`resolve_revisits` re-hydrates them on read.
+
     Returns the shard manifest (also persisted as ``manifest.json`` — the
     commit marker: written after the job succeeds, so readers that trust
     the manifest never see partial output).
@@ -146,22 +174,161 @@ def write_warc(
     def row_to_record(row) -> bytes:
         body = bytes(row.html) if row.html is not None else b""
         status = int(getattr(row, status_col)) if status_col else 200
-        payload = _http_envelope(body, status, mime)
+        digest = payload_digest_b32(body)
+        is_revisit = bool(revisit_col and getattr(row, revisit_col))
+        envelope = _http_envelope(body, status, mime)
+        payload = envelope if not is_revisit else envelope[: len(envelope) - len(body)]
+        date = _warc_date(row.warc_ts)
         headers = {
-            "WARC-Record-ID": _record_id(row.url, payload),
-            "WARC-Date": _warc_date(row.warc_ts),
+            # date folded into the id: a recrawl capturing the identical
+            # body at a later time is a distinct record (else the revisit
+            # and its referent would collide on one id)
+            "WARC-Record-ID": _record_id(f"{row.url}|{date}", envelope),
+            "WARC-Date": date,
             "WARC-Target-URI": row.url,
+            "WARC-Payload-Digest": digest,
             "Content-Type": "application/http;msgtype=response",
         }
+        if is_revisit:
+            headers["WARC-Profile"] = REVISIT_PROFILE
+            refers_url = getattr(row, refers_url_col, None)
+            refers_ts = getattr(row, refers_ts_col, None)
+            if refers_url is not None and not pd.isna(refers_url):
+                headers["WARC-Refers-To-Target-URI"] = str(refers_url)
+            if refers_ts is not None and not pd.isna(refers_ts):
+                headers["WARC-Refers-To-Date"] = _warc_date(refers_ts)
         lang = getattr(row, lang_col, None) if lang_col else None
         if lang is not None and not pd.isna(lang):
             headers[LANG_HEADER] = str(lang)
-        return build_record("response", payload, headers)
+        return build_record("revisit" if is_revisit else "response", payload, headers)
 
     cols = ["url", "warc_ts", "html"]
     cols += [status_col] if status_col else []
     cols += [lang_col] if lang_col else []
+    cols += [revisit_col, refers_url_col, refers_ts_col] if revisit_col else []
     return _write_shards(df.select(*cols), out_dir, prefix, row_to_record)
+
+
+def mark_revisits(df: DataFrame, prior: DataFrame | None = None) -> DataFrame:
+    """Digest-keyed archive dedup plan for the WARC sink.
+
+    Adds three columns to ``df`` (which needs ``url``, ``warc_ts``,
+    ``html``): ``revisit`` (boolean), ``refers_url``, ``refers_ts``.  A
+    row is a revisit when its entity body's sha1 was already captured —
+    either in ``prior`` (an earlier archive: any frame with ``url``,
+    ``warc_ts`` and EITHER a ``payload_digest`` column, e.g.
+    :func:`read_warc` output, or an ``html`` column to digest) or earlier
+    within this batch (first capture by ``(warc_ts, url)`` wins; later
+    identical bodies refer back to it).  This is exactly Common Crawl's
+    recrawl posture: at 10^10 URLs most re-fetches are unchanged, and the
+    archive grows by a ~200-byte revisit record instead of the body.
+
+    Scale shape: ONE shuffle on the digest (the window that picks the
+    first capture — unavoidable: that IS the dedup), plus a digest-keyed
+    join against ``prior`` reduced to its earliest capture per digest
+    (aggregated before the join, so the join side is one row per distinct
+    digest).  Rows with NULL bodies never dedup (digest is null).
+    """
+    d = df.withColumn("_digest", F.sha1(F.col("html")))
+    w = Window.partitionBy("_digest").orderBy(
+        F.col("warc_ts").asc(), F.col("url").asc()
+    )
+    d = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_first", F.first(F.struct("warc_ts", "url")).over(w))
+    )
+    if prior is not None:
+        if "payload_digest" in prior.columns:
+            # read_warc surfaces base32; recompute hex? No — accept either
+            # form: hex when digesting html, the archive's own value as-is
+            p = prior.select(
+                F.col("payload_digest").alias("_pd"), "url", "warc_ts"
+            ).where(F.col("_pd").isNotNull())
+            # normalize OUR probe to the same base32 form via html when
+            # prior came from read_warc (sha1:B32...); join key must match
+            probe = _sha1_b32_col(F.col("html"))
+        else:
+            p = prior.select(
+                F.sha1(F.col("html")).alias("_pd"), "url", "warc_ts"
+            ).where(F.col("_pd").isNotNull())
+            probe = F.sha1(F.col("html"))
+        pfirst = p.groupBy("_pd").agg(
+            F.min(F.struct("warc_ts", "url")).alias("_pf")
+        )
+        d = d.withColumn("_probe", probe)
+        d = d.join(pfirst, d["_probe"] == pfirst["_pd"], "left")
+        in_prior = F.col("_pd").isNotNull()
+        refers = F.when(in_prior, F.col("_pf")).otherwise(
+            F.when(F.col("_rn") > 1, F.col("_first"))
+        )
+        revisit = F.col("_digest").isNotNull() & (in_prior | (F.col("_rn") > 1))
+    else:
+        refers = F.when(F.col("_rn") > 1, F.col("_first"))
+        revisit = F.col("_digest").isNotNull() & (F.col("_rn") > 1)
+    out = (
+        d.withColumn("revisit", revisit)
+        .withColumn("refers_url", refers["url"])
+        .withColumn("refers_ts", refers["warc_ts"])
+    )
+    return out.drop("_digest", "_rn", "_first", "_probe", "_pd", "_pf")
+
+
+def resolve_revisits(df: DataFrame, prior: DataFrame | None = None) -> DataFrame:
+    """Re-hydrate identical-payload-digest ``revisit`` records.
+
+    ``df`` is :func:`read_warc` output.  Revisit rows carry no body — only
+    ``payload_digest`` plus the refers-to pointer; this joins each back to
+    a ``response`` record holding the identical body: in ``df`` itself
+    (same-archive revisits) or in ``prior`` (an earlier archive read, for
+    cross-crawl revisits).  Digest equality IS the profile's contract
+    (``identical-payload-digest``), so the join key is the digest rather
+    than the (uri, date) pointer — exact, and independent of URI
+    canonicalization drift between crawls.
+
+    Scale shape: the body pool is reduced to ONE row per distinct digest
+    BEFORE the join (bodies with equal sha1 are identical by construction;
+    ``min_by (warc_ts, url)`` picks a deterministic representative), so
+    the shuffle carries each distinct body once, never per-revisit.
+    Revisits whose referent is out of scope keep a null body — surfaced,
+    not failed, matching the module's dead-letter posture.
+    """
+    pool = df.select("url", "warc_ts", "html", "warc_type", "payload_digest")
+    if prior is not None:
+        pool = pool.unionByName(
+            prior.select("url", "warc_ts", "html", "warc_type", "payload_digest")
+        )
+    pool = (
+        pool.where(
+            (F.col("warc_type") == "response")
+            & F.col("html").isNotNull()
+            & F.col("payload_digest").isNotNull()
+        )
+        .groupBy("payload_digest")
+        .agg(F.min_by("html", F.struct("warc_ts", "url")).alias("_body"))
+    )
+    hydrated = F.when(
+        (F.col("warc_type") == "revisit") & F.col("html").isNull(), F.col("_body")
+    ).otherwise(F.col("html"))
+    return (
+        df.join(pool, "payload_digest", "left")
+        .withColumn("html", hydrated)
+        .select(*df.columns)
+    )
+
+
+def _sha1_b32_col(col):
+    """``WARC-Payload-Digest``-shaped sha1 (``sha1:`` + base32) of a binary
+    column — used only when the dedup probe must match an existing
+    archive's base32 digests; hashlib's C sha1 per value inside the Arrow
+    batch.  Built lazily so importing this module needs no SparkSession."""
+
+    @F.pandas_udf("string")
+    def u(body: pd.Series) -> pd.Series:
+        return body.map(
+            lambda b: None if b is None else payload_digest_b32(bytes(b))
+        )
+
+    return u(col)
 
 
 def write_wet(
@@ -378,6 +545,22 @@ def _parse_warc_stream(raw: bytes, shard: str):
                 warc_ts = pd.Timestamp(ts.rstrip("Z"))
             except (ValueError, TypeError):
                 warc_ts = None
+        if rtype == "revisit":
+            # the block is the HTTP head only — there IS no body here; the
+            # referred capture (resolve_revisits) holds the bytes
+            if html[:5] == b"HTTP/":
+                env_end = html.find(b"\r\n\r\n")
+                if env_end >= 0:
+                    env_lines = html[:env_end].split(b"\r\n")
+                    try:
+                        status = int(env_lines[0].split(b" ")[1])
+                    except (IndexError, ValueError):
+                        status = None
+                    for line in env_lines[1:]:
+                        k, _, v = line.partition(b":")
+                        if k.strip().lower() == b"content-type":
+                            mime_val = v.strip().decode("latin-1")
+            html = None
         yield {
             "url": url,
             "warc_ts": warc_ts,
@@ -388,6 +571,8 @@ def _parse_warc_stream(raw: bytes, shard: str):
             "mime": mime_val,
             "lang": headers.get(LANG_HEADER.lower()),
             "shard": shard,
+            "payload_digest": headers.get("warc-payload-digest"),
+            "refers_to_uri": headers.get("warc-refers-to-target-uri"),
         }
 
 
