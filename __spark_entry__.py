@@ -621,6 +621,39 @@ def q_latest_records(spark, sf):
     )
 
 
+def q_revisit_census(spark, sf):
+    """Archive-side recrawl dedup plan (warc.mark_revisits — the WARC
+    identical-payload-digest revisit profile Common Crawl uses): a
+    re-fetch whose body sha1 was already captured is flagged ``revisit``
+    and points at the first capture, so the archive stores the bytes
+    once. Two-epoch history synthesized from ``documents``: every doc
+    captured at epoch 0, every doc re-crawled at epoch 1 with text
+    unchanged except every third doc (revised → NOT a revisit).
+    Generalizes the reference's refetch-upsert posture
+    (/root/reference/db/__init__.py:63) to the archival layer."""
+    from frontier_engine.warc import mark_revisits
+
+    d = _t(spark, sf, "documents")
+    url0 = F.concat(F.lit("https://docs.example/"), F.col("doc_id").cast("string"))
+    e0 = d.select(
+        url0.alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    e1 = d.select(
+        F.concat(url0, F.lit("?re=1")).alias("url"),
+        F.lit("2026-01-02 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+            ).otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    marked = mark_revisits(e0.unionByName(e1))
+    return marked.select("url", "revisit", "refers_url")
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup CLUSTERS: the minhash_near_dup pair set closed under
     transitivity via hash-min connected components, labelled by the min
@@ -3020,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
         "latest_records": q_latest_records,
+        "revisit_census": q_revisit_census,
         "rare_terms": q_rare_terms,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
@@ -3929,6 +3963,33 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch) AS latest_epoch,
                    CAST(len(arg_max(text, epoch)) AS BIGINT) AS text_len
             FROM hist GROUP BY doc_id
+        """,
+        "revisit_census": """
+            WITH base AS (
+                SELECT 'https://docs.example/' || doc_id AS url,
+                       TIMESTAMP '2026-01-01 00:00:00' AS warc_ts,
+                       text AS body
+                FROM documents
+                UNION ALL
+                SELECT 'https://docs.example/' || doc_id || '?re=1' AS url,
+                       TIMESTAMP '2026-01-02 00:00:00' AS warc_ts,
+                       CASE WHEN doc_id % 3 = 0 THEN text || ' [v2]'
+                            ELSE text END AS body
+                FROM documents
+            ), w AS (
+                SELECT url,
+                       row_number() OVER (
+                           PARTITION BY body ORDER BY warc_ts, url
+                       ) AS rn,
+                       first_value(url) OVER (
+                           PARTITION BY body ORDER BY warc_ts, url
+                       ) AS first_url
+                FROM base
+            )
+            SELECT url,
+                   rn > 1 AS revisit,
+                   CASE WHEN rn > 1 THEN first_url END AS refers_url
+            FROM w
         """,
         "rare_terms": f"""
             WITH t AS (
