@@ -46,6 +46,12 @@ def main(argv=None):
     ap.add_argument("--warc-out", default=None,
                     help="after the crawl, archive every fetched page as "
                          "Common-Crawl-compatible .warc.gz shards in this dir")
+    ap.add_argument("--warc-dedup", nargs="?", const="", default=None,
+                    metavar="PRIOR_WARC_DIR",
+                    help="with --warc-out: archive re-fetches whose body was "
+                         "already captured as identical-payload-digest "
+                         "revisit records (bytes stored once); optional "
+                         "value: a prior archive dir to also dedup against")
     ap.add_argument("--wet-out", default=None,
                     help="after the crawl, export the latest extracted text "
                          "per URL as Common-Crawl-style WET .warc.gz shards "
@@ -155,11 +161,22 @@ def main(argv=None):
                 F.col("raw"),
                 "url",
             ).select("url", "html", "lang")
-        manifest = write_warc(
-            crawled.join(raw, "url").select("url", "warc_ts", "html", "lang"),
-            args.warc_out,
-            lang_col="lang",
-        )
+        frame = crawled.join(raw, "url").select("url", "warc_ts", "html", "lang")
+        sink_kwargs = {}
+        if args.warc_dedup is not None:
+            # archive-side recrawl dedup: unchanged bodies become ~200-byte
+            # revisit records instead of full captures (optionally probing a
+            # prior archive, so a follow-up crawl never re-stores last
+            # crawl's bytes)
+            from frontier_engine.warc import mark_revisits, read_warc
+
+            prior = read_warc(spark, args.warc_dedup) if args.warc_dedup else None
+            frame = mark_revisits(frame, prior=prior).persist()
+            summary["warc_revisits"] = frame.where("revisit").count()
+            sink_kwargs["revisit_col"] = "revisit"
+        manifest = write_warc(frame, args.warc_out, lang_col="lang", **sink_kwargs)
+        if args.warc_dedup is not None:
+            frame.unpersist()
         summary["warc_shards"] = len(manifest)
         summary["warc_records"] = sum(m["n_records"] for m in manifest)
 

@@ -189,3 +189,66 @@ def test_non_canonical_url_survives_warc_out(spark, tmp_path):
     assert [r["url"] for r in back] == [canonical]
     assert bytes(back[0]["html"]) == b"<html><p>hello weird</p></html>"
     assert back[0]["lang"] == "en"
+
+
+def test_warc_dedup_writes_revisits(spark, tmp_path):
+    """--warc-dedup archives pages sharing an identical body as revisit
+    records (bytes stored once) and resolve_revisits round-trips them."""
+    import os
+    import subprocess
+    import sys
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    body = b"<html><p>same body twice</p></html>"
+    pq.write_table(
+        pa.table({
+            "url": ["https://dup.example/a", "https://dup.example/b"],
+            "warc_ts": [datetime(2026, 1, 2), datetime(2026, 1, 3)],
+            "html": [body, body],
+            "lang": ["en", "en"],
+        }),
+        str(tmp_path / "pages.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "url": ["https://dup.example/a", "https://dup.example/b"],
+            "priority": [1.0, 0.5],
+        }),
+        str(tmp_path / "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "host": ["dup.example"],
+            "crawl_delay": [1.0],
+            "disallow_prefixes": [[]],
+        }),
+        str(tmp_path / "robots.parquet"),
+    )
+    wh = str(tmp_path / "wh")
+    warc_out = str(tmp_path / "archive")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "crawl.py"),
+         "--pages", str(tmp_path / "pages.parquet"),
+         "--seeds", str(tmp_path / "seeds.parquet"),
+         "--robots", str(tmp_path / "robots.parquet"), "--warehouse", wh,
+         "--warc-out", warc_out, "--warc-dedup", "--max-epochs", "3"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json as _json
+
+    summary = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["warc_revisits"] == 1
+    back = warc.read_warc(spark, warc_out)
+    types = {r["url"]: r["warc_type"] for r in back.collect()}
+    assert sorted(types.values()) == ["response", "revisit"]
+    hydrated = {
+        r["url"]: bytes(r["html"]) for r in warc.resolve_revisits(back).collect()
+    }
+    assert hydrated["https://dup.example/a"] == body
+    assert hydrated["https://dup.example/b"] == body
