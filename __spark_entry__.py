@@ -3017,6 +3017,35 @@ def q_hard_negatives(spark, sf):
     )
 
 
+def q_domain_holdout(spark, sf):
+    """Leakage-safe train/val/test split (ops.holdout_split): the DOMAIN
+    is hashed — first 8 hex digits of md5(source) mod 100 — so every
+    document from one domain lands in exactly one split and near-dup
+    siblings can never straddle the train/test boundary. Thresholds 20/25
+    here so all three splits are populated on the 20-domain test corpus
+    (API default is 5/5). Reported as a per-split census."""
+    d = _t(spark, sf, "documents")
+    out = ops.holdout_split(d, "source", val_pct=25, test_pct=20)
+    return out.groupBy("split").agg(
+        F.countDistinct("source").cast("long").alias("n_domains"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def q_centroid_classify(spark, sf):
+    """Nearest-class-centroid (Rocchio) classification confusion census
+    (ann.centroid_classify): per-label mean embeddings from one
+    map-side-combinable posexplode aggregate, broadcast nested-loop
+    scoring with a JVM-side cosine, max_by argmax (ties to the smallest
+    label), then an n_labels² confusion rollup — the separability probe
+    run before spending on a trained classification head."""
+    emb = _t(spark, sf, "embeddings")
+    return ann.centroid_classify(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    ).select("gold", "pred", "n_vecs")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -3046,6 +3075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "ivf_ann_pruned": q_ivf_ann_pruned,
         "pq_ann": q_pq_ann,
+        "domain_holdout": q_domain_holdout,
+        "centroid_classify": q_centroid_classify,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "ngram_search": q_ngram_search,
@@ -6571,5 +6602,57 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT * FROM embeddings WHERE vec_id < 3) q
               WHERE c.vec_id % 50 <> q.vec_id)
             WHERE rank <= 5
+        """,
+        # domain-hash split: first 8 hex digits of md5(source) decoded
+        # digit-by-digit (strpos over the hex alphabet — every product and
+        # the sum stay below 2^32, exact in doubles), mod 100, same 20/25
+        # thresholds as the Spark side
+        "domain_holdout": """
+            WITH hashed AS (
+                SELECT source, n_chars,
+                       CAST(list_sum(list_transform(range(0, 8),
+                           i -> (strpos('0123456789abcdef',
+                                        substr(md5(source), i + 1, 1)) - 1)
+                                * (16.0 ** (7 - i)))) AS BIGINT) % 100 AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 20 THEN 'test'
+                        WHEN bucket < 45 THEN 'val'
+                        ELSE 'train' END AS split,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_domains,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM hashed GROUP BY 1
+        """,
+        # independent recomputation: centroids as per-(label, position)
+        # averages via UNNEST(range(dim)), cosine against every centroid,
+        # argmax by (cosine DESC, label ASC) — the min top1/top2 margin on
+        # this corpus is ~1e-4, far above cross-engine double noise, and
+        # the output carries counts only
+        "centroid_classify": """
+            WITH e AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings
+            ),
+            flat AS (
+                SELECT label, i, emb[i + 1] AS x
+                FROM e, UNNEST(range(0, len(emb))) AS t(i)
+            ),
+            cent AS (
+                SELECT label AS clabel, list(xm ORDER BY i) AS c
+                FROM (SELECT label, i, avg(x) AS xm FROM flat GROUP BY 1, 2)
+                GROUP BY 1
+            ),
+            scored AS (
+                SELECT e.vec_id, e.label AS gold, c.clabel AS pred,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.emb, c.c) DESC,
+                                    c.clabel ASC) AS rn
+                FROM e CROSS JOIN cent c
+            )
+            SELECT gold, pred, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM scored WHERE rn = 1 GROUP BY 1, 2
         """,
     }

@@ -830,3 +830,80 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean vector as ONE map-side-combinable aggregate.
+
+    ``posexplode`` the vector column and average per ``(label, position)``
+    — the partial aggregate a 1000-executor cluster combines map-side, so
+    the shuffle carries at most ``n_labels × dim`` cells per partition no
+    matter how many vectors feed it. Returns a tiny DataFrame
+    ``(label, centroid: array<double>)`` — n_labels rows, broadcast-sized
+    by construction.
+    """
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cells = (
+        vectors.select(F.col(label_col).alias("clabel"), F.posexplode(cast))
+        .groupBy("clabel", "pos")
+        .agg(F.avg("col").alias("m"))
+    )
+    return cells.groupBy("clabel").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("m")))
+        ).alias("_pm")
+    ).select(
+        "clabel", F.transform(F.col("_pm"), lambda s: s["m"]).alias("centroid")
+    )
+
+
+def centroid_classify(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-class-centroid (Rocchio) classification over an embedding
+    column, reported as a confusion census ``(gold, pred, n_vecs)``.
+
+    The pseudo-labeling / topic-routing staple of training-data curation:
+    average the embeddings of each labeled class, then assign every
+    vector to the class whose centroid is nearest by cosine — the
+    cheapest usable classifier over a labeled seed set, and the standard
+    probe for "are these labels even separable in embedding space?"
+    before spending on a trained head.
+
+    Physical plan, in order: centroids are :func:`label_centroids` (one
+    combinable aggregate, ``n_labels × dim`` cells); scoring is a
+    broadcast nested-loop join of the corpus against the n_labels-row
+    centroid table with cosine as a JVM-side ``zip_with``/``aggregate``
+    expression (no Python, no window); the per-vector argmax is a
+    ``max_by`` over a ``(cosine, -label)`` struct — map-side combinable,
+    deterministic under exact ties (smallest label wins) — and the final
+    confusion rollup is the only shuffle that ever touches corpus
+    cardinality, at ``n_labels²`` output rows.
+    """
+    cents = F.broadcast(label_centroids(vectors, id_col, vec_col, label_col))
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(label_col).alias("gold"),
+        cast.alias("_v"),
+    )
+    scored = v.crossJoin(cents).withColumn(
+        "_cos", cosine_col(F.col("_v"), F.col("centroid"))
+    )
+    best = scored.groupBy("_vid", "gold").agg(
+        F.max_by(
+            "clabel", F.struct(F.col("_cos"), (-F.col("clabel")).alias("nl"))
+        ).alias("pred")
+    )
+    return (
+        best.groupBy("gold", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )

@@ -575,3 +575,40 @@ def trimmed_mean(
             "trimmed_mean"
         ),
     )
+
+
+def holdout_split(
+    df: DataFrame,
+    domain_col: str,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the DOMAIN (not the row) is
+    hashed into [0, 100), so every document from one registrable domain
+    lands in exactly one split. Near-duplicates, templates and boilerplate
+    siblings concentrate within domains; a row-level split leaks them
+    across the train/test boundary — the exact contamination a holdout
+    exists to prevent (the reference's per-store scrape loops make the
+    same cut implicitly: one store's catalog is never half-refreshed,
+    /root/reference/crawler/stores/bhx.py:599-649).
+
+    The bucket is the first 8 hex digits of ``md5(domain)`` read as an
+    integer mod 100 — deterministic, engine-portable (any SQL engine can
+    reproduce it digit-by-digit), and stable under corpus growth: adding
+    documents or whole new domains never moves an existing domain between
+    splits, the property resampling-based splits lose on every refresh.
+    Layout: ``bucket < test_pct`` → test, next ``val_pct`` → val, rest →
+    train.
+
+    Scale: one md5 over a short string per row and a CASE — a pure
+    projection, no shuffle, no state; domain disjointness holds by
+    construction rather than by a global distinct-and-check pass.
+    """
+    h = F.conv(F.substring(F.md5(F.col(domain_col)), 1, 8), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(100))
+    split = (
+        F.when(bucket < F.lit(int(test_pct)), F.lit("test"))
+        .when(bucket < F.lit(int(test_pct + val_pct)), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

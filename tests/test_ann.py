@@ -434,3 +434,58 @@ class TestPQ:
         a = [(r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
              for r in approx.collect()]
         assert sorted(e) == sorted(a)
+
+
+class TestCentroidClassify:
+    def _planted(self, spark):
+        # 3 labels × 4 vecs, one-hot clusters with a small same-cluster
+        # jitter on a non-identifying coordinate: perfectly separable,
+        # classification must be the exact diagonal
+        rows = []
+        for label in range(3):
+            for j in range(4):
+                v = [0.0] * 6
+                v[label] = 1.0
+                v[5] = 0.01 * j  # jitter shared across clusters
+                rows.append((label * 10 + j, label, v))
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+
+    def test_separable_clusters_give_diagonal_confusion(self, spark):
+        out = ann.centroid_classify(self._planted(spark)).collect()
+        got = {(r["gold"], r["pred"]): r["n_vecs"] for r in out}
+        assert got == {(0, 0): 4, (1, 1): 4, (2, 2): 4}
+
+    def test_counts_cover_every_vector_once(self, spark, corpus):
+        out = ann.centroid_classify(corpus)
+        assert out.agg(F.sum("n_vecs")).first()[0] == corpus.count()
+
+    def test_exact_cosine_tie_breaks_to_smallest_label(self, spark):
+        # two identical centroids (labels 1 and 2 hold the same single
+        # vector) — every tie must resolve to the smaller label
+        rows = [
+            (0, 1, [1.0, 0.0]),
+            (1, 2, [1.0, 0.0]),
+            (2, 0, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+        out = {
+            (r["gold"], r["pred"]): r["n_vecs"]
+            for r in ann.centroid_classify(df).collect()
+        }
+        assert out == {(1, 1): 1, (2, 1): 1, (0, 0): 1}
+
+    def test_label_centroids_are_means(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0, [1.0, 3.0]), (1, 0, [3.0, 5.0]), (2, 1, [2.0, 2.0])],
+            "vec_id long, label int, embedding array<float>",
+        )
+        cents = {
+            r["clabel"]: r["centroid"]
+            for r in ann.label_centroids(df).collect()
+        }
+        assert cents[0] == [2.0, 4.0]
+        assert cents[1] == [2.0, 2.0]

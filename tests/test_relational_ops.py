@@ -215,3 +215,39 @@ class TestTrimmedMean:
         df = spark.createDataFrame([(1, "g", 1)], "doc_id long, g string, v long")
         with _pt.raises(ValueError):
             ops.trimmed_mean(df, ["g"], "v", "doc_id", 1, 2)
+
+
+class TestHoldoutSplit:
+    def _docs(self, spark, n_domains=20, per=5):
+        rows = [
+            (d * 100 + i, f"dom{d}.example")
+            for d in range(n_domains)
+            for i in range(per)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, domain string")
+
+    def test_domains_never_straddle_splits(self, spark):
+        out = ops.holdout_split(self._docs(spark), "domain", 25, 20)
+        per_domain = (
+            out.groupBy("domain")
+            .agg(F.countDistinct("split").alias("k"))
+            .agg(F.max("k"))
+            .first()[0]
+        )
+        assert per_domain == 1
+
+    def test_assignment_stable_under_corpus_growth(self, spark):
+        small = ops.holdout_split(self._docs(spark, n_domains=10), "domain", 25, 20)
+        big = ops.holdout_split(self._docs(spark, n_domains=40), "domain", 25, 20)
+        s = {r["domain"]: r["split"] for r in small.select("domain", "split").distinct().collect()}
+        b = {r["domain"]: r["split"] for r in big.select("domain", "split").distinct().collect()}
+        assert all(b[d] == v for d, v in s.items())
+
+    def test_split_fractions_roughly_match_percents(self, spark):
+        out = ops.holdout_split(self._docs(spark, n_domains=400, per=1), "domain", 25, 20)
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        # 400 domains, md5-uniform: test ≈ 80, val ≈ 100, train ≈ 220
+        assert abs(counts["test"] - 80) < 40
+        assert abs(counts["val"] - 100) < 45
+        assert counts["train"] > counts["val"] > 0
