@@ -71,6 +71,8 @@ def prepare_corpus(
     n_buckets: int = 32,
     force: bool = False,
     source_format: str = "parquet",
+    bloom_filter: bool = True,
+    bloom_ndv: int = 1 << 20,
 ) -> str:
     """Canonicalize the raw pages and write them once as a bucketed,
     bucket-sorted table at ``location``. Returns the catalog table name.
@@ -98,17 +100,35 @@ def prepare_corpus(
         .repartition(n_buckets, F.col("url"))
     )
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = pages.write.mode("overwrite").format("parquet")
+    if bloom_filter:
+        # Parquet bloom filter on the bucket/sort key: bucket pruning
+        # narrows a URL point lookup to ONE file; the bloom then skips
+        # every row group inside it that cannot hold the key via a footer
+        # probe, so the lookup (CDC gate, revisit check, debugging a
+        # single page out of 100 TB) touches ~0 data pages instead of a
+        # whole bucket scan. ``bloom_ndv`` is the per-file expected
+        # distinct count — size it to corpus_rows / n_buckets in real
+        # deployments (a too-small NDV inflates the false-positive rate,
+        # never correctness; parquet caps the bitset at
+        # ``parquet.bloom.filter.max.bytes``, 1 MiB default).
+        writer = writer.option("parquet.bloom.filter.enabled#url", "true").option(
+            "parquet.bloom.filter.expected.ndv#url", str(int(bloom_ndv))
+        )
     (
-        pages.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(n_buckets, "url")
+        writer.bucketBy(n_buckets, "url")
         .sortBy("url")
         .option("path", location)
         .saveAsTable(name)
     )
     with open(marker + ".tmp", "w") as f:
         json.dump(
-            {"n_buckets": n_buckets, "source": pages_path, "source_format": source_format},
+            {
+                "n_buckets": n_buckets,
+                "source": pages_path,
+                "source_format": source_format,
+                "bloom_filter": bool(bloom_filter),
+            },
             f,
         )
     os.replace(marker + ".tmp", marker)

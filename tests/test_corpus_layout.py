@@ -91,3 +91,44 @@ def test_bucketed_crawl_equivalent_to_default(spark, prepared, tmp_path):
     plan = rec._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
     assert rec.count() > 0
+
+
+class TestBloomFilter:
+    def test_bloom_bytes_are_written_and_lookup_correct(self, spark, tmp_path):
+        paths = fixtures.corpus("mini")
+
+        def total_bytes(loc):
+            return sum(
+                os.path.getsize(os.path.join(loc, f))
+                for f in os.listdir(loc)
+                if f.endswith(".parquet")
+            )
+
+        with_loc = str(tmp_path / "with_bloom")
+        without_loc = str(tmp_path / "without_bloom")
+        CL.prepare_corpus(
+            spark, paths["pages"], with_loc, n_buckets=4, bloom_ndv=4096
+        )
+        CL.prepare_corpus(
+            spark, paths["pages"], without_loc, n_buckets=4, bloom_filter=False
+        )
+        # same rows, same layout — the only delta is the bloom bitsets in
+        # the footers, which must actually be present on disk
+        grew = total_bytes(with_loc) - total_bytes(without_loc)
+        assert grew > 1024, f"bloom filters not written (delta {grew}B)"
+
+        # point lookup stays correct through the bloom'd files
+        df = CL.corpus_df(spark, with_loc)
+        probe = df.select("url").orderBy("url").limit(1).first()["url"]
+        hit = df.filter(F.col("url") == probe)
+        assert hit.count() == 1
+        assert df.filter(F.col("url") == "https://never.example/x").count() == 0
+
+    def test_marker_records_bloom_choice(self, spark, tmp_path):
+        paths = fixtures.corpus("mini")
+        loc = str(tmp_path / "marked")
+        CL.prepare_corpus(spark, paths["pages"], loc, n_buckets=4)
+        import json
+
+        with open(os.path.join(loc, "_FE_CORPUS.json")) as f:
+            assert json.load(f)["bloom_filter"] is True
