@@ -567,6 +567,11 @@ def q_ngram_search(spark, sf):
 
 NGRAM_TERMS = ["part filter", "table hash", "sort query"]
 
+# STRAND language-token alternation — shared verbatim by q_strand_pairs'
+# engine call and its DuckDB oracle (the token set is part of the
+# operator contract, textops.STRAND_LANGS)
+_STRAND_ALT = "|".join(TX.STRAND_LANGS)
+
 
 def q_batch_infer(spark, sf):
     """C9: batched model inference (mapInPandas, per-worker model singleton)
@@ -3046,6 +3051,60 @@ def q_centroid_classify(spark, sf):
     ).select("gold", "pred", "n_vecs")
 
 
+def q_strand_pairs(spark, sf):
+    """STRAND bitext candidate mining (textops.strand_pairs — Resnik &
+    Smith 2003, the ParaCrawl document-alignment front end): URLs built
+    deterministically from documents in two multilingual-site shapes
+    (path segment ``/{lang}/doc-G`` for even groups, query ``?lang=``
+    for odd), so the operator's token substitution, bucket cap and
+    integer length-ratio gate are what the oracle hash-checks."""
+    d = _t(spark, sf, "documents")
+    grp = (F.col("doc_id") % 97).cast("long")
+    host = F.concat(F.lit("site"), (grp % 11).cast("string"), F.lit(".example"))
+    url = F.when(
+        grp % 2 == 0,
+        F.concat(
+            F.lit("https://"), host, F.lit("/"), F.col("lang"),
+            F.lit("/doc-"), grp.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), host, F.lit("/doc-"), grp.cast("string"),
+            F.lit("?lang="), F.col("lang"),
+        )
+    )
+    dd = d.select("doc_id", "n_chars", url.alias("url"))
+    return TX.strand_pairs(dd, id_col="doc_id", url_col="url", len_col="n_chars")
+
+
+def q_image_alt_pairs(spark, sf):
+    """LAION-style (image, alt caption) harvesting (extract.
+    image_text_pairs): pages synthesized from documents carry one real
+    ``<img>`` (alt = first 60 chars of the doc text) plus three decoys a
+    correct extractor must drop (data: URI, sub-minimum alt, missing
+    alt); relative src resolves against the page URL. The oracle
+    recomputes the surviving pair closed-form."""
+    from frontier_engine import extract as EX
+
+    d = _t(spark, sf, "documents")
+    alt_src = F.replace(
+        F.substring(F.col("text"), 1, 60), F.lit('"'), F.lit(" ")
+    )
+    page_url = F.concat(
+        F.lit("https://img"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/g/"), F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><img src="/img/'), F.col("doc_id").cast("string"),
+        F.lit('.jpg" alt="'), alt_src,
+        F.lit('"><img src="data:image/png;base64,x" alt="decoy data uri alt">'
+              '<img src="/thumb.png" alt="ok">'
+              '<img src="/noalt.png"></body></html>'),
+    ).cast("binary")
+    pages = d.select(page_url.alias("url"), html.alias("html"))
+    return EX.image_text_pairs(pages, html_col="html", url_col="url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -3188,6 +3247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "chunk_passages": q_chunk_passages,
         "term_drift": q_term_drift,
+        "strand_pairs": q_strand_pairs,
+        "image_alt_pairs": q_image_alt_pairs,
         "hard_negatives": q_hard_negatives,
     }
 
@@ -6545,6 +6606,55 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(words, start, start + 64 - 1),
                                    ' ') AS passage
             FROM st
+        """,
+        "strand_pairs": f"""
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN (doc_id % 97) % 2 = 0
+                            THEN 'https://site' || CAST((doc_id % 97) % 11 AS VARCHAR)
+                                 || '.example/' || lang || '/doc-'
+                                 || CAST(doc_id % 97 AS VARCHAR)
+                            ELSE 'https://site' || CAST((doc_id % 97) % 11 AS VARCHAR)
+                                 || '.example/doc-' || CAST(doc_id % 97 AS VARCHAR)
+                                 || '?lang=' || lang
+                       END AS url
+                FROM documents),
+            k AS (
+                SELECT doc_id, n_chars,
+                       regexp_replace(regexp_replace(regexp_replace(url,
+                           '/({_STRAND_ALT})/', '/~L~/', 'g'),
+                           '/({_STRAND_ALT})$', '/~L~', 'g'),
+                           'lang=({_STRAND_ALT})', 'lang=~L~', 'g') AS key,
+                       coalesce(
+                           nullif(regexp_extract(url, '/({_STRAND_ALT})(/|$)', 1), ''),
+                           nullif(regexp_extract(url, 'lang=({_STRAND_ALT})', 1), '')
+                       ) AS lang
+                FROM u),
+            f AS (SELECT * FROM k WHERE lang IS NOT NULL),
+            g AS (SELECT key FROM f GROUP BY key HAVING count(*) <= 64),
+            s AS (SELECT f.* FROM f JOIN g USING (key))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.lang AS lang_a, b.lang AS lang_b,
+                   CAST((abs(a.n_chars - b.n_chars) * 1000)
+                        // greatest(a.n_chars, b.n_chars, 1) AS BIGINT)
+                       AS len_ratio_pm
+            FROM s a JOIN s b ON a.key = b.key AND a.lang < b.lang
+            WHERE abs(a.n_chars - b.n_chars) * 1000
+                  <= 250 * greatest(a.n_chars, b.n_chars, 1)
+        """,
+        "image_alt_pairs": r"""
+            SELECT 'https://img' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/g/' || CAST(doc_id AS VARCHAR) AS page_url,
+                   'https://img' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example/img/' || CAST(doc_id AS VARCHAR) || '.jpg'
+                       AS img_url,
+                   trim(regexp_replace(
+                       replace(substr(text, 1, 60), '"', ' '),
+                       '\s+', ' ', 'g')) AS alt
+            FROM documents
+            WHERE length(trim(regexp_replace(
+                      replace(substr(text, 1, 60), '"', ' '),
+                      '\s+', ' ', 'g'))) >= 5
         """,
         "term_drift": r"""
             WITH tok_old AS (

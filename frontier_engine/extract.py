@@ -303,3 +303,96 @@ def links_udf_factory():
 
 
 links_udf = links_udf_factory()
+
+
+# --------------------------------------------------- image-text pair mining
+
+_IMG_TAG_RE = re.compile(r"(?is)<img(\s[^>]*)>")
+_SRC_IN_RE = re.compile(r"(?is)src\s*=\s*[\"']([^\"'#][^\"']*)[\"']")
+_ALT_IN_RE = re.compile(r"(?is)alt\s*=\s*[\"']([^\"']*)[\"']")
+
+
+def image_alt_pairs_py(
+    html_bytes: bytes | None,
+    base_url: str,
+    min_alt_chars: int = 5,
+    max_alt_chars: int = 512,
+) -> list[tuple[str, str]]:
+    """LAION-style (image URL, alt text) pair extraction from one page —
+    the harvesting step that built LAION-400M/5B (Schuhmann et al.
+    2021/2022) out of Common Crawl: every ``<img>`` whose ``alt``
+    attribute carries a plausible caption becomes one (image, text)
+    candidate for contrastive vision-language training.
+
+    Rules (fixed, shared engine+oracle like :func:`extract_links_py`):
+    ``src`` and ``alt`` must both be present and quoted; ``alt`` is
+    entity-unescaped and whitespace-normalized, then length-gated to
+    [min_alt_chars, max_alt_chars] (LAION's "alt too short/too long is
+    not a caption" filter); ``data:``/``javascript:`` sources are
+    skipped; ``src`` resolves against the page URL and must come out
+    http(s). Order is first occurrence, de-duplicated on the resolved
+    (src, alt) pair. Downloading the bytes is out of scope here — the
+    emitted image URLs feed the frontier like any other fetch
+    candidates, and the fetched payloads flow through
+    ``multimodal.decode_features``.
+    """
+    if html_bytes is None:
+        return []
+    s = decode_html_py(html_bytes)
+    s = _COMMENT_RE.sub(" ", s)
+    out: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for attrs in _IMG_TAG_RE.findall(s):
+        sm = _SRC_IN_RE.search(attrs)
+        am = _ALT_IN_RE.search(attrs)
+        if sm is None or am is None:
+            continue
+        src = _html.unescape(sm.group(1).strip())
+        if src.startswith(("data:", "javascript:")):
+            continue
+        alt = _WS_RE.sub(" ", _html.unescape(am.group(1))).strip()
+        if not (min_alt_chars <= len(alt) <= max_alt_chars):
+            continue
+        absu = urljoin(base_url, src)
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if (absu, alt) in seen:
+            continue
+        seen.add((absu, alt))
+        out.append((absu, alt))
+    return out
+
+
+_IMG_ALT_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("img_url", T.StringType()),
+            T.StructField("alt", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_IMG_ALT_TYPE)
+def image_alt_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """pandas UDF (html, base_url) → array<struct<img_url, alt>>."""
+    return pd.Series(
+        [image_alt_pairs_py(h, b) for h, b in zip(html, base_url)],
+        index=html.index,
+        dtype=object,
+    )
+
+
+def image_text_pairs(
+    df, html_col: str = "html", url_col: str = "url"
+):
+    """One (page_url, img_url, alt) row per harvested pair: the page
+    table → LAION-candidate table operator. Arrow-batched extraction +
+    a generator-style explode; no shuffle at all — pair harvesting is
+    embarrassingly parallel over page partitions, so at 100 TB this is
+    a single map stage whose output lands partitioned exactly like the
+    input corpus."""
+    return df.select(
+        F.col(url_col).alias("page_url"),
+        F.explode(image_alt_udf(F.col(html_col), F.col(url_col))).alias("_p"),
+    ).select("page_url", F.col("_p.img_url").alias("img_url"), F.col("_p.alt").alias("alt"))

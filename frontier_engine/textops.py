@@ -3386,3 +3386,112 @@ def term_drift(
         .orderBy(F.desc("drift"), F.asc("term"))
         .limit(k)
     )
+
+
+# --------------------------------------------------- STRAND bitext candidates
+
+# Language tokens recognized in URL structure. Deliberately a fixed,
+# documented list (ISO 639-1 codes common on multilingual sites): the
+# token set is part of the operator's contract — engine and any SQL
+# oracle must agree on it, so it is data, not configuration magic.
+STRAND_LANGS: tuple[str, ...] = (
+    "en", "fr", "de", "es", "it", "pt", "nl", "ru", "zh", "ja", "ko",
+    "ar", "vi", "tr", "pl", "sv", "cs", "el", "hi", "id", "th", "uk",
+)
+
+
+def strand_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    len_col: str = "n_chars",
+    langs: tuple[str, ...] = STRAND_LANGS,
+    max_ratio_pm: int = 250,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """STRAND-style bitext candidate mining from URL structure (Resnik &
+    Smith, Computational Linguistics 2003 — "The Web as a Parallel
+    Corpus"; the document-alignment front end of ParaCrawl): two pages on
+    the same site whose URLs are IDENTICAL once a language token is
+    substituted out (``/en/about`` vs ``/fr/about``, ``?lang=en`` vs
+    ``?lang=de``) are candidate translations of each other. This is the
+    cheap, structural first stage that feeds the embedding-margin stage
+    (:func:`frontier_engine.ann.margin_mine`) — URLs alone cut the
+    O(n²) cross-lingual search space to near-linear before any vector
+    is computed. The reference's bilingual name columns (name/name_en,
+    /root/reference/crawler/stores/cooponline.py:323-342) are the
+    two-site special case of this "same key, two languages" pairing.
+
+    Semantics: a URL participates iff a language token from ``langs``
+    appears as (a) a whole path segment (``/en/`` or a trailing
+    ``/en``) or (b) a ``lang=xx`` query value. The alignment key is the
+    URL with every such token replaced by the placeholder ``~L~``; the
+    page's URL-language is the FIRST token found (path wins over
+    query). Pairs are emitted per distinct key for ``lang_a < lang_b``
+    (same-language twins are mirrors, not translations — see
+    :func:`frontier_engine.hostctl.mirror_hosts` for those), gated by
+    the Resnik-Smith length-ratio filter: documents whose sizes differ
+    by more than ``max_ratio_pm``/1000 of the larger are dropped
+    (translations have near-proportional lengths). All arithmetic is
+    integer permille — no float enters selection, so the emitted
+    ``len_ratio_pm`` is engine-exact.
+
+    Every expression here (alternation regexes with no lookaround, 'g'
+    replacement, integer div) evaluates identically under Java regex
+    and RE2, so a plain-SQL oracle can replay it verbatim.
+
+    Plan shape at 100 TB: key/lang extraction is expression-only over
+    the scan; one aggregate counts per-key group sizes and a key-keyed
+    join filters buckets larger than ``max_bucket`` (a key shared by
+    hundreds of pages is a template artifact, not a translation set —
+    the same bucket-cap convention as the LSH band join), then ONE
+    self-join on the key whose per-key output is bounded by
+    ``max_bucket²``. Both join sides hash-partition on the key; no
+    window, no sort, no UDF.
+    """
+    if max_ratio_pm < 0 or max_bucket < 2:
+        raise ValueError("strand_pairs: need max_ratio_pm >= 0, max_bucket >= 2")
+    alt = "|".join(langs)
+    url = F.col(url_col)
+    key = F.regexp_replace(url, f"/({alt})/", "/~L~/")
+    key = F.regexp_replace(key, f"/({alt})$", "/~L~")
+    key = F.regexp_replace(key, f"lang=({alt})", "lang=~L~")
+    path_lang = F.regexp_extract(url, f"/({alt})(/|$)", 1)
+    query_lang = F.regexp_extract(url, f"lang=({alt})", 1)
+    lang = F.coalesce(
+        F.nullif(path_lang, F.lit("")), F.nullif(query_lang, F.lit(""))
+    )
+    keyed = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(len_col).cast("long").alias("_len"),
+            key.alias("_key"),
+            lang.alias("_lang"),
+        )
+        .filter(F.col("_lang").isNotNull())
+    )
+    small = keyed.join(
+        keyed.groupBy("_key").agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket).select("_key"),
+        "_key",
+    )
+    a, b = small.alias("a"), small.alias("b")
+    la, lb = F.col("a._len"), F.col("b._len")
+    # the 1L floor keeps the ratio division total (two empty documents
+    # pair at ratio 0 instead of dividing by zero — and keeps a plain-SQL
+    # oracle's integer division total too)
+    bigger = F.greatest(la, lb, F.lit(1).cast("long"))
+    return (
+        a.join(b, on=[F.col("a._key") == F.col("b._key"),
+                      F.col("a._lang") < F.col("b._lang")])
+        .filter(F.abs(la - lb) * 1000 <= F.lit(max_ratio_pm) * bigger)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._lang").alias("lang_a"),
+            F.col("b._lang").alias("lang_b"),
+            F.expr("abs(a._len - b._len) * 1000L div greatest(a._len, b._len, 1L)")
+            .cast("long")
+            .alias("len_ratio_pm"),
+        )
+    )
