@@ -3105,6 +3105,22 @@ def q_image_alt_pairs(spark, sf):
     return EX.image_text_pairs(pages, html_col="html", url_col="url")
 
 
+def q_perceptron(spark, sf):
+    """In-engine classifier TRAINING (infer.train_perceptron): a batch
+    perceptron over hashed bag-of-words features learns to separate two
+    source groups (±1 by source-name length), then scores every doc.
+    Weights, bias and margins are all int64 — the synchronous-batch
+    updates are order-free, so a 2-epoch unrolled-CTE oracle reproduces
+    the trained model bit-for-bit (same precedent as pagerank/kcore)."""
+    from frontier_engine import infer as IN
+
+    d = _t(spark, sf, "documents")
+    y = F.when(F.length("source") == 4, F.lit(1)).otherwise(F.lit(-1))
+    dd = d.select("doc_id", "text", y.alias("y"))
+    w, b = IN.train_perceptron(dd, label_col="y", dim=32, epochs=2)
+    return IN.perceptron_margins(dd, w, b, label_col="y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -3249,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_drift": q_term_drift,
         "strand_pairs": q_strand_pairs,
         "image_alt_pairs": q_image_alt_pairs,
+        "perceptron": q_perceptron,
         "hard_negatives": q_hard_negatives,
     }
 
@@ -6641,6 +6658,61 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.key = b.key AND a.lang < b.lang
             WHERE abs(a.n_chars - b.n_chars) * 1000
                   <= 250 * greatest(a.n_chars, b.n_chars, 1)
+        """,
+        "perceptron": r"""
+            WITH y AS (
+                SELECT doc_id,
+                       CASE WHEN length(source) = 4 THEN 1 ELSE -1 END AS yy
+                FROM documents),
+            t AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents),
+            f AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                            % 32 AS INT) AS feat,
+                       count(*) AS cnt
+                FROM t GROUP BY 1, 2),
+            -- epoch 1: w = 0, b = 0 -> every margin is 0 -> every doc
+            -- is misclassified, so the first update sums y*x over all
+            w1 AS (
+                SELECT feat, SUM(yy * cnt) AS w
+                FROM f JOIN y USING (doc_id) GROUP BY feat),
+            b1 AS (SELECT SUM(yy) AS b FROM y),
+            m2 AS (
+                SELECT y.doc_id, y.yy,
+                       COALESCE(s.dot, 0) + (SELECT b FROM b1) AS s
+                FROM y LEFT JOIN (
+                    SELECT f.doc_id, SUM(f.cnt * w1.w) AS dot
+                    FROM f JOIN w1 USING (feat) GROUP BY f.doc_id
+                ) s USING (doc_id)),
+            u2 AS (
+                SELECT feat, SUM(m.yy * f.cnt) AS dw
+                FROM f JOIN (
+                    SELECT doc_id, yy FROM m2 WHERE yy * s <= 0
+                ) m USING (doc_id) GROUP BY feat),
+            w2 AS (
+                SELECT COALESCE(w1.feat, u2.feat) AS feat,
+                       COALESCE(w1.w, 0) + COALESCE(u2.dw, 0) AS w
+                FROM w1 FULL JOIN u2 ON w1.feat = u2.feat),
+            b2 AS (
+                SELECT (SELECT b FROM b1)
+                       + COALESCE((SELECT SUM(yy) FROM m2 WHERE yy * s <= 0), 0)
+                           AS b),
+            mf AS (
+                SELECT y.doc_id, y.yy,
+                       COALESCE(s.dot, 0) + (SELECT b FROM b2) AS s
+                FROM y LEFT JOIN (
+                    SELECT f.doc_id, SUM(f.cnt * w2.w) AS dot
+                    FROM f JOIN w2 USING (feat) GROUP BY f.doc_id
+                ) s USING (doc_id))
+            SELECT doc_id, CAST(yy AS BIGINT) AS gold,
+                   CAST(s AS BIGINT) AS margin,
+                   CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+            FROM mf
         """,
         "image_alt_pairs": r"""
             SELECT 'https://img' || CAST(doc_id % 7 AS VARCHAR)

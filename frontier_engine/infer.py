@@ -80,3 +80,147 @@ class HeuristicQualityModel:
 
 def heuristic_quality_model() -> HeuristicQualityModel:
     return HeuristicQualityModel()
+
+
+# ------------------------------------------------ in-engine classifier training
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashed bag-of-words features: ``(_id, feat, cnt)`` with
+    ``feat = md5_60(token) % dim`` — the hashing-trick vectorizer
+    (Weinberger et al. ICML'09) every web-scale quality classifier uses
+    (fastText's input layer, the GPT-3/LLaMA-pipeline LR filters).
+    Tokens are lowercased ``\\s+`` splits; the hash is the repo's
+    portable 60-bit md5 prefix so any SQL engine reproduces the exact
+    feature indices (``textops.md5_hash60_col``). One explode + one
+    map-side-combined count; output cardinality ≤ docs × dim."""
+    from pyspark.sql import functions as F
+
+    from .textops import md5_hash60_col
+
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    ).alias("_tok")
+    return (
+        df.select(F.col(id_col).alias("_id"), toks)
+        .select(
+            "_id",
+            (md5_hash60_col(F.col("_tok")) % dim).cast("int").alias("feat"),
+        )
+        .groupBy("_id", "feat")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _margins(feats: DataFrame, labels: DataFrame, weights: list[int], bias: int):
+    """Per-doc raw margin s = Σ cnt·w[feat] + b over the label table
+    (docs with no features keep s = b). Integer throughout."""
+    from pyspark.sql import functions as F
+
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    fm = (
+        feats.withColumn("_w", F.element_at(warr, F.col("feat") + 1))
+        .groupBy("_id")
+        .agg(F.sum(F.col("cnt") * F.col("_w")).alias("_dot"))
+    )
+    return labels.join(fm, "_id", "left").select(
+        "_id",
+        "_y",
+        (F.coalesce(F.col("_dot"), F.lit(0)) + F.lit(int(bias))).cast("long").alias("_s"),
+    )
+
+
+def train_perceptron(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    epochs: int = 2,
+) -> tuple[list[int], int]:
+    """Distributed BATCH perceptron (Rosenblatt 1958; the synchronous
+    batch form is the classic MapReduce classifier — Mann et al.
+    NIPS'09 distributed perceptron averaging): train a linear quality
+    classifier INSIDE the engine over hashed bag-of-words features.
+    This closes the curation loop end-to-end: ``dsir_affinity`` selects
+    target-like data, this trains the filter model, ``batch_infer``
+    applies it — all three stages in one engine, like the fastText
+    quality filters of the GPT-3/CCNet pipelines but with no external
+    training framework.
+
+    Semantics (deterministic by construction): ``label_col`` must be
+    ±1; weights start at 0. Each epoch computes every doc's margin
+    ``y·(w·x + b)`` against the CURRENT weights (synchronous, not
+    row-sequential SGD — order-free, so the result is identical at any
+    parallelism) and adds ``Σ y·x`` over misclassified docs (margin
+    ≤ 0) to ``w``, ``Σ y`` to ``b``. All arithmetic is int64 — counts,
+    weights, margins — so there is NO float anywhere and the model is
+    bit-reproducible in any engine (an unrolled-CTE SQL twin matches
+    exactly; same precedent as the pagerank/kcore oracles).
+
+    Plan shape at 100 TB: the feature relation is built once and
+    persisted (docs × dim bounded); per epoch ONE broadcast-array
+    margin aggregate + ONE misclassified-id join + ONE dim-row
+    aggregate collected to the driver (≤ dim values — the same bounded
+    collect as IVF centroid training, ann.py). Epochs are a fixed small
+    constant; nothing driver-side scales with corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    if dim < 2 or epochs < 1:
+        raise ValueError("train_perceptron: need dim >= 2, epochs >= 1")
+    feats = hashed_token_features(df, text_col, id_col, dim).persist()
+    labels = df.select(
+        F.col(id_col).alias("_id"), F.col(label_col).cast("long").alias("_y")
+    )
+    w = [0] * dim
+    b = 0
+    for _ in range(epochs):
+        m = _margins(feats, labels, w, b)
+        miscl = m.filter(F.col("_y") * F.col("_s") <= 0).select("_id", "_y")
+        rows = (
+            feats.join(miscl, "_id")
+            .groupBy("feat")
+            .agg(F.sum(F.col("_y") * F.col("cnt")).alias("dw"))
+            .collect()
+        )
+        db = miscl.agg(F.coalesce(F.sum("_y"), F.lit(0)).alias("db")).collect()[0][0]
+        for r in rows:
+            w[r["feat"]] += r["dw"]
+        b += int(db)
+    feats.unpersist()
+    return w, b
+
+
+def perceptron_margins(
+    df: DataFrame,
+    weights: list[int],
+    bias: int,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every doc with a trained perceptron: ``(id, gold, margin,
+    pred)`` with ``pred = +1 iff margin > 0`` (ties negative — the
+    fixed convention an SQL twin mirrors). Expression-only apply; the
+    weight vector rides in the plan as a literal array, no join."""
+    from pyspark.sql import functions as F
+
+    feats = hashed_token_features(df, text_col, id_col, len(weights))
+    labels = df.select(
+        F.col(id_col).alias("_id"), F.col(label_col).cast("long").alias("_y")
+    )
+    m = _margins(feats, labels, weights, bias)
+    return m.select(
+        F.col("_id").alias(id_col),
+        F.col("_y").alias("gold"),
+        F.col("_s").alias("margin"),
+        F.when(F.col("_s") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("pred"),
+    )

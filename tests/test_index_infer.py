@@ -174,3 +174,97 @@ def test_recall_mrr_eval(spark):
     assert (b.n_relevant_found, b.first_rel_rank, b.recall_at_k, b.rr) == (0, None, 0.0, 0.0)
     c = out["qC"]
     assert (c.n_judged_pos, c.recall_at_k, c.rr) == (0, None, None)
+
+
+# ------------------------------------------------ batch perceptron training
+
+
+def _py_perceptron(docs, dim, epochs):
+    """Pure-Python twin of infer.train_perceptron (md5-prefix hashed
+    bag-of-words, synchronous batch updates) for exact-equality checks."""
+    import hashlib
+
+    def feats(text):
+        out = {}
+        for tok in text.lower().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+            out[h] = out.get(h, 0) + 1
+        return out
+
+    fx = [(feats(t), y) for t, y in docs]
+    w, b = [0] * dim, 0
+    for _ in range(epochs):
+        dw, db = [0] * dim, 0
+        for f, y in fx:
+            s = sum(c * w[k] for k, c in f.items()) + b
+            if y * s <= 0:
+                for k, c in f.items():
+                    dw[k] += y * c
+                db += y
+        w = [a + d for a, d in zip(w, dw)]
+        b += db
+    return w, b
+
+
+def test_perceptron_matches_python_twin(spark):
+    from frontier_engine.infer import perceptron_margins, train_perceptron
+
+    docs = [
+        (1, "cheap pills buy now cheap", -1),
+        (2, "buy cheap watches now", -1),
+        (3, "the standard model of particle physics", 1),
+        (4, "physics lecture notes on the standard model", 1),
+        (5, "buy physics textbooks", 1),
+        (6, "cheap cheap cheap now", -1),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, y int")
+    w, b = train_perceptron(df, label_col="y", dim=16, epochs=3)
+    ew, eb = _py_perceptron([(t, y) for _, t, y in docs], dim=16, epochs=3)
+    assert (w, b) == (ew, eb)
+    # margins replay exactly through the apply operator too
+    got = {r.doc_id: (r.gold, r.margin, r.pred)
+           for r in perceptron_margins(df, w, b, label_col="y").collect()}
+    import hashlib
+
+    for did, text, y in docs:
+        s = b
+        for tok in text.lower().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 16
+            s += w[h]
+        # per-token sum equals per-feature cnt*w sum
+        assert got[did] == (y, s, 1 if s > 0 else -1)
+
+
+def test_perceptron_separable_converges(spark):
+    from frontier_engine.infer import perceptron_margins, train_perceptron
+
+    rows = [(i, "alpha beta gamma", 1) for i in range(10)] + [
+        (100 + i, "zeta eta theta", -1) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w, b = train_perceptron(df, label_col="y", dim=32, epochs=4)
+    out = perceptron_margins(df, w, b, label_col="y").collect()
+    assert all(r.pred == r.gold for r in out)
+
+
+def test_perceptron_determinism_across_parallelism(spark):
+    from frontier_engine.infer import train_perceptron
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} filler word{i % 5}", 1 if i % 2 else -1)
+            for i in range(60)]
+    a = spark.createDataFrame(rows, "doc_id long, text string, y int").repartition(1)
+    b_ = spark.createDataFrame(rows, "doc_id long, text string, y int").repartition(16)
+    assert train_perceptron(a, label_col="y", dim=16, epochs=2) == \
+        train_perceptron(b_, label_col="y", dim=16, epochs=2)
+
+
+def test_perceptron_rejects_bad_params(spark):
+    import pytest
+
+    from frontier_engine.infer import train_perceptron
+
+    df = spark.createDataFrame([], "doc_id long, text string, y int")
+    with pytest.raises(ValueError):
+        train_perceptron(df, label_col="y", dim=1)
+    with pytest.raises(ValueError):
+        train_perceptron(df, label_col="y", epochs=0)
