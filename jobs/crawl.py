@@ -78,6 +78,10 @@ def main(argv=None):
                     help="every N epochs, recompute mirror-replica families "
                          "over fetched records and drop non-canonical "
                          "replica hosts from the frontier (Bharat-Broder)")
+    ap.add_argument("--image-pairs-out", default=None,
+                    help="after the crawl, harvest LAION-style (page_url, "
+                         "img_url, alt) caption pairs from the crawled "
+                         "pages' html into parquet in this dir")
     ap.add_argument("--cdx-out", default=None,
                     help="after the crawl, build a SURT-keyed CDX-style "
                          "URL index over the captured records in this dir")
@@ -228,6 +232,32 @@ def main(argv=None):
         manifest = write_wat(meta, args.wat_out, canonical_col="canonical")
         summary["wat_shards"] = len(manifest)
         summary["wat_records"] = sum(m["n_records"] for m in manifest)
+
+    if args.image_pairs_out:
+        # LAION-style caption harvesting over what the crawl fetched: the
+        # same canonicalized-corpus-joined-on-crawled-URLs discipline as
+        # --warc-out/--wat-out, then the zero-shuffle img-alt map stage
+        from pyspark.sql import functions as F
+
+        from frontier_engine import canon
+        from frontier_engine.corpus import corpus_df, read_pages
+        from frontier_engine.extract import image_text_pairs
+        from frontier_engine.snapshot import SnapshotStore
+
+        store = SnapshotStore(args.warehouse)
+        crawled = store.read(spark, "records").select("url").dropDuplicates(["url"])
+        if corpus_location is not None:
+            raw = corpus_df(spark, corpus_location).select("url", "html")
+        else:
+            raw = canon.canonical_first(
+                read_pages(spark, paths["pages"], args.pages_format)
+                .withColumnRenamed("url", "raw"),
+                F.col("raw"),
+                "url",
+            ).select("url", "html")
+        pairs = image_text_pairs(crawled.join(raw, "url"))
+        pairs.write.mode("overwrite").parquet(args.image_pairs_out)
+        summary["image_pairs"] = spark.read.parquet(args.image_pairs_out).count()
 
     if args.cdx_out:
         # index what the crawl captured: SURT-keyed, range-sharded,

@@ -161,3 +161,59 @@ def test_image_text_pairs_dataframe(spark):
     assert got == [
         ("https://h.example/p/1", "https://h.example/a.jpg", "a tall green tree")
     ]
+
+
+def test_crawl_cli_image_pairs_out(spark, tmp_path):
+    """--image-pairs-out harvests (page_url, img_url, alt) parquet from
+    the crawled pages' html (canonicalized-corpus join discipline)."""
+    import os
+    import subprocess
+    import sys
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    url = "https://pix.example/p/1"
+    html = (b'<html><body><img src="/img/cat.jpg" alt="a cat on a mat">'
+            b'<img src="/x.png"></body></html>')
+    pq.write_table(
+        pa.table({
+            "url": [url],
+            "warc_ts": [datetime(2026, 1, 2)],
+            "html": [html],
+            "lang": ["en"],
+        }),
+        str(tmp_path / "pages.parquet"),
+    )
+    pq.write_table(
+        pa.table({"url": [url], "priority": [1.0]}),
+        str(tmp_path / "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "host": ["pix.example"],
+            "crawl_delay": [1.0],
+            "disallow_prefixes": [[]],
+        }),
+        str(tmp_path / "robots.parquet"),
+    )
+    out = str(tmp_path / "pairs")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "crawl.py"),
+         "--pages", str(tmp_path / "pages.parquet"),
+         "--seeds", str(tmp_path / "seeds.parquet"),
+         "--robots", str(tmp_path / "robots.parquet"),
+         "--warehouse", str(tmp_path / "wh"),
+         "--image-pairs-out", out, "--max-epochs", "2"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json as _json
+
+    summary = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["image_pairs"] == 1
+    got = [tuple(r) for r in spark.read.parquet(out).collect()]
+    assert got == [(url, "https://pix.example/img/cat.jpg", "a cat on a mat")]
