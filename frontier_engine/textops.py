@@ -193,82 +193,166 @@ def minhash_candidate_pairs(
     seed: int = 42,
     attach_estimate: bool = True,
     cached: list[DataFrame] | None = None,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: (id_a < id_b[, est_jaccard]).
 
-    shingle → signature (pandas UDF) → band buckets (explode) → self-join
-    within (band, band_hash) buckets → estimate Jaccard from signature
-    agreement. The shuffle key is the band hash, so only colliding docs
-    ever meet — corpus² never materializes.
+    shingle → signature (pandas UDF) → collapse docs with IDENTICAL
+    signatures into one group → band-bucket the DISTINCT signatures →
+    in-bucket signature pairs → expand back to id pairs.
 
-    ``attach_estimate=False`` skips the signature join-back (the signature
-    table is then consumed exactly once, so nothing needs caching) — use it
-    when the candidates feed an exact verify step like
-    :func:`ngram_jaccard_pairs`. With the estimate attached, the signature
-    table is read twice; pass a ``cached`` list to persist it for the
-    duration and unpersist after the result is materialized (the caller
-    owns the lifetime — an unconditional persist here leaked cache in
-    long-lived sessions).
+    SKEW SAFETY (same distinct-hash discipline as
+    :func:`simhash_near_dup_pairs`): web corpora concentrate mass on
+    identical signatures (boilerplate/template clusters, empty docs). A
+    doc-level band bucket over a K-doc identical-signature cluster holds a
+    K-long array in EVERY band and emits K²/2 pairs per band before the
+    cross-band dedup; here such a cluster contributes exactly ONE row per
+    band, the cross-band dedup runs over distinct-signature pairs (bounded
+    by the LSH design — genuinely different signatures colliding in a
+    band), and id pairs are produced by membership joins that cost exactly
+    the output cardinality. The emitted pair SET is identical to the
+    doc-level formulation: identical signatures share every band hash.
+
+    ``pair_mode``:
+
+    - ``"all"`` (default): every colliding id pair — K members with the
+      same signature emit the full K²/2 clique. Output-compatible with the
+      historical behavior; required when a downstream exact-verify step
+      (e.g. :func:`ngram_jaccard_pairs`) filters individual edges.
+    - ``"star"``: a spanning star instead of a clique — within an
+      identical-signature group, (min_id, member) edges only (O(K)); and
+      only each group's representative (min id) participates in
+      cross-signature edges. Connected components over star pairs equal
+      components over all pairs (the star spans each group; every member
+      reaches its rep), so use this when the consumer is clustering
+      (:func:`connected_components` / :func:`select_survivors`) WITHOUT a
+      per-edge verify in between. At 10¹⁰ URLs this is the difference
+      between O(K²) and O(K) pairs for a K-doc template cluster.
+
+    ``attach_estimate=False`` skips the estimate computation — use it when
+    the candidates feed an exact verify step. Signature agreement is
+    computed per distinct-signature PAIR (before membership expansion), so
+    the estimate costs distinct-pair work, not id-pair work; intra-group
+    pairs have est_jaccard = 1.0 by construction (identical signatures
+    agree on all ``num_perm`` slots). Pass a ``cached`` list to persist
+    the per-signature group table for the duration (the caller owns the
+    lifetime — an unconditional persist here leaked cache in long-lived
+    sessions).
+
+    ``skey`` (the 64-bit group key) is xxhash64 of the signature; a key
+    collision can only ADD a spurious candidate pair — which the estimate
+    threshold or the exact-verify step removes — never drop a true one,
+    matching LSH's false-positive-but-not-false-negative contract.
     """
+    if pair_mode not in ("all", "star"):
+        raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
     rows = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm, seed)
     sigs = df.select(
         F.col(id_col).alias("id"),
         sig_udf(shingle_hashes(F.col(text_col), shingle_k)).alias("sig"),
     )
-    if attach_estimate and cached is not None:
-        sigs = sigs.persist()
-        cached.append(sigs)
-    # band join ships ONLY ids — the 128-long signature arrays are attached
-    # afterwards to the (few) surviving candidate pairs, not to every banded
-    # row in the shuffle
-    banded = sigs.select(
-        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
-    ).select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
-    # pair generation via groupBy + in-bucket combinations rather than a
-    # banded self-join: the self-join evaluates the signature pipeline
-    # TWICE (left and right are the same un-persisted DAG); the aggregate
-    # evaluates it once and the pair explosion is pure array math. Bucket
-    # sizes are bounded by the LSH design (colliding docs only), so the
-    # collect_list is small per group.
+    skey = F.xxhash64(
+        F.concat_ws(",", F.transform(F.col("sig"), lambda v: v.cast("string")))
+    )
+    # ONE shuffle keyed by the signature hash; the banded, membership and
+    # estimate branches all hang off this aggregate, so their canonical
+    # Exchanges are identical and ReuseExchange computes the shingle+sig
+    # chain once per job even unmaterialized.
+    groups = (
+        sigs.withColumn("skey", skey)
+        .groupBy("skey")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.first("sig").alias("sig"))
+    )
+    if cached is not None:
+        groups = groups.persist()
+        cached.append(groups)
+    # band bucketing over DISTINCT signatures — a K-doc identical-signature
+    # cluster is ONE row per band here, not K
+    banded = groups.select(
+        "skey", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bh")
+    ).select("skey", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
     buckets = (
         banded.groupBy("band", "band_hash")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.collect_set("skey").alias("ks"))
+        .filter(F.size("ks") >= 2)
     )
-    pair_structs = F.flatten(
+    n = F.size("ks")
+    kpair_structs = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.size("ids") - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ids"), i + 1, F.size("ids")),
+            "ks",
+            lambda x, i: F.transform(
+                F.slice("ks", i + F.lit(2), n - i - 1),
                 lambda y: F.struct(
-                    F.least(F.element_at(F.col("ids"), i), y).alias("id_a"),
-                    F.greatest(F.element_at(F.col("ids"), i), y).alias("id_b"),
+                    F.least(x, y).alias("k_a"), F.greatest(x, y).alias("k_b")
                 ),
             ),
         )
     )
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))  # drops duplicate-id pairs
-        .dropDuplicates(["id_a", "id_b"])
+    kpairs = (
+        buckets.select(F.explode(kpair_structs).alias("p"))
+        .select(F.col("p.k_a").alias("k_a"), F.col("p.k_b").alias("k_b"))
+        .dropDuplicates(["k_a", "k_b"])
     )
-    if not attach_estimate:
-        return cand
-    with_sigs = (
-        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    if attach_estimate:
+        with_sigs = kpairs.join(
+            groups.select(F.col("skey").alias("k_a"), F.col("sig").alias("sig_a")), "k_a"
+        ).join(groups.select(F.col("skey").alias("k_b"), F.col("sig").alias("sig_b")), "k_b")
+        agree = F.aggregate(
+            F.zip_with(
+                F.col("sig_a"), F.col("sig_b"), lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        kpairs = with_sigs.withColumn(
+            "est_jaccard", agree / F.lit(float(num_perm))
+        ).select("k_a", "k_b", "est_jaccard")
+    extra = ["est_jaccard"] if attach_estimate else []
+    # membership expansion — cost = output cardinality; in star mode only
+    # each group's representative carries cross-signature edges (members
+    # reach it via the intra star, so components are preserved)
+    if pair_mode == "star":
+        member = groups.select("skey", F.element_at("ids", 1).alias("id"))
+    else:
+        member = groups.select("skey", F.explode("ids").alias("id"))
+    a = member.select(F.col("skey").alias("k_a"), F.col("id").alias("ia"))
+    b = member.select(F.col("skey").alias("k_b"), F.col("id").alias("ib"))
+    cross = (
+        kpairs.join(a, "k_a")
+        .join(b, "k_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"), F.greatest("ia", "ib").alias("id_b"), *extra
+        )
     )
-    agree = F.aggregate(
-        F.zip_with(
-            F.col("sig_a"), F.col("sig_b"), lambda x, y: F.when(x == y, 1).otherwise(0)
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    # identical-signature docs: agreement is num_perm/num_perm = 1.0 by
+    # construction, no join-back needed
+    m = F.size("ids")
+    if pair_mode == "star":
+        intra_structs = F.transform(
+            F.slice("ids", 2, m - 1),
+            lambda y: F.struct(F.element_at("ids", 1).alias("id_a"), y.alias("id_b")),
+        )
+    else:
+        intra_structs = F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice("ids", i + F.lit(2), m - i - 1),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    intra = (
+        groups.filter(m >= 2)
+        .select(F.explode(intra_structs).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            *([F.lit(1.0).alias("est_jaccard")] if attach_estimate else []),
+        )
     )
-    est = with_sigs.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
-    return est.select("id_a", "id_b", "est_jaccard")
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------- SimHash

@@ -67,6 +67,66 @@ def test_minhash_lsh_finds_near_dups(spark, near_df):
     assert (3, 5) not in got                      # unrelated never collide
 
 
+def test_minhash_mega_cluster_is_linear(spark):
+    """A planted 1,000-doc identical cluster (the web-template skew case):
+
+    - distinct-signature discipline: the cluster is ONE group row, so the
+      banded intermediate is O(1) per band, not a K-long bucket array;
+    - pair_mode='star' emits O(K) pairs (K-1 intra star edges), not K²/2;
+    - pair_mode='all' still emits the exact historical clique, and its
+      connected components equal the star components.
+    """
+    K = 1000
+    cluster = [(i, "the exact same boilerplate template page body text here") for i in range(K)]
+    singles = [
+        (K + i, f"unique document number {i} with distinct content token{i} mark{i * 7}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(cluster + singles, "doc_id long, text string")
+
+    cached: list = []
+    star = TX.minhash_candidate_pairs(
+        df, num_perm=64, bands=16, attach_estimate=False, pair_mode="star", cached=cached
+    )
+    star_pairs = {(r["id_a"], r["id_b"]) for r in star.collect()}
+    try:
+        # O(K) pair cardinality: the cluster contributes exactly K-1 star edges
+        cluster_edges = {p for p in star_pairs if p[0] < K and p[1] < K}
+        assert cluster_edges == {(0, i) for i in range(1, K)}
+        # the intermediate is signature groups, not docs: one group row of
+        # size K, so every band bucket saw the cluster once
+        group_sizes = sorted(
+            (len(r["ids"]) for r in cached[0].collect()), reverse=True
+        )
+        assert group_sizes[0] == K and (len(group_sizes) == 1 or group_sizes[1] == 1)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+    # 'all' mode keeps the exact clique (historical output contract) on a
+    # smaller planted cluster, and components agree with star mode
+    small = spark.createDataFrame(
+        [(i, "another identical body of text repeated") for i in range(60)]
+        + [(100 + i, f"singleton number {i} content word{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    allp = TX.minhash_candidate_pairs(small, num_perm=64, bands=16, attach_estimate=False)
+    all_pairs = {(r["id_a"], r["id_b"]) for r in allp.collect()}
+    assert {p for p in all_pairs if p[0] < 100 and p[1] < 100} == {
+        (a, b) for a in range(60) for b in range(a + 1, 60)
+    }
+    star_small = TX.minhash_candidate_pairs(
+        small, num_perm=64, bands=16, attach_estimate=False, pair_mode="star"
+    )
+    comp_all = {
+        (r["v"], r["label"]) for r in TX.connected_components(allp).collect()
+    }
+    comp_star = {
+        (r["v"], r["label"]) for r in TX.connected_components(star_small).collect()
+    }
+    assert comp_all == comp_star
+
+
 def test_ngram_jaccard_verifies(spark, near_df):
     pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
