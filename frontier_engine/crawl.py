@@ -122,6 +122,15 @@ class CrawlConfig:
     mirror_every: int | None = None
     mirror_min_overlap: int = 2
     mirror_min_jaccard: float = 0.5
+    # Census scope for the mirror rescan, mirroring budget_window: only
+    # records from the last mirror_window epochs before the refresh point
+    # feed mirror_hosts. None = full history — exact but the periodic
+    # rescan grows without bound at 10^10 URLs; a bounded trailing window
+    # is the production posture (mirrors keep re-manifesting in recent
+    # fetches as long as they are being crawled). Resume-deterministic:
+    # both bounds are pure functions of the epoch number over committed
+    # snapshot tables.
+    mirror_window: int | None = None
     drain: DrainConfig = field(default_factory=DrainConfig)
     seen: SeenConfig = field(default_factory=SeenConfig)
 
@@ -296,8 +305,13 @@ def run_crawl(
 
                 hist = store.read(spark, "records")
                 if hist is not None:
+                    in_scope = F.col("epoch") < cutoff
+                    if cfg.mirror_window is not None:
+                        in_scope = in_scope & (
+                            F.col("epoch") >= cutoff - cfg.mirror_window
+                        )
                     pairs = mirror_hosts(
-                        hist.filter(F.col("epoch") < cutoff).select(
+                        hist.filter(in_scope).select(
                             "host", F.col("text").alias("content")
                         ),
                         min_overlap=cfg.mirror_min_overlap,

@@ -112,6 +112,44 @@ def test_gate_off_fetches_everything(spark, tmp_path):
     assert recs.filter(F.col("host") == "m2.example").count() == 12
 
 
+def test_windowed_census_matches_and_resumes(spark, tmp_path):
+    """mirror_window bounds the periodic rescan to a trailing epoch slice
+    (the 10^10-URL posture — full-history rescans grow without bound).
+    Here the mirror manifests in every epoch's fetches, so the windowed
+    drop decisions equal the full-history run's; and a kill+resume with
+    the window rebuilds the identical schedule (the windowed slice is a
+    pure function of the epoch number over committed snapshots)."""
+    pages, seeds, robots = _write_corpus(spark, str(tmp_path / "corpus"))
+    cfg_win = CrawlConfig(
+        max_depth=0,
+        max_epochs=4,
+        max_fetch_attempts=1,
+        mirror_every=1,
+        mirror_window=1,
+        drain=DrainConfig(epoch_seconds=6.0),
+        seen=SeenConfig(n_buckets=8, bits_per_bucket=1 << 14),
+    )
+    run_crawl(spark, pages, seeds, robots, str(tmp_path / "wh_win"), cfg_win)
+    run_crawl(spark, pages, seeds, robots, str(tmp_path / "wh_full"), CFG)
+
+    def sched_rows(wh):
+        sched = SnapshotStore(wh).read(spark, "schedule")
+        return sorted((r["epoch"], r["host"], r["url"]) for r in sched.collect())
+
+    assert sched_rows(str(tmp_path / "wh_win")) == sched_rows(str(tmp_path / "wh_full"))
+
+    # kill after epoch 1 (one census refresh already applied), resume with
+    # the same windowed config: identical schedule, zero re-fetches
+    import dataclasses
+
+    run_crawl(
+        spark, pages, seeds, robots, str(tmp_path / "wh_part"),
+        dataclasses.replace(cfg_win, max_epochs=2),
+    )
+    run_crawl(spark, pages, seeds, robots, str(tmp_path / "wh_part"), cfg_win)
+    assert sched_rows(str(tmp_path / "wh_part")) == sched_rows(str(tmp_path / "wh_win"))
+
+
 def test_rerun_is_deterministic(spark, tmp_path):
     pages, seeds, robots = _write_corpus(spark, str(tmp_path / "corpus"))
     shas = []
