@@ -510,6 +510,59 @@ def q_pq_ann(spark, sf):
     )
 
 
+def q_ivfadc_ann(spark, sf):
+    """IVFADC — coarse IVF routing over PQ codes with ADC + exact rerank
+    (ann.ivfadc_topk), oracle-checked on a corpus where BOTH stages are
+    provable: routing is exact and PQ encoding is lossless.
+
+    dim 8 = 4 subspaces × 2. Row vec_id gets primary axis c = vec_id % 8
+    (weight 2g), secondary axis c2 = (c + 2 + 2·((vec_id div 8) % 3)) % 8
+    (weight g) — the even shift guarantees c2 lies in a DIFFERENT
+    subspace, and g = 2^(vec_id % 3) is a power of two so ‖v‖ = g·√5 and
+    every normalized component (2/√5, 1/√5) is bitwise independent of g.
+    Centroids = identity ⇒ the row provably assigns to list c (2/√5 >
+    1/√5 > 0) and query axis e_q provably probes its own list; the true
+    top-5 (primary-match cosine 2/√5 ≈ 0.894 vs secondary-match 1/√5 ≈
+    0.447) lies inside probed lists while 6 of 8 lists are never scanned.
+    Codebooks hold exactly the five normalized subvectors that occur
+    {0, 2e_b/√5, e_b/√5}, so PQ encoding has zero quantization error and
+    the ADC fold reproduces the exact cosine — shortlist order = true
+    order. Rows with equal (c, c2, g′-class) have cosines bitwise equal
+    within each engine (power-of-two scaling), so the only ties are
+    broken vec_id-asc in both engines; distinct cosine levels are ≥0.447
+    apart — far above any cross-engine float noise at 4-decimal rounding.
+    """
+    import numpy as np
+
+    r5 = float(np.sqrt(5.0))
+    books = np.array(
+        [[[0.0, 0.0], [2 / r5, 0.0], [0.0, 2 / r5], [1 / r5, 0.0], [0.0, 1 / r5]]] * 4
+    )
+    ids = _t(spark, sf, "embeddings").select("vec_id")
+    c = (F.col("vec_id") % 8).cast("int")
+    c2 = ((c + 2 + 2 * ((F.col("vec_id") / 8).cast("long") % 3)) % 8).cast("int")
+    g = F.pow(F.lit(2.0), (F.col("vec_id") % 3).cast("double"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.when(j == c, F.lit(2.0) * g).otherwise(
+            F.when(j == c2, g).otherwise(F.lit(0.0))
+        ),
+    )
+    corpus = ids.select("vec_id", vec.alias("embedding"))
+    qvec = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.when(j.cast("long") == F.col("id"), F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    queries = spark.range(3).select(F.col("id").alias("query_id"), qvec.alias("query_vec"))
+    top = ann.ivfadc_topk(
+        corpus, queries, np.eye(8), books, k=5, n_probe=2, shortlist_factor=4
+    )
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_near_dup(spark, sf):
     # near-uniform random embeddings have no high-cosine pairs, so plant
     # exact duplicates (id+100000) of vec_id<20 — the op must find them all
@@ -3150,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "ivf_ann_pruned": q_ivf_ann_pruned,
         "pq_ann": q_pq_ann,
+        "ivfadc_ann": q_ivfadc_ann,
         "domain_holdout": q_domain_holdout,
         "centroid_classify": q_centroid_classify,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3924,6 +3978,36 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(range(0, 8), j -> CASE
                         WHEN j % 2 = (i // (j // 2 + 1)) % 2
                         THEN 1.0 ELSE 0.0 END) AS qv
+              FROM range(0, 3) t(i)
+            )
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cosine,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                                                 c.vec_id ASC) AS rank
+              FROM corpus c, q)
+            WHERE rank <= 5
+        """,
+        # exact brute force over the dual-axis power-of-two corpus; equals
+        # the IVF-routed ADC + rerank output by construction — see
+        # q_ivfadc_ann's docstring for the routing + losslessness proof
+        "ivfadc_ann": """
+            WITH base AS (
+              SELECT vec_id,
+                     CAST(vec_id % 8 AS INT) AS c,
+                     CAST((vec_id % 8 + 2 + 2 * ((vec_id // 8) % 3)) % 8 AS INT) AS c2,
+                     power(2.0, CAST(vec_id % 3 AS DOUBLE)) AS g
+              FROM embeddings
+            ), corpus AS (
+              SELECT vec_id,
+                     list_transform(range(0, 8), j -> CASE WHEN j = c THEN 2.0 * g
+                        WHEN j = c2 THEN g ELSE 0.0 END) AS v
+              FROM base
+            ), q AS (
+              SELECT i AS query_id,
+                     list_transform(range(0, 8), j -> CASE WHEN j = i THEN 1.0 ELSE 0.0 END) AS qv
               FROM range(0, 3) t(i)
             )
             SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank

@@ -832,6 +832,90 @@ def pq_topk(
     )
 
 
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probe: int = 3,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVFADC (Jégou et al., TPAMI 2011 §IV): the standard billion-vector
+    layout — coarse IVF routing composed with PQ/ADC scoring, then exact
+    rerank. :func:`ivf_topk` prunes WHICH rows are scanned
+    (~n_probe/n_lists of the corpus); :func:`pq_topk` shrinks WHAT the
+    scan reads (m code bytes per vector instead of the float vector);
+    this composes both: corpus rows carry (cluster, pq_codes), queries
+    probe their ``n_probe`` nearest lists, candidates inside probed lists
+    are scored with the per-query ADC lookup-table fold (pure JVM
+    ``element_at`` arithmetic — no dot products, no Python), a
+    ``shortlist_factor × k`` shortlist survives, and only the shortlist's
+    original vectors are re-read for the exact-cosine rerank.
+
+    At 10^10 vectors the probe join is the partition-pruning play (the
+    corpus would be written bucketed/partitioned by cluster id, so
+    non-probed lists are never read) and ADC is the memory-bandwidth
+    play; queries + LUTs are broadcast. Codes here quantize the raw
+    (normalized) vector, not the IVF residual — residual encoding needs
+    per-list codebook training which buys precision only below the exact
+    rerank's noise floor at these list counts; the rerank makes the
+    final scores exact either way.
+
+    Output: (query_id, vec_id, cosine, rank) — exact cosines, id-asc
+    tie-break, schema-identical to :func:`brute_force_topk`.
+    """
+    m, n_codes, _ = codebooks.shape
+    c_assign = ivf_assign_udf(centroids, 1)
+    q_assign = ivf_assign_udf(centroids, n_probe)
+    encode = pq_encode_udf(codebooks)
+    lut = pq_lut_udf(codebooks)
+    c = corpus.select(
+        F.col(id_col),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("cluster"),
+        encode(F.col(vec_col)).alias("_codes"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.explode(q_assign(F.col(query_vec_col))).alias("cluster"),
+        lut(F.col(query_vec_col)).alias("_lut"),
+    )
+    # a corpus row lives in exactly one list and a query's probed lists are
+    # distinct, so each (query, vec) candidate appears at most once
+    approx = (
+        c.join(F.broadcast(q), "cluster")
+        .withColumn("_adc", pq_adc_col(F.col("_codes"), F.col("_lut"), m, n_codes))
+    )
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.col("_adc").desc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        approx.withColumn("_srank", F.row_number().over(w_short))
+        .filter(F.col("_srank") <= shortlist_factor * k)
+        .select(query_id_col, id_col)
+    )
+    rerank = (
+        shortlist.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(
+            F.broadcast(queries.select(F.col(query_id_col), F.col(query_vec_col))),
+            query_id_col,
+        )
+        .withColumn("cosine", cosine_col(F.col(vec_col), F.col(query_vec_col)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def label_centroids(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -407,6 +407,30 @@ class TestPQ:
         assert recall >= 0.5, recall
         assert all((q, q) in a for q in qids)  # self vector always found
 
+    def test_ivfadc_recall_on_natural_embeddings(self, spark, corpus, queries):
+        """IVFADC = IVF routing × PQ/ADC shortlist × exact rerank. On the
+        worst-case random corpus, probing half the lists with a wide
+        shortlist keeps recall usable; the self-vector is always found
+        (it shares its own list and its ADC score is the list maximum)."""
+        import numpy as np
+
+        qdf, qids = queries
+        cents = ann.train_ivf_centroids(corpus, dim=64, n_centroids=8)
+        books = ann.train_pq_codebooks(corpus, dim=64, m=8, n_codes=16)
+        exact = ann.brute_force_topk(corpus, qdf, k=5)
+        approx = ann.ivfadc_topk(
+            corpus, qdf, cents, books, k=5, n_probe=4, shortlist_factor=8
+        )
+        e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.4, len(e & a) / len(e)
+        assert all((q, q) in a for q in qids)
+        # determinism: the composed path rebuilds identically
+        again = ann.ivfadc_topk(
+            corpus, qdf, cents, books, k=5, n_probe=4, shortlist_factor=8
+        )
+        assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+
     def test_lossless_corpus_equals_brute_force(self, spark):
         """On a corpus whose normalized subvectors all lie ON codebook
         entries, PQ output == brute force exactly (the q_pq_ann oracle

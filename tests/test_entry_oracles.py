@@ -26,6 +26,7 @@ SKETCH_QUERIES = [
     "lsh_ann",
     "ivf_ann",
     "ivf_ann_pruned",
+    "ivfadc_ann",
     "embedding_near_dup",
     "multimodal_decode",
     "ngram_search",
