@@ -3174,6 +3174,81 @@ def q_perceptron(spark, sf):
     return IN.perceptron_margins(dd, w, b, label_col="y")
 
 
+# trained language-ID fixture: three languages with distinct orthography,
+# four phrase variants each, plus a shared per-doc noise token. French is
+# the heuristic's designed failure: its accents (à é è û) sit inside
+# textops.VI_CHARS, so lang_id_col mislabels every fr row 'vi' while the
+# trained char-bigram model separates all three (tests/test_infer.py).
+_LANGID_LANGS = ["en", "vi", "fr"]
+_LANGID_PHRASES = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog",
+        "a stitch in time saves nine said the old owl",
+        "many hands make light work for the whole crew",
+        "practice makes perfect when the going gets tough",
+    ],
+    "vi": [
+        "con cáo nâu nhanh nhẹn nhảy qua con chó lười",
+        "mỗi ngày học một chút kiến thức sẽ đầy thêm",
+        "có công mài sắt có ngày nên kim bạn nhé",
+        "ăn quả nhớ kẻ trồng cây uống nước nhớ nguồn",
+    ],
+    "fr": [
+        "le renard brun saute par dessus le chien paresseux",
+        "petit à petit l'oiseau fait son nid déjà",
+        "il ne faut pas vendre la peau de l'ours",
+        "après la pluie le beau temps sûrement arrivé",
+    ],
+}
+
+
+def _langid_fixture(spark, sf):
+    """(doc_id, gold_lang, text) derived deterministically from doc_id:
+    gold = langs[doc_id % 3], phrase variant = (doc_id div 3) % 4, suffix
+    token ' w<doc_id % 17>' adds cross-language shared vocabulary."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    lang_idx = (F.col("doc_id") % 3).cast("int")
+    variant = ((F.col("doc_id") / 3).cast("long") % 4).cast("int")
+    gold = F.lit(_LANGID_LANGS[-1])
+    text = F.lit(_LANGID_PHRASES[_LANGID_LANGS[-1]][-1])
+    for li in reversed(range(len(_LANGID_LANGS) - 1)):
+        gold = F.when(lang_idx == li, F.lit(_LANGID_LANGS[li])).otherwise(gold)
+    phrase_cases = []
+    for li, lang in enumerate(_LANGID_LANGS):
+        p = F.lit(_LANGID_PHRASES[lang][-1])
+        for vi in reversed(range(3)):
+            p = F.when(variant == vi, F.lit(_LANGID_PHRASES[lang][vi])).otherwise(p)
+        phrase_cases.append((li, p))
+    text = phrase_cases[-1][1]
+    for li, p in reversed(phrase_cases[:-1]):
+        text = F.when(lang_idx == li, p).otherwise(text)
+    text = F.concat(text, F.lit(" w"), (F.col("doc_id") % 17).cast("string"))
+    return d.select("doc_id", gold.alias("gold_lang"), text.alias("text"))
+
+
+def q_langid_trained(spark, sf):
+    """TRAINED language ID (infer.train_langid + langid_scores): one-vs-
+    rest batch perceptrons over hashed char-bigram features — the
+    fastText-style upgrade of the q_lang_id heuristic — trained and
+    applied entirely in-engine on the deterministic multilingual fixture.
+    Weights, biases and margins are all int64 (no float anywhere), and
+    the synchronous-batch updates are order-free, so the DuckDB oracle
+    unrolls the identical 2 epochs per language as chained CTEs and
+    reproduces every margin bit-for-bit; pred_lang = first language in
+    (en, vi, fr) order attaining the max margin in both engines."""
+    from frontier_engine import infer as IN
+
+    fx = _langid_fixture(spark, sf)
+    models = IN.train_langid(
+        fx, label_col="gold_lang", langs=_LANGID_LANGS, dim=64, epochs=2
+    )
+    scored = IN.langid_scores(fx, models, _LANGID_LANGS)
+    return fx.select("doc_id", "gold_lang").join(scored, "doc_id").select(
+        "doc_id", "gold_lang", "pred_lang",
+        *[F.col(f"margin_{l}") for l in _LANGID_LANGS],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pruned_agg": q_pruned_agg,
@@ -3320,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strand_pairs": q_strand_pairs,
         "image_alt_pairs": q_image_alt_pairs,
         "perceptron": q_perceptron,
+        "langid_trained": q_langid_trained,
         "hard_negatives": q_hard_negatives,
     }
 
@@ -3657,6 +3733,95 @@ def _moji_suffix_case() -> str:
     return (
         "CASE CAST(doc_id % 3 AS INT)"
         f" WHEN 0 THEN '{c[0]}' WHEN 1 THEN '{c[1]}' ELSE '{c[2]}' END"
+    )
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of q_langid_trained: the same char-bigram hashed
+    features and, per language, the same 2 unrolled synchronous-batch
+    perceptron epochs as the 'perceptron' oracle (all int64 — exact),
+    then first-max-in-langs-order prediction."""
+    langs = _LANGID_LANGS
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    phrase_case = "CASE CAST(doc_id % 3 AS INT)"
+    for li, lang in enumerate(langs):
+        inner = "CASE CAST((doc_id // 3) % 4 AS INT)"
+        for vi in range(3):
+            inner += f" WHEN {vi} THEN '{esc(_LANGID_PHRASES[lang][vi])}'"
+        inner += f" ELSE '{esc(_LANGID_PHRASES[lang][3])}' END"
+        phrase_case += (
+            f" WHEN {li} THEN ({inner})" if li < len(langs) - 1 else f" ELSE ({inner})"
+        )
+    phrase_case += " END"
+    gold_case = "CASE CAST(doc_id % 3 AS INT)"
+    for li, lang in enumerate(langs[:-1]):
+        gold_case += f" WHEN {li} THEN '{lang}'"
+    gold_case += f" ELSE '{langs[-1]}' END"
+
+    ctes = [
+        f"""base AS (
+            SELECT doc_id, {gold_case} AS gold_lang,
+                   {phrase_case} || ' w' || CAST(doc_id % 17 AS VARCHAR) AS text
+            FROM documents)""",
+        """t AS (
+            SELECT doc_id, unnest(CASE WHEN len(lt) < 2 THEN [lt]
+                ELSE list_transform(range(1, len(lt)), i -> substr(lt, CAST(i AS INT), 2)) END) AS g
+            FROM (SELECT doc_id, lower(text) AS lt FROM base))""",
+        """f AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 64 AS INT) AS feat,
+                   count(*) AS cnt
+            FROM t GROUP BY 1, 2)""",
+    ]
+    for L in langs:
+        ctes += [
+            f"""y_{L} AS (
+                SELECT doc_id, CASE WHEN gold_lang = '{L}' THEN 1 ELSE -1 END AS yy
+                FROM base)""",
+            f"""w1_{L} AS (
+                SELECT feat, SUM(yy * cnt) AS w
+                FROM f JOIN y_{L} USING (doc_id) GROUP BY feat)""",
+            f"b1_{L} AS (SELECT SUM(yy) AS b FROM y_{L})",
+            f"""m2_{L} AS (
+                SELECT y.doc_id, y.yy, COALESCE(s.dot, 0) + (SELECT b FROM b1_{L}) AS s
+                FROM y_{L} y LEFT JOIN (
+                    SELECT f.doc_id, SUM(f.cnt * w1_{L}.w) AS dot
+                    FROM f JOIN w1_{L} USING (feat) GROUP BY f.doc_id
+                ) s USING (doc_id))""",
+            f"""u2_{L} AS (
+                SELECT feat, SUM(m.yy * f.cnt) AS dw
+                FROM f JOIN (
+                    SELECT doc_id, yy FROM m2_{L} WHERE yy * s <= 0
+                ) m USING (doc_id) GROUP BY feat)""",
+            f"""w2_{L} AS (
+                SELECT COALESCE(w1_{L}.feat, u2_{L}.feat) AS feat,
+                       COALESCE(w1_{L}.w, 0) + COALESCE(u2_{L}.dw, 0) AS w
+                FROM w1_{L} FULL JOIN u2_{L} ON w1_{L}.feat = u2_{L}.feat)""",
+            f"""b2_{L} AS (
+                SELECT (SELECT b FROM b1_{L})
+                       + COALESCE((SELECT SUM(yy) FROM m2_{L} WHERE yy * s <= 0), 0) AS b)""",
+            f"""mf_{L} AS (
+                SELECT b.doc_id, COALESCE(s.dot, 0) + (SELECT b FROM b2_{L}) AS s
+                FROM base b LEFT JOIN (
+                    SELECT f.doc_id, SUM(f.cnt * w2_{L}.w) AS dot
+                    FROM f JOIN w2_{L} USING (feat) GROUP BY f.doc_id
+                ) s USING (doc_id))""",
+        ]
+    # first language in langs order attaining the max margin
+    pred = "CASE"
+    for li, L in enumerate(langs[:-1]):
+        conds = " AND ".join(f"mf_{L}.s >= mf_{M}.s" for M in langs[li + 1 :])
+        pred += f" WHEN {conds} THEN '{L}'"
+    pred += f" ELSE '{langs[-1]}' END"
+    margins = ", ".join(f"CAST(mf_{L}.s AS BIGINT) AS margin_{L}" for L in langs)
+    joins = " ".join(f"JOIN mf_{L} USING (doc_id)" for L in langs)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT base.doc_id, base.gold_lang, {pred} AS pred_lang, {margins} "
+        + f"FROM base {joins}"
     )
 
 
@@ -6798,6 +6963,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
             FROM mf
         """,
+        "langid_trained": _langid_oracle_sql(),
         "image_alt_pairs": r"""
             SELECT 'https://img' || CAST(doc_id % 7 AS VARCHAR)
                    || '.example/g/' || CAST(doc_id AS VARCHAR) AS page_url,
