@@ -117,7 +117,9 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     (``df.inputFiles()`` — plan metadata, no job), NOT ``df.rdd`` — the RDD
     conversion materializes a deoptimized plan per call and breaks
     whole-stage reuse downstream.  Non-file-backed plans (in-memory
-    relations) fall back to the RDD probe; they have no scan to deoptimize.
+    relations) are estimated at the cluster's default parallelism — the
+    slice count Spark gives local data — keeping the package free of
+    ``.rdd`` in every path.
     """
     import os as _os
     from urllib.parse import urlparse
@@ -141,7 +143,7 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
             if est >= min_parts:
                 return df
         return df.repartition(min_parts)
-    if df.rdd.getNumPartitions() >= min_parts:
+    if spark.sparkContext.defaultParallelism >= min_parts:
         return df
     return df.repartition(min_parts)
 
