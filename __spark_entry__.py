@@ -3140,9 +3140,13 @@ def q_image_alt_pairs(spark, sf):
     from frontier_engine import extract as EX
 
     d = _t(spark, sf, "documents")
-    alt_src = F.replace(
-        F.substring(F.col("text"), 1, 60), F.lit('"'), F.lit(" ")
-    )
+    # Sanitize every character that is load-bearing inside an HTML attribute
+    # ('"' would close it, '<'/'>' would truncate the tag, '&' would be
+    # entity-unescaped engine-side only) so the parity contract holds for
+    # ANY corpus text, not just the current seed's.
+    alt_src = F.substring(F.col("text"), 1, 60)
+    for ch in ('"', "<", ">", "&"):
+        alt_src = F.replace(alt_src, F.lit(ch), F.lit(" "))
     page_url = F.concat(
         F.lit("https://img"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".example/g/"), F.col("doc_id").cast("string"),
@@ -6887,13 +6891,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             k AS (
                 SELECT doc_id, n_chars,
-                       regexp_replace(regexp_replace(regexp_replace(url,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+                           '/({_STRAND_ALT})/', '/~L~/', 'g'),
                            '/({_STRAND_ALT})/', '/~L~/', 'g'),
                            '/({_STRAND_ALT})$', '/~L~', 'g'),
-                           'lang=({_STRAND_ALT})', 'lang=~L~', 'g') AS key,
+                           '(^|[?&])lang=({_STRAND_ALT})(&|$)',
+                           '\\1lang=~L~\\3', 'g') AS key,
                        coalesce(
                            nullif(regexp_extract(url, '/({_STRAND_ALT})(/|$)', 1), ''),
-                           nullif(regexp_extract(url, 'lang=({_STRAND_ALT})', 1), '')
+                           nullif(regexp_extract(url,
+                               '(^|[?&])lang=({_STRAND_ALT})(&|$)', 2), '')
                        ) AS lang
                 FROM u),
             f AS (SELECT * FROM k WHERE lang IS NOT NULL),
@@ -6971,11 +6978,11 @@ def oracle_sql() -> dict[str, str]:
                    || '.example/img/' || CAST(doc_id AS VARCHAR) || '.jpg'
                        AS img_url,
                    trim(regexp_replace(
-                       replace(substr(text, 1, 60), '"', ' '),
+                       translate(substr(text, 1, 60), '"<>&', '    '),
                        '\s+', ' ', 'g')) AS alt
             FROM documents
             WHERE length(trim(regexp_replace(
-                      replace(substr(text, 1, 60), '"', ' '),
+                      translate(substr(text, 1, 60), '"<>&', '    '),
                       '\s+', ' ', 'g'))) >= 5
         """,
         "term_drift": r"""

@@ -32,8 +32,12 @@ _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 _TAG_RE = re.compile(r"(?s)<[^>]*>")
 _WS_RE = re.compile(r"\s+")
 _A_TAG_RE = re.compile(r"(?is)<a(\s[^>]*)>")
-_HREF_IN_RE = re.compile(r"(?is)href\s*=\s*[\"']([^\"'#][^\"']*)[\"']")
-_REL_IN_RE = re.compile(r"(?is)rel\s*=\s*[\"']([^\"']*)[\"']")
+# (?:^|\s) anchors the attribute NAME: without it 'data-src=' / 'data-href='
+# lazy-loading attributes would satisfy the bare 'src\s*=' pattern and harvest
+# the wrong URL on real pages. The *_TAG_RE groups capture '(\s[^>]*)', so the
+# first attribute in every attrs string is always preceded by whitespace.
+_HREF_IN_RE = re.compile(r"(?is)(?:^|\s)href\s*=\s*[\"']([^\"'#][^\"']*)[\"']")
+_REL_IN_RE = re.compile(r"(?is)(?:^|\s)rel\s*=\s*[\"']([^\"']*)[\"']")
 _META_ROBOTS_RE = re.compile(
     r"(?is)<meta\s[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*>"
 )
@@ -308,8 +312,10 @@ links_udf = links_udf_factory()
 # --------------------------------------------------- image-text pair mining
 
 _IMG_TAG_RE = re.compile(r"(?is)<img(\s[^>]*)>")
-_SRC_IN_RE = re.compile(r"(?is)src\s*=\s*[\"']([^\"'#][^\"']*)[\"']")
-_ALT_IN_RE = re.compile(r"(?is)alt\s*=\s*[\"']([^\"']*)[\"']")
+# Name-anchored like _HREF_IN_RE: '<img data-src=...>' (lazy loading) must
+# not match as src, and 'data-alt=' must not match as alt.
+_SRC_IN_RE = re.compile(r"(?is)(?:^|\s)src\s*=\s*[\"']([^\"'#][^\"']*)[\"']")
+_ALT_IN_RE = re.compile(r"(?is)(?:^|\s)alt\s*=\s*[\"']([^\"']*)[\"']")
 
 
 def image_alt_pairs_py(

@@ -3537,11 +3537,18 @@ def strand_pairs(
         raise ValueError("strand_pairs: need max_ratio_pm >= 0, max_bucket >= 2")
     alt = "|".join(langs)
     url = F.col(url_col)
+    # The /xx/ replace runs TWICE: with adjacent segments ('/en/fr/x') the
+    # first 'g' pass consumes the shared '/', so 'fr' survives pass one and
+    # is substituted in pass two. The 'lang=' token is boundary-anchored
+    # ('?slang=en', '?hreflang=en', '?lang=english' must not match) with
+    # capture-group backreferences rather than lookaround, so the DuckDB
+    # oracle (RE2: no lookbehind) replays the exact expression.
     key = F.regexp_replace(url, f"/({alt})/", "/~L~/")
+    key = F.regexp_replace(key, f"/({alt})/", "/~L~/")
     key = F.regexp_replace(key, f"/({alt})$", "/~L~")
-    key = F.regexp_replace(key, f"lang=({alt})", "lang=~L~")
+    key = F.regexp_replace(key, f"(^|[?&])lang=({alt})(&|$)", "$1lang=~L~$3")
     path_lang = F.regexp_extract(url, f"/({alt})(/|$)", 1)
-    query_lang = F.regexp_extract(url, f"lang=({alt})", 1)
+    query_lang = F.regexp_extract(url, f"(^|[?&])lang=({alt})(&|$)", 2)
     lang = F.coalesce(
         F.nullif(path_lang, F.lit("")), F.nullif(query_lang, F.lit(""))
     )

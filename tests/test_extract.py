@@ -32,6 +32,29 @@ def test_extract_links_order_and_resolution():
     ]
 
 
+def test_attribute_names_are_anchored():
+    # lazy-loading 'data-href='/'data-src=' must not satisfy the href/src
+    # patterns: a tag with ONLY data-src yields nothing, and a tag with
+    # both harvests the real attribute (ADVICE round-4 finding)
+    html = (
+        b'<a data-href="/lazy">no real href</a>'
+        b'<a data-href="/lazy" href="/real">both</a>'
+    )
+    assert extract_links_py(html, "https://h.example/") == [
+        "https://h.example/real"
+    ]
+    from frontier_engine.extract import image_alt_pairs_py
+
+    img = (
+        b'<img data-src="/lazy.jpg" alt="lazy only, must be dropped">'
+        b'<img data-src="/lazy.jpg" src="/real.jpg" data-alt="x" '
+        b'alt="real caption here">'
+    )
+    assert image_alt_pairs_py(img, "https://h.example/") == [
+        ("https://h.example/real.jpg", "real caption here")
+    ]
+
+
 def test_udf_matches_python_on_corpus(spark):
     paths = fixtures.corpus("mini")
     pages = spark.read.parquet(paths["pages"])

@@ -48,6 +48,25 @@ def test_strand_trailing_segment_and_query_forms(spark):
     assert got == {(1, 2): ("en", "fr", 0), (4, 3): ("de", "en", 38)}
 
 
+def test_strand_query_token_boundaries(spark):
+    # '?slang=en' / '?hreflang=en' / '?lang=english' must NOT read as a
+    # language token; adjacent path segments '/en/fr/x' normalize BOTH
+    # segments so the two orders share one key (ADVICE round-4 findings)
+    got = _pairs(
+        spark,
+        [
+            (1, "https://a.example/doc-1?slang=en", 100),
+            (2, "https://a.example/doc-1?hreflang=fr", 100),
+            (3, "https://a.example/doc-2?lang=english", 100),
+            (4, "https://a.example/en/fr/x", 100),
+            (5, "https://a.example/fr/en/x", 100),
+        ],
+    )
+    # 1-3 carry no language token at all; 4/5 pair on the doubly-normalized
+    # key with lang from the FIRST path segment
+    assert got == {(4, 5): ("en", "fr", 0)}
+
+
 def test_strand_same_lang_never_pairs(spark):
     got = _pairs(
         spark,
