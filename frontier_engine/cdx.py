@@ -42,7 +42,13 @@ from pyspark.sql import functions as F
 from . import canon
 from .shardplan import host_shard_plan
 
-__all__ = ["cdx_entries", "build_cdx", "lookup_cdx", "latest_captures"]
+__all__ = [
+    "cdx_entries",
+    "build_cdx",
+    "lookup_cdx",
+    "latest_captures",
+    "write_cdxj",
+]
 
 # lexicographic upper fence for a prefix range: no valid SURT character
 # sorts above ￿, so [prefix, prefix + FENCE] covers every key the
@@ -131,6 +137,103 @@ def build_cdx(
     )
     with open(os.path.join(out_dir, "_cluster.json"), "w") as f:
         json.dump({"format": "cdx-parquet", "shards": manifest}, f, indent=1)
+    return manifest
+
+
+def write_cdxj(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    n_shards: int = 1,
+) -> list[dict]:
+    """pywb-compatible textual CDXJ export of a WARC sink's captures.
+
+    ``warc_dir`` is a :func:`frontier_engine.warc.write_warc` output
+    written with ``capture_index=True`` — its ``_captures/`` sidecar
+    already holds each record's compressed member offset/length, so this
+    never re-reads the archive.  Each capture becomes one line in the
+    format standard replay tools (pywb / OpenWayback / cdxj-indexer)
+    index::
+
+        <surt> <yyyyMMddHHmmss> {"url": ..., "mime": ..., "status": ...,
+                                 "digest": ..., "length": ..., "offset":
+                                 ..., "filename": ...}
+
+    JSON values are strings (pywb's convention), null fields omitted,
+    key order fixed.  Output is ``n_shards`` text files, globally sorted
+    by (surt, timestamp): range-partitioned on the key then sorted
+    within each shard, so shard *k* holds keys entirely below shard
+    *k+1* — exactly Common Crawl's sharded ``cdx-NNNNN.gz`` +
+    ``cluster.idx`` layout.  A ``_cluster.json`` manifest (shard, lo/hi
+    key, line count) commits the export.
+
+    Scale shape: the capture index is (per-record metadata)-sized, never
+    page-sized; one range shuffle + per-shard sort is the unavoidable
+    cost of a globally-sorted text artifact.  Expression-only line
+    building (``to_json`` over a struct) — no Python in the row path;
+    the shard writer is the same one-file-per-partition ``mapInPandas``
+    pattern as the WARC sink itself.
+    """
+    caps = spark.read.parquet(os.path.join(warc_dir, "_captures"))
+    surt = canon.surt_col(F.col("url"))
+    ts14 = F.regexp_replace(F.col("ts"), "[^0-9]", "")
+    block = F.to_json(
+        F.struct(
+            F.col("url"),
+            F.col("mime"),
+            F.col("http_status").cast("string").alias("status"),
+            F.col("payload_digest").alias("digest"),
+            F.col("length").cast("string").alias("length"),
+            F.col("offset").cast("string").alias("offset"),
+            F.col("filename"),
+        )
+    )
+    lines = (
+        caps.where(F.col("url").isNotNull())
+        .select(
+            surt.alias("surt"),
+            ts14.alias("ts14"),
+            F.concat_ws(" ", surt, ts14, block).alias("line"),
+        )
+        .where(F.col("surt") != "")
+    )
+    arranged = lines.repartitionByRange(
+        n_shards, "surt", "ts14"
+    ).sortWithinPartitions("surt", "ts14")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"cdx-{pid:05d}.cdxj")
+        n = 0
+        lo = hi = None
+        with open(path, "w", encoding="utf-8") as f:
+            for pdf in batches:
+                for s, t, line in zip(pdf["surt"], pdf["ts14"], pdf["line"]):
+                    f.write(line + "\n")
+                    if lo is None:
+                        lo = f"{s} {t}"
+                    hi = f"{s} {t}"
+                    n += 1
+        if n == 0:
+            os.remove(path)
+            return
+        yield pd.DataFrame(
+            {"shard": [os.path.basename(path)], "lo": [lo], "hi": [hi], "n": [n]}
+        )
+
+    manifest = [
+        r.asDict()
+        for r in arranged.mapInPandas(
+            write_partition, "shard string, lo string, hi string, n long"
+        ).collect()
+    ]
+    manifest.sort(key=lambda m: m["shard"])
+    with open(os.path.join(out_dir, "_cluster.json"), "w") as f:
+        json.dump({"format": "cdxj", "shards": manifest}, f, indent=1)
     return manifest
 
 

@@ -21,6 +21,15 @@ This module gives the engine that surface:
                           deferred queue carried in state — the streaming
                           twin of the batch drain (T1) for a continuously
                           arriving frontier
+- ``exact_dedup_gate``    stateful exact-dedup gate keyed by content hash —
+                          the streaming twin of textops.incremental_dedup
+                          (unbounded ledger, optional static history
+                          anti-join), emitting first arrivals only
+- ``neardup_band_gate``   stateful MinHash-LSH near-dup gate keyed by
+                          (band, band_hash) — per-band collision verdicts
+                          against all history; ``neardup_survivors``
+                          reduces a trigger's verdicts to surviving docs
+                          (foreachBatch side)
 
 Tested with trigger(availableNow=True) over the synthetic corpus split into
 multiple files (tests/test_streaming.py).
@@ -191,6 +200,210 @@ def politeness_gate(
         stateStructType=GATE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+EXACT_GATE_OUTPUT_SCHEMA = "url string, warc_ts timestamp, text string, h long"
+EXACT_GATE_STATE_SCHEMA = "first_ts_ns long"
+
+
+def exact_dedup_gate(
+    pages: DataFrame,
+    history_hashes: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of :func:`frontier_engine.textops.incremental_dedup`:
+    an exact-dedup GATE over a continuously arriving page stream.  A page
+    passes iff its body hash has never been seen — not in the optional
+    static ``history_hashes`` ledger (one ``h: long`` column, e.g. the
+    accumulated ledger of every previous dump) and not earlier in the
+    stream.
+
+    Same two-stage plan as the batch twin, re-expressed for streaming:
+    the history probe is a stream-static **left-anti join** on the 8-byte
+    hash (Catalyst handles it; the static side is broadcast while small),
+    and the within-stream first-wins is ``applyInPandasWithState`` keyed
+    by the content hash itself — the state key IS the hash bucket, so
+    per-key state is one tiny struct (first-seen timestamp) and total
+    state is exactly the distinct-hash ledger any exact dedup must hold
+    (RocksDB state store territory at 10^10 URLs, the same scale posture
+    as Common Crawl's cross-dump dedup).  No watermark: unlike
+    :func:`dedup_stream`, duplicates are dropped FOREVER — which is why
+    state never times out (``NoTimeout``).
+
+    Determinism contract (matched value-for-value against the batch twin
+    in tests/test_streaming.py): within a trigger a group emits its
+    ``(warc_ts, url)``-minimal row; across triggers the earlier trigger
+    wins.  When arrival order respects event time, the survivor set is
+    exactly "first occurrence per distinct body".
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = pages.select(
+        "url",
+        "warc_ts",
+        F.col(text_col).alias("text"),
+        F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("h"),
+    )
+    if history_hashes is not None:
+        hist = history_hashes.select(F.col("h").cast("long").alias("h")).distinct()
+        d = d.join(hist, "h", "left_anti")
+
+    def gate(key, pdfs, state):
+        rows = []
+        for pdf in pdfs:
+            for u, ts, tx in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+                rows.append((int(pd.Timestamp(ts).value), u, tx))
+        if not rows:
+            return
+        if not state.exists:
+            rows.sort(key=lambda r: (r[0], r[1]))
+            ts_ns, u, tx = rows[0]
+            state.update((ts_ns,))
+            yield pd.DataFrame(
+                {
+                    "url": [u],
+                    "warc_ts": [pd.Timestamp(ts_ns)],
+                    "text": [tx],
+                    "h": [int(key[0])],
+                }
+            )
+        # state.exists: every row in this trigger is a later duplicate —
+        # nothing emitted, nothing to update (first_ts is already minimal
+        # because triggers process arrivals in order)
+
+    return d.groupBy("h").applyInPandasWithState(
+        gate,
+        outputStructType=EXACT_GATE_OUTPUT_SCHEMA,
+        stateStructType=EXACT_GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+NEARDUP_VERDICT_SCHEMA = (
+    "url string, warc_ts timestamp, band int, collided boolean"
+)
+NEARDUP_STATE_SCHEMA = "first_ts_ns long"
+
+
+def neardup_band_gate(
+    pages: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup gate, stage 1: per-band collision
+    verdicts.  The streaming twin of
+    :func:`frontier_engine.textops.minhash_candidate_pairs`'s banding,
+    turned into a gate: a document is a near-dup of history iff ANY of
+    its LSH bands collides with a band seen before.
+
+    Banding is byte-identical with the batch path (same
+    ``shingle_hashes`` → ``minhash_signature_udf`` →
+    ``minhash_bands`` expressions), then each document explodes into
+    ``bands`` rows and the stateful operator keys on **(band,
+    band_hash)** — the state key IS the LSH bucket, so per-key state is
+    one struct and the state store holds exactly the distinct band
+    hashes ever seen (8·N entries for N docs; RocksDB territory at
+    crawl scale, and the same memory any LSH dedup index must pay).
+    Every arriving band CLAIMS its bucket whether or not its document
+    survives — the transitive-absorption semantics of MinHash dedup
+    clustering (a doc near-dup of a dropped doc is itself a dup), which
+    keeps the verdict per band local to one state key: no cross-group
+    coordination, no second stateful operator.
+
+    Verdict rule per group and trigger, deterministic at any
+    parallelism: rows order by ``(warc_ts, url)``; the first row
+    collides iff the bucket was already claimed in an earlier trigger,
+    every later row collides.  Stage 2 (:func:`neardup_survivors`) is a
+    plain per-trigger aggregation — run it on the micro-batch inside
+    ``foreachBatch`` (all of a document's band verdicts are emitted in
+    the trigger that processed it, so the reduction never crosses
+    batches).
+
+    Caveat shared with every MinHash op in the engine: empty/shingle-free
+    documents all carry the sentinel signature and therefore gate each
+    other — filter them upstream (C4/Gopher gates do) or route them
+    through :func:`exact_dedup_gate`.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .textops import minhash_bands, minhash_signature_udf, shingle_hashes
+
+    if num_perm % bands != 0:
+        raise ValueError("neardup_band_gate: bands must divide num_perm")
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_udf(num_perm)
+    banded = (
+        pages.select(
+            "url",
+            "warc_ts",
+            sig(shingle_hashes(F.col(text_col), shingle_k)).alias("sig"),
+        )
+        .select(
+            "url",
+            "warc_ts",
+            F.explode(
+                minhash_bands(F.col("sig"), bands, rows_per_band)
+            ).alias("bb"),
+        )
+        .select(
+            "url",
+            "warc_ts",
+            F.col("bb.band").cast("int").alias("band"),
+            F.col("bb.band_hash").alias("band_hash"),
+        )
+    )
+
+    def gate(key, pdfs, state):
+        rows = []
+        for pdf in pdfs:
+            for u, ts in zip(pdf["url"], pdf["warc_ts"]):
+                rows.append((int(pd.Timestamp(ts).value), u))
+        if not rows:
+            return
+        rows.sort()
+        claimed = state.exists
+        if not claimed:
+            state.update((rows[0][0],))
+        out_url = [r[1] for r in rows]
+        out_ts = [pd.Timestamp(r[0]) for r in rows]
+        collided = [claimed or i > 0 for i in range(len(rows))]
+        yield pd.DataFrame(
+            {
+                "url": out_url,
+                "warc_ts": out_ts,
+                "band": [int(key[0])] * len(rows),
+                "collided": collided,
+            }
+        )
+
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        gate,
+        outputStructType=NEARDUP_VERDICT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def neardup_survivors(verdicts: DataFrame) -> DataFrame:
+    """Stage 2 of the streaming near-dup gate: reduce one trigger's
+    per-band verdicts (``foreachBatch`` micro-batch of
+    :func:`neardup_band_gate` output) to surviving documents — keep a
+    document iff NO band collided.  One map-side-combinable aggregate
+    keyed by the document; ``n_bands`` is surfaced so a consumer can
+    assert completeness."""
+    return (
+        verdicts.groupBy("url", "warc_ts")
+        .agg(
+            F.max(F.col("collided").cast("int")).alias("_any"),
+            F.count(F.lit(1)).cast("long").alias("n_bands"),
+        )
+        .where(F.col("_any") == 0)
+        .drop("_any")
     )
 
 

@@ -40,6 +40,7 @@ import json
 import os
 import uuid
 from collections.abc import Iterator
+from urllib.parse import urlsplit
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -51,7 +52,7 @@ _SOFTWARE = "frontier-engine/0.3"
 READ_SCHEMA = (
     "url string, warc_ts timestamp, html binary, record_id string, "
     "warc_type string, http_status int, mime string, lang string, shard string, "
-    "payload_digest string, refers_to_uri string"
+    "payload_digest string, refers_to_uri string, concurrent_to string"
 )
 
 # the WARC 1.1 / IIPC revisit profile Common Crawl uses for recrawl dedup:
@@ -120,6 +121,23 @@ def build_record(
     return head + payload + b"\r\n\r\n"
 
 
+def _http_request_head(url: str, user_agent: str) -> bytes:
+    """The HTTP/1.1 request head a fetch of ``url`` would have sent —
+    the payload of a ``request`` record (``msgtype=request``).  Built
+    deterministically from the URL alone (the engine's fetch-join model
+    has no live socket): GET, origin-form target, Host from the URL."""
+    parts = urlsplit(url)
+    target = parts.path or "/"
+    if parts.query:
+        target += "?" + parts.query
+    return (
+        f"GET {target} HTTP/1.1\r\n"
+        f"Host: {parts.netloc}\r\n"
+        f"User-Agent: {user_agent}\r\n"
+        f"Accept: */*\r\n\r\n"
+    ).encode()
+
+
 def _http_envelope(body: bytes, status: int, mime: str) -> bytes:
     head = (
         f"HTTP/1.1 {status} {'OK' if status == 200 else 'X'}\r\n"
@@ -147,6 +165,9 @@ def write_warc(
     revisit_col: str | None = None,
     refers_url_col: str = "refers_url",
     refers_ts_col: str = "refers_ts",
+    emit_requests: bool = False,
+    user_agent: str = _SOFTWARE,
+    capture_index: bool = False,
 ) -> list[dict]:
     """Distributed WARC sink (eager — runs the job, like ``.write.save``).
 
@@ -167,11 +188,18 @@ def write_warc(
     and the payload digest; the duplicate body bytes are never written
     twice.  :func:`resolve_revisits` re-hydrates them on read.
 
+    ``emit_requests`` pairs every capture with a ``request`` record
+    (written immediately before it, Common Crawl's request/response
+    layout): the HTTP request head the fetch would have sent, linked to
+    its capture by ``WARC-Concurrent-To`` — the linkage replay/analysis
+    tools use to reunite the pair.  :func:`read_warc` surfaces the link
+    as the ``concurrent_to`` column.
+
     Returns the shard manifest (also persisted as ``manifest.json`` — the
     commit marker: written after the job succeeds, so readers that trust
     the manifest never see partial output).
     """
-    def row_to_record(row) -> bytes:
+    def row_to_record(row) -> list[bytes]:
         body = bytes(row.html) if row.html is not None else b""
         status = int(getattr(row, status_col)) if status_col else 200
         digest = payload_digest_b32(body)
@@ -200,13 +228,37 @@ def write_warc(
         lang = getattr(row, lang_col, None) if lang_col else None
         if lang is not None and not pd.isna(lang):
             headers[LANG_HEADER] = str(lang)
-        return build_record("revisit" if is_revisit else "response", payload, headers)
+        capture = build_record(
+            "revisit" if is_revisit else "response", payload, headers
+        )
+        if not emit_requests:
+            return [capture]
+        req_payload = _http_request_head(str(row.url), user_agent)
+        request = build_record(
+            "request",
+            req_payload,
+            {
+                "WARC-Record-ID": _record_id(
+                    f"{row.url}|{date}|request", req_payload
+                ),
+                "WARC-Date": date,
+                "WARC-Target-URI": row.url,
+                # links the request to ITS capture (a revisit of the same
+                # body at another time has a different response id)
+                "WARC-Concurrent-To": headers["WARC-Record-ID"],
+                "Content-Type": "application/http;msgtype=request",
+            },
+        )
+        return [request, capture]
 
     cols = ["url", "warc_ts", "html"]
     cols += [status_col] if status_col else []
     cols += [lang_col] if lang_col else []
     cols += [revisit_col, refers_url_col, refers_ts_col] if revisit_col else []
-    return _write_shards(df.select(*cols), out_dir, prefix, row_to_record)
+    return _write_shards(
+        df.select(*cols), out_dir, prefix, row_to_record,
+        capture_index=capture_index,
+    )
 
 
 def mark_revisits(df: DataFrame, prior: DataFrame | None = None) -> DataFrame:
@@ -337,6 +389,7 @@ def write_wet(
     prefix: str = "wet",
     text_col: str = "text",
     lang_col: str | None = None,
+    capture_index: bool = False,
 ) -> list[dict]:
     """Distributed WET sink (eager): the extracted-text twin of
     :func:`write_warc`, matching Common Crawl's WET convention —
@@ -374,7 +427,10 @@ def write_wet(
     cols = ["url", "warc_ts", F.col(text_col).alias("wet_text")]
     cols += ["record_id"] if has_ref else []
     cols += [lang_col] if lang_col else []
-    return _write_shards(df.select(*cols), out_dir, prefix, row_to_record)
+    return _write_shards(
+        df.select(*cols), out_dir, prefix, row_to_record,
+        capture_index=capture_index,
+    )
 
 
 def write_wat(
@@ -437,12 +493,83 @@ def write_wat(
     return _write_shards(df.select(*cols), out_dir, prefix, row_to_record)
 
 
-def _write_shards(src: DataFrame, out_dir: str, prefix: str, row_to_record) -> list[dict]:
+# record types a CDX(J) index points at: replayable captures.  request /
+# warcinfo records are written but not indexed, matching wayback practice
+_INDEXED_TYPES = ("response", "revisit", "conversion", "metadata")
+
+
+def _capture_entry(rec: bytes, shard: str, offset: int) -> dict | None:
+    """Parse ONE just-built record's head into a capture-index row (the
+    writer knows the compressed member offset/length — exactly what a
+    CDX index needs and what is unrecoverable without re-scanning)."""
+    head_end = rec.find(b"\r\n\r\n")
+    headers: dict[str, str] = {}
+    for line in rec[:head_end].split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+    rtype = headers.get("warc-type", "")
+    if rtype not in _INDEXED_TYPES:
+        return None
+    payload = rec[head_end + 4 :]
+    status = None
+    mime_val = None
+    if payload[:5] == b"HTTP/":
+        env_end = payload.find(b"\r\n\r\n")
+        if env_end >= 0:
+            env_lines = payload[:env_end].split(b"\r\n")
+            try:
+                status = int(env_lines[0].split(b" ")[1])
+            except (IndexError, ValueError):
+                status = None
+            for line in env_lines[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    mime_val = v.strip().decode("latin-1")
+    elif rtype == "conversion":
+        mime_val = headers.get("content-type")
+    return {
+        "url": headers.get("warc-target-uri"),
+        "ts": headers.get("warc-date"),
+        "record_id": headers.get("warc-record-id"),
+        "warc_type": rtype,
+        "payload_digest": headers.get("warc-payload-digest"),
+        "http_status": status,
+        "mime": mime_val,
+        "filename": os.path.basename(shard),
+        "offset": offset,
+    }
+
+
+CAPTURES_SCHEMA = (
+    "url string, ts string, record_id string, warc_type string, "
+    "payload_digest string, http_status int, mime string, "
+    "filename string, offset long, length long"
+)
+
+
+def _write_shards(
+    src: DataFrame,
+    out_dir: str,
+    prefix: str,
+    row_to_record,
+    capture_index: bool = False,
+) -> list[dict]:
     """Shared executor-side shard writer behind :func:`write_warc` /
     :func:`write_wet`: one ``.warc.gz`` per partition opened by a
     ``warcinfo`` record, deterministic bytes, driver-side
-    ``manifest.json`` as the commit marker."""
+    ``manifest.json`` as the commit marker.  ``row_to_record`` may return
+    one record or a list (request/response pairs).
+
+    ``capture_index`` additionally writes ``<out_dir>/_captures/`` — one
+    parquet file per shard holding (url, ts, record id, type, digest,
+    status, mime, filename, compressed member offset+length) for every
+    replayable record.  Offsets are knowable only at write time (each
+    record is its own gzip member); this sidecar is what
+    :func:`frontier_engine.cdx.write_cdxj` turns into a pywb-indexable
+    CDXJ without ever re-reading the archive."""
     os.makedirs(out_dir, exist_ok=True)
+    if capture_index:
+        os.makedirs(os.path.join(out_dir, "_captures"), exist_ok=True)
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -450,6 +577,8 @@ def _write_shards(src: DataFrame, out_dir: str, prefix: str, row_to_record) -> l
         pid = TaskContext.get().partitionId()
         shard = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.gz")
         n = 0
+        off = 0
+        entries: list[dict] = []
         sha = hashlib.sha256()
         with open(shard, "wb") as f:
             info_payload = (
@@ -468,12 +597,52 @@ def _write_shards(src: DataFrame, out_dir: str, prefix: str, row_to_record) -> l
             member = _gzip_member(info)
             f.write(member)
             sha.update(member)
+            off += len(member)
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    member = _gzip_member(row_to_record(row))
-                    f.write(member)
-                    sha.update(member)
-                    n += 1
+                    recs = row_to_record(row)
+                    if isinstance(recs, bytes):
+                        recs = [recs]
+                    for rec in recs:
+                        member = _gzip_member(rec)
+                        f.write(member)
+                        sha.update(member)
+                        if capture_index:
+                            e = _capture_entry(rec, shard, off)
+                            if e is not None:
+                                e["length"] = len(member)
+                                entries.append(e)
+                        off += len(member)
+                        n += 1
+        if capture_index:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            cap_path = os.path.join(
+                out_dir, "_captures", f"{prefix}-{pid:05d}.parquet"
+            )
+            cols = [
+                "url", "ts", "record_id", "warc_type", "payload_digest",
+                "http_status", "mime", "filename", "offset", "length",
+            ]
+            table = pa.table(
+                {c: [e[c] for e in entries] for c in cols},
+                schema=pa.schema(
+                    [
+                        pa.field("url", pa.string()),
+                        pa.field("ts", pa.string()),
+                        pa.field("record_id", pa.string()),
+                        pa.field("warc_type", pa.string()),
+                        pa.field("payload_digest", pa.string()),
+                        pa.field("http_status", pa.int32()),
+                        pa.field("mime", pa.string()),
+                        pa.field("filename", pa.string()),
+                        pa.field("offset", pa.int64()),
+                        pa.field("length", pa.int64()),
+                    ]
+                ),
+            )
+            pq.write_table(table, cap_path)
         yield pd.DataFrame(
             {
                 "shard": [shard],
@@ -573,6 +742,7 @@ def _parse_warc_stream(raw: bytes, shard: str):
             "shard": shard,
             "payload_digest": headers.get("warc-payload-digest"),
             "refers_to_uri": headers.get("warc-refers-to-target-uri"),
+            "concurrent_to": headers.get("warc-concurrent-to"),
         }
 
 

@@ -52,6 +52,16 @@ def main(argv=None):
                          "already captured as identical-payload-digest "
                          "revisit records (bytes stored once); optional "
                          "value: a prior archive dir to also dedup against")
+    ap.add_argument("--warc-requests", action="store_true",
+                    help="with --warc-out: pair every capture with a "
+                         "request record (WARC-Concurrent-To linkage), "
+                         "Common Crawl's request/response layout")
+    ap.add_argument("--cdxj-out", default=None,
+                    help="with --warc-out: export a pywb-indexable CDXJ "
+                         "(SURT-sorted text, member offset/length) of the "
+                         "archive into this dir")
+    ap.add_argument("--cdxj-shards", type=int, default=1,
+                    help="number of range-sharded CDXJ text files")
     ap.add_argument("--wet-out", default=None,
                     help="after the crawl, export the latest extracted text "
                          "per URL as Common-Crawl-style WET .warc.gz shards "
@@ -178,11 +188,23 @@ def main(argv=None):
             frame = mark_revisits(frame, prior=prior).persist()
             summary["warc_revisits"] = frame.where("revisit").count()
             sink_kwargs["revisit_col"] = "revisit"
+        if args.warc_requests:
+            sink_kwargs["emit_requests"] = True
+        if args.cdxj_out:
+            sink_kwargs["capture_index"] = True
         manifest = write_warc(frame, args.warc_out, lang_col="lang", **sink_kwargs)
         if args.warc_dedup is not None:
             frame.unpersist()
         summary["warc_shards"] = len(manifest)
         summary["warc_records"] = sum(m["n_records"] for m in manifest)
+        if args.cdxj_out:
+            from frontier_engine.cdx import write_cdxj
+
+            cdxj = write_cdxj(
+                spark, args.warc_out, args.cdxj_out, n_shards=args.cdxj_shards
+            )
+            summary["cdxj_shards"] = len(cdxj)
+            summary["cdxj_lines"] = sum(m["n"] for m in cdxj)
 
     if args.wet_out:
         # extracted-text twin of --warc-out: WET conversion records from the

@@ -313,3 +313,197 @@ def test_asof_enrich_matches_batch_asof_join(spark, tmp_path):
     assert got[200] == (None, None)
     assert got[101][0] == 20.0
     assert got[102][0] == 20.0
+
+
+def _write_page_chunk(dirpath, name, rows):
+    """rows: list of (url, ts_datetime, text)."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "html": [b"<html>x</html>"] * len(rows),
+            "text": [r[2] for r in rows],
+            "lang": ["en"] * len(rows),
+        }
+    )
+    pq.write_table(t, os.path.join(dirpath, name))
+
+
+def test_exact_dedup_gate_matches_incremental_dedup(spark, tmp_path):
+    """Streaming exact-dedup gate == batch incremental_dedup value-for-value:
+    same survivors (url, text, h), history hashes blocked by the
+    stream-static anti-join, cross-trigger dups blocked by state, within-
+    trigger dups reduced to the (warc_ts, url)-minimal row."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from frontier_engine.textops import incremental_dedup
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    d = tmp_path / "exact-pages"
+    d.mkdir()
+    # chunk0: alpha twice within one trigger (a1 first by ts AND min url)
+    _write_page_chunk(str(d), "c0.parquet", [
+        ("https://s.example/a1", ts(0), "alpha body"),
+        ("https://s.example/a2", ts(1), "alpha body"),
+        ("https://s.example/b", ts(2), "beta body"),
+    ])
+    # chunk1: cross-trigger dup of alpha + fresh gamma
+    _write_page_chunk(str(d), "c1.parquet", [
+        ("https://s.example/a3", ts(10), "alpha body"),
+        ("https://s.example/g", ts(11), "gamma body"),
+    ])
+    # chunk2: dup of gamma, fresh delta, and a history-blocked body
+    _write_page_chunk(str(d), "c2.parquet", [
+        ("https://s.example/g2", ts(20), "gamma body"),
+        ("https://s.example/dd", ts(21), "delta body"),
+        ("https://s.example/h", ts(22), "history body"),
+    ])
+
+    history = spark.createDataFrame(
+        [("history body",)], "text string"
+    ).select(F.xxhash64("text").alias("h"))
+
+    gated = streaming.exact_dedup_gate(
+        streaming.stream_pages(spark, str(d)), history_hashes=history
+    )
+    (
+        gated.writeStream.format("memory")
+        .queryName("exact_gate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "exact-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.url, r.text, r.h)
+        for r in spark.table("exact_gate_out").collect()
+    }
+    assert {u for (u, _, _) in got} == {
+        "https://s.example/a1",
+        "https://s.example/b",
+        "https://s.example/g",
+        "https://s.example/dd",
+    }
+
+    # batch twin over the union of every chunk (duplicate groups are
+    # crafted so first-arrival == min url, where both rules agree)
+    allpages = spark.read.parquet(str(d))
+    want = {
+        (r.url, r.text, r.h)
+        for r in incremental_dedup(
+            allpages.select(F.col("url"), F.col("text")),
+            history,
+            id_col="url",
+        ).select("url", "text", "h").collect()
+    }
+    assert got == want
+
+
+def test_neardup_band_gate_matches_batch_banding(spark, tmp_path):
+    """Streaming MinHash band gate == batch first-per-band twin: a doc
+    survives iff every one of its LSH bands is first-claimed by it in
+    (trigger, warc_ts, url) order; near-dup templates collide, distinct
+    texts pass, and every verdict carries all `bands` bands."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from frontier_engine.textops import (
+        minhash_bands,
+        minhash_signature_udf,
+        shingle_hashes,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    words = [f"tok{i}" for i in range(60)]
+    template = " ".join(words)
+    near = " ".join(words[:-1] + ["CHANGED"])  # 59/60 shingles shared
+    other1 = " ".join(f"alt{i}" for i in range(60))
+    other2 = " ".join(f"misc{i}" for i in range(60))
+
+    d = tmp_path / "nd-pages"
+    d.mkdir()
+    _write_page_chunk(str(d), "c0.parquet", [
+        ("https://n.example/t1", ts(0), template),
+    ])
+    _write_page_chunk(str(d), "c1.parquet", [
+        ("https://n.example/t2", ts(10), near),      # near-dup of t1
+        ("https://n.example/o1", ts(11), other1),    # fresh
+    ])
+    _write_page_chunk(str(d), "c2.parquet", [
+        ("https://n.example/t3", ts(20), template),  # exact dup of t1
+        ("https://n.example/o2", ts(21), other2),    # fresh
+    ])
+
+    NUM_PERM, BANDS = 32, 8
+    verdicts = streaming.neardup_band_gate(
+        streaming.stream_pages(spark, str(d)), num_perm=NUM_PERM, bands=BANDS
+    )
+    survivors = []
+    per_batch_bands = []
+
+    def sink(bdf, bid):
+        rows = streaming.neardup_survivors(bdf).collect()
+        survivors.extend(rows)
+        per_batch_bands.extend(r.n_bands for r in rows)
+
+    (
+        verdicts.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = {r.url for r in survivors}
+    assert all(n == BANDS for n in per_batch_bands)
+
+    # batch twin: same banding expressions over the full corpus; a doc
+    # collides iff any of its bands was first claimed by an earlier
+    # (warc_ts, url) row — transitive absorption included
+    allpages = spark.read.parquet(str(d))
+    sig = minhash_signature_udf(NUM_PERM)
+    banded = (
+        allpages.select(
+            "url", "warc_ts", sig(shingle_hashes(F.col("text"), 3)).alias("sig")
+        )
+        .select(
+            "url",
+            "warc_ts",
+            F.explode(minhash_bands(F.col("sig"), BANDS, NUM_PERM // BANDS)).alias("bb"),
+        )
+        .select("url", "warc_ts", "bb.band", "bb.band_hash")
+    )
+    firsts = banded.groupBy("band", "band_hash").agg(
+        F.min(F.struct("warc_ts", "url")).alias("first")
+    )
+    want = {
+        r.url
+        for r in banded.join(firsts, ["band", "band_hash"])
+        .groupBy("url")
+        .agg(
+            F.max(
+                (F.col("first.url") != F.col("url")).cast("int")
+            ).alias("any_lost")
+        )
+        .where(F.col("any_lost") == 0)
+        .collect()
+    }
+    assert got == want
+    # the fixture's intent: template survives once, near/exact dups gated
+    assert "https://n.example/t1" in got
+    assert "https://n.example/t2" not in got and "https://n.example/t3" not in got
+    assert {"https://n.example/o1", "https://n.example/o2"} <= got

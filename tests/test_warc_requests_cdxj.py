@@ -1,0 +1,205 @@
+"""Request records (WARC-Concurrent-To linkage) and CDXJ export.
+
+- write_warc(emit_requests=True) pairs every capture with a ``request``
+  record holding the deterministic HTTP request head, linked to its
+  response by WARC-Concurrent-To; read_warc round-trips the linkage.
+- write_warc(capture_index=True) writes the _captures sidecar (member
+  offset/length per replayable record); cdx.write_cdxj turns it into
+  SURT-sorted pywb-style CDXJ text whose offset/length actually seek to
+  the right gzip member.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import warc
+from frontier_engine.cdx import write_cdxj
+
+
+@pytest.fixture()
+def pages(spark):
+    rows = [
+        ("https://a.example/x?q=1", datetime(2026, 1, 2, 3, 4, 5), b"<html>alpha</html>"),
+        ("https://b.example/y", datetime(2026, 1, 2, 3, 4, 6), b"<html>beta</html>"),
+        ("https://sub.a.example/", datetime(2026, 1, 3), b"<html>gamma</html>"),
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+
+
+def test_request_records_round_trip(spark, pages, tmp_path):
+    out = str(tmp_path / "warc")
+    manifest = warc.write_warc(pages.repartition(2), out, emit_requests=True)
+    # 3 pages -> 3 request + 3 response records
+    assert sum(m["n_records"] for m in manifest) == 6
+
+    back = warc.read_warc(spark, out).collect()
+    reqs = {r["url"]: r for r in back if r["warc_type"] == "request"}
+    resps = {r["url"]: r for r in back if r["warc_type"] == "response"}
+    assert set(reqs) == set(resps) == {r["url"] for r in pages.collect()}
+    for url, rq in reqs.items():
+        # the linkage replay tools use: request -> its capture
+        assert rq["concurrent_to"] == resps[url]["record_id"]
+        assert rq["record_id"] != resps[url]["record_id"]
+        assert rq["warc_ts"] == resps[url]["warc_ts"]
+        head = bytes(rq["html"]).decode("ascii")
+        assert head.startswith("GET ")
+        assert "Host: " in head and head.endswith("\r\n\r\n")
+    # origin-form target keeps the query string
+    assert "GET /x?q=1 HTTP/1.1" in bytes(reqs["https://a.example/x?q=1"]["html"]).decode()
+    # responses carry no concurrent_to
+    assert all(r["concurrent_to"] is None for r in resps.values())
+
+
+def test_request_records_deterministic(spark, pages, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sha_a = [m["sha256"] for m in warc.write_warc(pages.coalesce(1), a, emit_requests=True)]
+    sha_b = [m["sha256"] for m in warc.write_warc(pages.coalesce(1), b, emit_requests=True)]
+    assert sha_a == sha_b
+
+
+def test_cdxj_export_offsets_seek_to_records(spark, pages, tmp_path):
+    out = str(tmp_path / "warc")
+    warc.write_warc(pages.repartition(2), out, capture_index=True)
+    assert os.path.isdir(os.path.join(out, "_captures"))
+
+    cdxj_dir = str(tmp_path / "cdxj")
+    manifest = write_cdxj(spark, out, cdxj_dir)
+    assert sum(m["n"] for m in manifest) == 3
+    assert os.path.exists(os.path.join(cdxj_dir, "_cluster.json"))
+
+    lines = []
+    for m in manifest:
+        with open(os.path.join(cdxj_dir, m["shard"]), encoding="utf-8") as f:
+            lines += [l.rstrip("\n") for l in f]
+    assert len(lines) == 3
+    keys = [" ".join(l.split(" ", 2)[:2]) for l in lines]
+    assert keys == sorted(keys)  # globally sorted SURT + timestamp
+    # host-reversed SURT keys: sub.a.example sorts inside a.example's range
+    assert keys[0].startswith("example,a)")
+    assert keys[1].startswith("example,a,sub)")
+    assert keys[2].startswith("example,b)")
+
+    by_url = {}
+    for line in lines:
+        surt, ts14, block = line.split(" ", 2)
+        assert len(ts14) == 14 and ts14.isdigit()
+        j = json.loads(block)
+        by_url[j["url"]] = j
+        # pywb convention: string values
+        assert j["status"] == "200"
+        assert j["mime"] == "text/html"
+        assert j["digest"].startswith("sha1:")
+        # offset/length seek to a gzip member that IS this capture
+        raw = open(os.path.join(out, j["filename"]), "rb").read()
+        member = raw[int(j["offset"]) : int(j["offset"]) + int(j["length"])]
+        rec = gzip.decompress(member)
+        assert rec.startswith(b"WARC/1.0\r\n")
+        assert f"WARC-Target-URI: {j['url']}".encode() in rec
+        assert b"WARC-Type: response" in rec
+    assert set(by_url) == {r["url"] for r in pages.collect()}
+
+
+def test_cdxj_requests_not_indexed(spark, pages, tmp_path):
+    out = str(tmp_path / "warc")
+    warc.write_warc(
+        pages.coalesce(1), out, emit_requests=True, capture_index=True
+    )
+    manifest = write_cdxj(spark, out, str(tmp_path / "cdxj"))
+    # 6 records in the archive, but only the 3 replayable captures indexed
+    assert sum(m["n"] for m in manifest) == 3
+
+
+def test_cdxj_range_sharding_is_globally_ordered(spark, tmp_path):
+    rows = [
+        (f"https://h{i % 7}.example/p/{i}", datetime(2026, 1, 1, 0, 0, i), b"<html>x</html>")
+        for i in range(40)
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "warc")
+    warc.write_warc(pages.repartition(3), out, capture_index=True)
+    manifest = write_cdxj(spark, out, str(tmp_path / "cdxj"), n_shards=3)
+    assert sum(m["n"] for m in manifest) == 40
+    # shard k entirely below shard k+1
+    for a, b in zip(manifest, manifest[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_revisit_captures_indexed_with_digest(spark, tmp_path):
+    rows = [
+        ("https://a.example/u", datetime(2026, 1, 1), b"<html>same</html>"),
+        ("https://a.example/v", datetime(2026, 1, 2), b"<html>same</html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    frame = warc.mark_revisits(pages)
+    out = str(tmp_path / "warc")
+    warc.write_warc(frame.coalesce(1), out, revisit_col="revisit", capture_index=True)
+    manifest = write_cdxj(spark, out, str(tmp_path / "cdxj"))
+    lines = []
+    for m in manifest:
+        with open(os.path.join(str(tmp_path / "cdxj"), m["shard"]), encoding="utf-8") as f:
+            lines += list(f)
+    blocks = [json.loads(l.split(" ", 2)[2]) for l in lines]
+    assert len(blocks) == 2
+    # both captures indexed; identical payload digest ties them together
+    assert blocks[0]["digest"] == blocks[1]["digest"]
+
+
+def test_crawl_cli_warc_requests_and_cdxj(spark, tmp_path):
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages_p = str(tmp_path / "pages.parquet")
+    seeds_p = str(tmp_path / "seeds.parquet")
+    robots_p = str(tmp_path / "robots.parquet")
+    pq.write_table(
+        pa.table({
+            "url": ["https://c.example/a", "https://c.example/b"],
+            "warc_ts": [datetime(2026, 1, 2), datetime(2026, 1, 2)],
+            "html": [b'<html><a href="/b">n</a>one</html>', b"<html>two</html>"],
+            "lang": ["en", "en"],
+        }),
+        pages_p,
+    )
+    pq.write_table(pa.table({"url": ["https://c.example/a"], "priority": [1.0]}), seeds_p)
+    pq.write_table(
+        pa.table({
+            "host": ["c.example"],
+            "crawl_delay": [1.0],
+            "disallow_prefixes": [[]],
+        }),
+        robots_p,
+    )
+    wh = str(tmp_path / "wh")
+    warc_out = str(tmp_path / "archive")
+    cdxj_out = str(tmp_path / "cdxj")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "crawl.py"),
+         "--pages", pages_p, "--seeds", seeds_p, "--robots", robots_p,
+         "--warehouse", wh, "--warc-out", warc_out, "--warc-requests",
+         "--cdxj-out", cdxj_out, "--max-epochs", "3"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["warc_records"] == 4  # 2 pages x (request + response)
+    assert summary["cdxj_lines"] == 2    # only the captures indexed
+    back = warc.read_warc(spark, warc_out)
+    assert back.where(F.col("warc_type") == "request").count() == 2
+    lines = []
+    for name in sorted(os.listdir(cdxj_out)):
+        if name.endswith(".cdxj"):
+            with open(os.path.join(cdxj_out, name), encoding="utf-8") as f:
+                lines += list(f)
+    assert len(lines) == 2 and all(l.startswith("example,c)/") for l in lines)
