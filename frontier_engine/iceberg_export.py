@@ -466,6 +466,67 @@ def export_iceberg(
     return metadata
 
 
+def _spark_type(it) -> T.DataType:
+    """Inverse of :func:`_iceberg_type`: an Iceberg schema-JSON type back to
+    the Spark type an external engine would bind for it. Field-ids are
+    dropped (Spark binds parquet columns by name here, which is sound
+    because the exporter assigned ids in name order from the same schema)."""
+    if isinstance(it, dict):
+        if it["type"] == "struct":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], _spark_type(f["type"]), not f["required"])
+                    for f in it["fields"]
+                ]
+            )
+        if it["type"] == "list":
+            return T.ArrayType(_spark_type(it["element"]), not it["element-required"])
+        if it["type"] == "map":
+            return T.MapType(
+                _spark_type(it["key"]),
+                _spark_type(it["value"]),
+                not it["value-required"],
+            )
+        raise ValueError(f"unknown Iceberg complex type {it['type']!r}")
+    if it.startswith("decimal("):
+        p, s = it[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+    }.get(it)
+    if prim is None:
+        raise ValueError(f"no Spark mapping for Iceberg type {it!r}")
+    return prim
+
+
+def read_iceberg(spark: SparkSession, dest: str):
+    """Load the exported table as a DataFrame FROM THE ICEBERG METADATA
+    ALONE — the import half of the swap path. The schema comes from the
+    metadata.json current schema (not parquet inference, so required/
+    optional and type bindings are the spec's), the file set from the
+    current snapshot's manifest list; the native SnapshotStore is never
+    consulted. Snapshot time travel: pass the file set of an older
+    snapshot via ``snapshot_id``."""
+    rt = read_exported_files(spark, dest)
+    meta = rt["metadata"]
+    schema_json = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    schema = _spark_type(schema_json)
+    if not rt["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*rt["files"])
+
+
 def read_exported_files(spark: SparkSession, dest: str) -> dict:
     """Consume an exported table the way an external Iceberg reader would:
     version-hint → metadata.json → current snapshot → manifest list (Avro)

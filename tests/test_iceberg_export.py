@@ -15,6 +15,7 @@ from frontier_engine.iceberg_export import (
     export_iceberg,
     iceberg_schema,
     read_exported_files,
+    read_iceberg,
 )
 from frontier_engine.snapshot import SnapshotStore
 
@@ -64,6 +65,14 @@ def test_export_roundtrip_matches_native_manifest(spark, tmp_path):
     rt = read_exported_files(spark, dest)
     assert rt["files"] == _native_files(store.current_manifest(), "records")
     assert rt["record_count"] == 130 == store.read(spark, "records").count()
+
+    # --- import half: a DataFrame loaded from the Iceberg metadata alone
+    # (schema from metadata.json, files from the Avro manifests — no
+    # SnapshotStore) is value- and schema-identical to the native read
+    imported = read_iceberg(spark, dest)
+    native_df = store.read(spark, "records")
+    assert imported.schema == native_df.schema
+    assert sorted(imported.collect()) == sorted(native_df.collect())
 
     # --- and at the PARENT snapshot (time travel through the export)
     snap0 = next(s for s in meta["snapshots"] if s["snapshot-id"] == 0)
@@ -138,3 +147,9 @@ def test_iceberg_schema_nested_types(spark):
     ids = [a["id"], a["type"]["element-id"], s["id"], s["type"]["fields"][0]["id"]]
     assert len(set(ids)) == len(ids)  # unique field-ids
     assert last >= 9
+
+    # the import-side mapping inverts the export-side mapping exactly,
+    # nested nullability included
+    from frontier_engine.iceberg_export import _spark_type
+
+    assert _spark_type(ice) == sch
