@@ -1176,6 +1176,68 @@ def q_bpe_pairs(spark, sf):
     return TX.bpe_pair_counts(d.select("text"), min_count=2)
 
 
+def q_bpe_train(spark, sf):
+    """Full BPE tokenizer TRAINING (Sennrich et al. 2016's iterative
+    merge loop — bpe_pairs is one round's statistic, this is the whole
+    trainer): 6 merge rounds over the corpus vocabulary, each = one
+    vocabulary-scale pair count + a one-row argmax collect + one narrow
+    fold applying the merge greedily left-to-right. Returns the learned
+    merge table — deterministic via the (count DESC, lhs, rhs) tie-break.
+    The oracle unrolls the 6 rounds in SQL: segmentation as a
+    double-space-delimited symbol string, so ONE replace() per round is
+    exactly greedy non-overlapping merge application."""
+    d = _t(spark, sf, "documents")
+    return TX.bpe_train(d.select("text"), n_merges=6, min_count=2)
+
+
+def _bpe_train_oracle_sql(k: int = 6, min_count: int = 2) -> str:
+    """Unrolled-round SQL twin of textops.bpe_train (same pattern as the
+    perceptron's unrolled-epoch oracle). Each word's segmentation is
+    encoded ' s1  s2  ...  sk ' — every symbol carries its OWN leading
+    and trailing space, so replace(' l  r ' -> ' lr ') consumes no
+    neighbouring delimiter and one SQL replace == greedy left-to-right
+    non-overlapping merge (symbols never contain whitespace because
+    words are whitespace-split). Early stop falls out naturally: an
+    empty b{{i}} makes the round-i replace NULL the segmentation, so all
+    later rounds produce zero rows."""
+    parts = [
+        f"""vocab AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+        GROUP BY word HAVING length(word) >= 2),
+    seg0 AS MATERIALIZED (
+        SELECT freq,
+               ' ' || array_to_string(regexp_split_to_array(word, ''), '  ')
+                   || ' ' AS seg
+        FROM vocab)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+        SELECT syms[j] AS lhs, syms[j+1] AS rhs,
+               CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM (SELECT freq, string_split(trim(seg), '  ') AS syms FROM seg{i-1}),
+             unnest(generate_series(1, len(syms) - 1)) AS u(j)
+        GROUP BY lhs, rhs HAVING sum(freq) >= {min_count}),
+    b{i} AS MATERIALIZED (
+        SELECT lhs, rhs, pair_count FROM p{i}
+        ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                f"""seg{i} AS MATERIALIZED (
+        SELECT freq, replace(seg,
+            ' ' || (SELECT lhs FROM b{i}) || '  ' || (SELECT rhs FROM b{i}) || ' ',
+            ' ' || (SELECT lhs FROM b{i}) || (SELECT rhs FROM b{i}) || ' ') AS seg
+        FROM seg{i-1})"""
+            )
+    union = "\n            UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, lhs, rhs, pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n            " + union
+
+
 def q_recrawl_schedule(spark, sf):
     """Adaptive recrawl scheduling (Cho & Garcia-Molina 2003 freshness
     estimation): per-URL change rate from consecutive-visit fingerprint
@@ -3312,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "dup_profile": q_dup_profile,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
         "recrawl_schedule": q_recrawl_schedule,
         "corpus_stats": q_corpus_stats,
         "trap_detection": q_trap_detection,
@@ -5622,6 +5685,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "bpe_encode": _bpe_oracle_sql(),
+        "bpe_train": _bpe_train_oracle_sql(),
         "trustrank": _trustrank_oracle_sql(),
         "image_dedup": """
             WITH g AS (

@@ -2107,6 +2107,112 @@ def bpe_token_counts(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Full distributed BPE tokenizer TRAINING (Sennrich et al. 2016's
+    iterative loop, not just the one-round statistic of
+    :func:`bpe_pair_counts`): repeatedly count adjacent symbol pairs over
+    the vocabulary, fuse the most frequent pair everywhere, and record the
+    merge — the learned merge table IS the tokenizer.
+
+    Scale shape — the standard distributed-BPE recipe: the corpus
+    aggregates ONCE to its distinct vocabulary ``(symbols, freq)``
+    (vocabulary-cardinality from then on, ~1e7 rows at web scale, never
+    the corpus again). Each merge round costs one map-side-combined pair
+    count plus a driver ``TakeOrdered(1)`` (a bounded one-row collect —
+    the argmax pair), then one narrow vocabulary-scale map applying the
+    merge as an ``F.aggregate`` fold (greedy left-to-right non-overlap,
+    the exact apply semantics of :func:`bpe_encode_word`; a fold never
+    re-merges a token it just created because ``left+right != left``).
+    Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
+    rounds so the nested-fold expression tree stays codegen-sized.
+
+    Determinism: argmax ties break on (count DESC, lhs ASC, rhs ASC) in
+    binary UTF-8 order — bit-identical on any engine, any parallelism.
+
+    Returns ``(merge_rank, lhs, rhs, pair_count)``, one row per learned
+    merge in rank order; stops early when no pair reaches ``min_count``.
+    """
+    spark = df.sparkSession
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.length("word") >= 2)
+        .select(
+            F.expr(
+                "transform(sequence(1, char_length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(syms, 1, size(syms) - 1)").alias("lhs"),
+                    F.expr("slice(syms, 2, size(syms) - 1)").alias("rhs"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+            )
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .filter(F.col("pair_count") >= min_count)
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0].lhs, best[0].rhs, best[0].pair_count
+        merges.append((rank, lhs, rhs, cnt))
+        fused = lhs + rhs
+        vocab = vocab.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(lhs))
+                    & (x == F.lit(rhs)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(fused)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            "freq",
+        )
+        if rank % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType(), False),
+            T.StructField("lhs", T.StringType(), False),
+            T.StructField("rhs", T.StringType(), False),
+            T.StructField("pair_count", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
 # ------------------------------------------------------ Gopher quality rules
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

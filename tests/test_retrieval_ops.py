@@ -214,6 +214,78 @@ class TestBpeApply:
         assert got[2] == (3, 4)  # lowercased: ab=1, ab=1, xxxx->[xx,xx]=2
 
 
+class TestBpeTrain:
+    @staticmethod
+    def _ref_train(texts, n_merges, min_count):
+        """Pure-Python Sennrich et al. (2016) trainer: overlap-counted
+        pair statistics, greedy left-to-right non-overlapping merge
+        application, (count DESC, lhs, rhs) tie-break."""
+        import collections
+
+        vocab = collections.Counter(
+            w for t in texts for w in t.lower().split() if len(w) >= 2
+        )
+        segs = {w: list(w) for w in vocab}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts = collections.Counter()
+            for w, f in vocab.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] += f
+            counts = {p: c for p, c in counts.items() if c >= min_count}
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, l, r, c))
+            for w, s in segs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = out
+        return merges
+
+    def test_matches_sennrich_reference(self, spark):
+        from frontier_engine.textops import bpe_train
+
+        # pathological fixture: self-overlapping runs (aaaaaa), period-2
+        # repeats (ababab), chained merges (ba+na -> bana+na), shared
+        # prefixes (low/lower/lowest) and a merge whose lhs==rhs (a,a)
+        texts = [
+            "aaaaaa ababab banana bandana",
+            "banana banana low lower lowest",
+            "aaaaaa newest widest low low",
+            "ababab ababab banana",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [tuple(r) for r in bpe_train(df, n_merges=8, min_count=2).collect()]
+        assert got == self._ref_train(texts, 8, 2)
+        # chained merges actually happened (multi-char lhs)
+        assert any(len(l) > 1 for _, l, _, _ in got)
+
+    def test_early_stop_and_checkpoint(self, spark):
+        from frontier_engine.textops import bpe_train
+
+        texts = ["ab ab cd", "ab xy"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        # only (a,b) reaches min_count=3; loop must stop after 1 merge
+        got = [tuple(r) for r in bpe_train(df, 10, min_count=3).collect()]
+        assert got == [(1, "a", "b", 3)]
+        # checkpoint_every=1 exercises the lineage cut without changing output
+        got2 = [
+            tuple(r)
+            for r in bpe_train(df, 3, min_count=2, checkpoint_every=1).collect()
+        ]
+        assert got2 == self._ref_train(texts, 3, 2)
+
+
 class TestGopherGate:
     def _run(self, spark, text):
         from frontier_engine.textops import gopher_gate
