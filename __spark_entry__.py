@@ -3276,7 +3276,6 @@ def _langid_fixture(spark, sf):
     lang_idx = (F.col("doc_id") % 3).cast("int")
     variant = ((F.col("doc_id") / 3).cast("long") % 4).cast("int")
     gold = F.lit(_LANGID_LANGS[-1])
-    text = F.lit(_LANGID_PHRASES[_LANGID_LANGS[-1]][-1])
     for li in reversed(range(len(_LANGID_LANGS) - 1)):
         gold = F.when(lang_idx == li, F.lit(_LANGID_LANGS[li])).otherwise(gold)
     phrase_cases = []

@@ -544,7 +544,12 @@ def read_exported_files(spark: SparkSession, dest: str) -> dict:
     files: list[str] = []
     rows = 0
     for mf in avro.read(snap["manifest-list"]):
-        assert avro.file_meta(mf["manifest_path"], "format-version") == "2"
+        fv = avro.file_meta(mf["manifest_path"], "format-version")
+        if fv != "2":
+            raise ValueError(
+                f"manifest {mf['manifest_path']} declares format-version"
+                f" {fv!r}, expected '2'"
+            )
         for entry in avro.read(mf["manifest_path"]):
             df = entry["data_file"]
             files.append(df["file_path"])

@@ -117,9 +117,13 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     (``df.inputFiles()`` — plan metadata, no job), NOT ``df.rdd`` — the RDD
     conversion materializes a deoptimized plan per call and breaks
     whole-stage reuse downstream.  Non-file-backed plans (in-memory
-    relations) are estimated at the cluster's default parallelism — the
-    slice count Spark gives local data — keeping the package free of
-    ``.rdd`` in every path.
+    relations) expose no partition count through plan metadata, so they
+    are ALWAYS repartitioned to ``min_parts``: the helper's contract is
+    "small input, CPU-heavy downstream", where one shuffle of a tiny
+    relation is noise but a silently single-partition plan (e.g. anything
+    downstream of ``coalesce(1)``) serializes the whole pipeline. This
+    keeps the package free of ``.rdd`` in every path without trading away
+    the guarantee the helper exists for.
     """
     import os as _os
     from urllib.parse import urlparse
@@ -143,8 +147,6 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
             if est >= min_parts:
                 return df
         return df.repartition(min_parts)
-    if spark.sparkContext.defaultParallelism >= min_parts:
-        return df
     return df.repartition(min_parts)
 
 

@@ -239,10 +239,13 @@ def minhash_candidate_pairs(
     lifetime — an unconditional persist here leaked cache in long-lived
     sessions).
 
-    ``skey`` (the 64-bit group key) is xxhash64 of the signature; a key
-    collision can only ADD a spurious candidate pair — which the estimate
-    threshold or the exact-verify step removes — never drop a true one,
-    matching LSH's false-positive-but-not-false-negative contract.
+    ``skey`` (the group key) is a 128-bit struct of two independent
+    xxhash64s of the signature, 16 shuffle bytes instead of the ~1 KB
+    signature. A single 64-bit key would see a few expected collisions at
+    10¹⁰ docs, and a collision here MERGES groups — the merged intra pair
+    carries est_jaccard = 1.0 (unfilterable) and star mode would drop the
+    absorbed member's genuine edges; at 128 bits the collision probability
+    across 10²⁰ pairs is ~10⁻¹⁹, i.e. zero in any feasible corpus.
     """
     if pair_mode not in ("all", "star"):
         raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
@@ -252,8 +255,12 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("id"),
         sig_udf(shingle_hashes(F.col(text_col), shingle_k)).alias("sig"),
     )
-    skey = F.xxhash64(
-        F.concat_ws(",", F.transform(F.col("sig"), lambda v: v.cast("string")))
+    sig_str = F.concat_ws(
+        ",", F.transform(F.col("sig"), lambda v: v.cast("string"))
+    )
+    skey = F.struct(
+        F.xxhash64(sig_str).alias("h1"),
+        F.xxhash64(F.lit("minhash-skey-2"), sig_str).alias("h2"),
     )
     # ONE shuffle keyed by the signature hash; the banded, membership and
     # estimate branches all hang off this aggregate, so their canonical

@@ -130,9 +130,21 @@ def _http_request_head(url: str, user_agent: str) -> bytes:
     target = parts.path or "/"
     if parts.query:
         target += "?" + parts.query
+    # Host is hostname[:port], never the raw netloc: a URL with userinfo
+    # ('https://user:secret@h/') must not leak credentials into the
+    # archive (and 'user:secret@h' is not a valid HTTP/1.1 Host anyway).
+    host = parts.hostname or ""
+    if ":" in host:  # IPv6 literal — urlsplit strips the brackets
+        host = f"[{host}]"
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    if port is not None:
+        host = f"{host}:{port}"
     return (
         f"GET {target} HTTP/1.1\r\n"
-        f"Host: {parts.netloc}\r\n"
+        f"Host: {host}\r\n"
         f"User-Agent: {user_agent}\r\n"
         f"Accept: */*\r\n\r\n"
     ).encode()

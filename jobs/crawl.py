@@ -98,6 +98,14 @@ def main(argv=None):
     ap.add_argument("--cdx-shards", type=int, default=16,
                     help="number of balanced key-range shards for --cdx-out")
     args = ap.parse_args(argv)
+    if args.warc_out is None:
+        for flag, val in (
+            ("--warc-requests", args.warc_requests),
+            ("--cdxj-out", args.cdxj_out),
+            ("--warc-dedup", args.warc_dedup is not None),
+        ):
+            if val:
+                ap.error(f"{flag} requires --warc-out (it describes the WARC archive)")
 
     from frontier_engine import fixtures
     from frontier_engine.crawl import CrawlConfig, run_crawl

@@ -251,3 +251,24 @@ class TestHoldoutSplit:
         assert abs(counts["test"] - 80) < 40
         assert abs(counts["val"] - 100) < 45
         assert counts["train"] > counts["val"] > 0
+
+
+class TestEnsureMinPartitions:
+    def test_in_memory_single_partition_is_spread(self, spark):
+        from frontier_engine.ops import ensure_min_partitions
+
+        df = spark.range(100).coalesce(1)
+        out = ensure_min_partitions(df, min_parts=8)
+        # .rdd is banned in the package, not in tests — this IS the check
+        assert out.rdd.getNumPartitions() == 8
+        assert out.count() == 100
+
+    def test_parallel_enough_file_scan_untouched(self, spark, tmp_path):
+        from frontier_engine.ops import ensure_min_partitions
+
+        p = str(tmp_path / "t")
+        spark.range(1000).repartition(4).write.parquet(p)
+        df = spark.read.parquet(p)
+        # 4 files >= min_parts=2: the helper must return the df unchanged
+        # (same object — no shuffle inserted on the already-parallel path)
+        assert ensure_min_partitions(df, min_parts=2) is df
