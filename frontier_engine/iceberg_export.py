@@ -508,15 +508,15 @@ def _spark_type(it) -> T.DataType:
     return prim
 
 
-def read_iceberg(spark: SparkSession, dest: str):
+def read_iceberg(spark: SparkSession, dest: str, snapshot_id: int | None = None):
     """Load the exported table as a DataFrame FROM THE ICEBERG METADATA
     ALONE — the import half of the swap path. The schema comes from the
     metadata.json current schema (not parquet inference, so required/
     optional and type bindings are the spec's), the file set from the
-    current snapshot's manifest list; the native SnapshotStore is never
-    consulted. Snapshot time travel: pass the file set of an older
-    snapshot via ``snapshot_id``."""
-    rt = read_exported_files(spark, dest)
+    chosen snapshot's manifest list; the native SnapshotStore is never
+    consulted. ``snapshot_id`` selects an older snapshot for time travel
+    (default: the current one)."""
+    rt = read_exported_files(spark, dest, snapshot_id=snapshot_id)
     meta = rt["metadata"]
     schema_json = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
@@ -527,10 +527,12 @@ def read_iceberg(spark: SparkSession, dest: str):
     return spark.read.schema(schema).parquet(*rt["files"])
 
 
-def read_exported_files(spark: SparkSession, dest: str) -> dict:
+def read_exported_files(
+    spark: SparkSession, dest: str, snapshot_id: int | None = None
+) -> dict:
     """Consume an exported table the way an external Iceberg reader would:
-    version-hint → metadata.json → current snapshot → manifest list (Avro)
-    → manifests (Avro) → data file set. Returns
+    version-hint → metadata.json → snapshot (``snapshot_id`` or current) →
+    manifest list (Avro) → manifests (Avro) → data file set. Returns
     {"files": [...], "record_count": N, "metadata": {...}} — the
     round-trip proof that the export is self-describing."""
     meta_dir = os.path.join(dest, "metadata")
@@ -538,8 +540,14 @@ def read_exported_files(spark: SparkSession, dest: str) -> dict:
         version = int(f.read().strip())
     with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
         metadata = json.load(f)
-    current = metadata["current-snapshot-id"]
-    snap = next(s for s in metadata["snapshots"] if s["snapshot-id"] == current)
+    wanted = metadata["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    try:
+        snap = next(
+            s for s in metadata["snapshots"] if s["snapshot-id"] == wanted
+        )
+    except StopIteration:
+        known = [s["snapshot-id"] for s in metadata["snapshots"]]
+        raise ValueError(f"snapshot {wanted} not in table metadata ({known})")
     avro = _AvroWriter(spark)
     files: list[str] = []
     rows = 0

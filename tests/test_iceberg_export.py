@@ -9,6 +9,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from frontier_engine.iceberg_export import (
@@ -73,6 +74,12 @@ def test_export_roundtrip_matches_native_manifest(spark, tmp_path):
     native_df = store.read(spark, "records")
     assert imported.schema == native_df.schema
     assert sorted(imported.collect()) == sorted(native_df.collect())
+    # time travel through the metadata: snapshot 0 is the first commit only
+    at0 = read_iceberg(spark, dest, snapshot_id=0)
+    assert at0.count() == 100
+    assert sorted(r.url_hash for r in at0.collect()) == list(range(100))
+    with pytest.raises(ValueError, match="snapshot 99"):
+        read_iceberg(spark, dest, snapshot_id=99)
 
     # --- and at the PARENT snapshot (time travel through the export)
     snap0 = next(s for s in meta["snapshots"] if s["snapshot-id"] == 0)
