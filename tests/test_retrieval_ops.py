@@ -285,6 +285,37 @@ class TestBpeTrain:
         ]
         assert got2 == self._ref_train(texts, 3, 2)
 
+    def test_random_corpora_match_reference(self, spark):
+        """Property check over a 3-letter alphabet (maximizes merge
+        collisions/overlaps per corpus): engine == pure-Python Sennrich
+        on randomized small corpora, including the learned-merge ORDER."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from frontier_engine.textops import bpe_train
+
+        word = st.text(alphabet="abc", min_size=2, max_size=6)
+        corpus = st.lists(
+            st.lists(word, min_size=1, max_size=6).map(" ".join),
+            min_size=1,
+            max_size=5,
+        )
+
+        @given(corpus)
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def check(texts):
+            df = spark.createDataFrame([(t,) for t in texts], "text string")
+            got = [
+                tuple(r) for r in bpe_train(df, 4, min_count=2).collect()
+            ]
+            assert got == self._ref_train(texts, 4, 2)
+
+        check()
+
 
 class TestGopherGate:
     def _run(self, spark, text):
