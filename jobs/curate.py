@@ -9,6 +9,7 @@ individually oracle-checked operators into ONE job:
     selection → per-language quality calibration (percentile floor) →
     [optional] benchmark decontamination → PII scrub →
     [optional] token-budget cut → curated parquet
+    [+ optional] BPE tokenizer trained on the curated corpus
     [+ optional] packed-sequence plan
 
 Prints ONE JSON line: the stage-by-stage funnel (row counts after every
@@ -58,6 +59,9 @@ def main(argv=None):
                     help="skip C4 line cleaning (e.g. corpora without sentence punctuation)")
     ap.add_argument("--no-gopher", action="store_true",
                     help="skip the Gopher rule gate (e.g. short-document corpora)")
+    ap.add_argument("--train-bpe", type=int, default=None, metavar="N_MERGES",
+                    help="train an N-merge BPE tokenizer on the CURATED corpus "
+                         "and write the merge table next to --out")
     args = ap.parse_args(argv)
 
     spark = get_spark("curate", cores=args.cores)
@@ -151,7 +155,17 @@ def main(argv=None):
     funnel["output"] = spark.read.parquet(args.out).count()
     funnel["out"] = args.out
 
-    # 10. packed-sequence plan (optional)
+    # 10. tokenizer training on the curated output (optional): the merge
+    # table is the artifact a pretraining run consumes, so it is trained
+    # AFTER cleaning/dedup/selection — on the corpus the model will see
+    if args.train_bpe is not None:
+        merges = TX.bpe_train(base, n_merges=args.train_bpe)
+        bpe_out = args.out.rstrip("/") + "_bpe"
+        merges.coalesce(1).write.mode("overwrite").parquet(bpe_out)
+        funnel["bpe_merges"] = spark.read.parquet(bpe_out).count()
+        funnel["bpe_out"] = bpe_out
+
+    # 11. packed-sequence plan (optional)
     if args.pack_len is not None:
         packed = TX.pack_sequences(base, "text", "doc_id", seq_len=args.pack_len)
         packed_out = args.out.rstrip("/") + "_packed"

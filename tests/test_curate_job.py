@@ -68,3 +68,17 @@ def test_curation_decontamination_drops_eval_overlap(spark, tmp_path):
     f = _run(out, extra=("--eval-docs", eval_path, "--decontam-k", "3"))
     assert "after_decontamination" in f
     assert f["after_decontamination"] < f["after_calibration"]
+
+
+def test_curation_trains_bpe_on_curated_corpus(spark, tmp_path):
+    out = str(tmp_path / "cur_bpe")
+    f = _run(out, extra=("--train-bpe", "5"))
+    assert f["bpe_merges"] == 5
+    merges = spark.read.parquet(f["bpe_out"]).orderBy("merge_rank").collect()
+    assert [r.merge_rank for r in merges] == [1, 2, 3, 4, 5]
+    # trained on the CURATED corpus: re-training in-process on the curated
+    # output reproduces the job's merge table exactly
+    from frontier_engine.textops import bpe_train
+
+    again = bpe_train(spark.read.parquet(out), n_merges=5).collect()
+    assert [tuple(r) for r in merges] == [tuple(r) for r in again]
