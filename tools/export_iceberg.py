@@ -24,11 +24,14 @@ def main(argv=None) -> int:
     ap.add_argument("--all", action="store_true", help="export every committed table")
     ap.add_argument("--dest", required=True)
     ap.add_argument("--cores", type=int, default=2)
+    ap.add_argument("--verify", action="store_true",
+                    help="read each export back through the Iceberg metadata "
+                         "alone and check row count + schema vs the native read")
     args = ap.parse_args(argv)
     if not args.all and args.table is None:
         ap.error("one of --table or --all is required")
 
-    from frontier_engine.iceberg_export import export_iceberg
+    from frontier_engine.iceberg_export import export_iceberg, read_iceberg
     from frontier_engine.session import get_spark
     from frontier_engine.snapshot import SnapshotStore
 
@@ -46,6 +49,18 @@ def main(argv=None) -> int:
             f"{t}: {len(meta['snapshots'])} snapshots -> "
             f"{os.path.join(dest, 'metadata', 'v%d.metadata.json' % meta['last-sequence-number'])}"
         )
+        if args.verify:
+            imported = read_iceberg(spark, dest)
+            native = store.read(spark, t)
+            n_imp, n_nat = imported.count(), native.count()
+            if n_imp != n_nat or imported.schema != native.schema:
+                print(
+                    f"{t}: VERIFY FAILED (imported {n_imp} rows vs native "
+                    f"{n_nat}; schemas {'match' if imported.schema == native.schema else 'differ'})",
+                    file=sys.stderr,
+                )
+                return 3
+            print(f"{t}: verified — {n_imp} rows, schema identical via metadata-only read")
     return 0
 
 
