@@ -609,6 +609,46 @@ def q_multimodal_decode(spark, sf):
     )
 
 
+def q_audio_features(spark, sf):
+    """Audio-leg multimodal decode (multimodal.audio_features): real PCM
+    WAV payloads built from a closed-form int16 sample sequence
+    (((doc_id*31 + i*7) % 256) - 128), decoded and feature-extracted via
+    mapInPandas. The WAV encode→parse round trip is INSIDE the gate; the
+    oracle recomputes duration/peak/zero-crossings/rms from the closed
+    form in SQL (spectral centroid is FFT-only and is covered by the
+    module test against a direct numpy oracle instead)."""
+    import numpy as np
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def make_wav(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for i in pdf["doc_id"]:
+                n = 64 + int(i) % 64
+                s = (((np.arange(n) * 7 + int(i) * 31) % 256) - 128).astype(
+                    np.int16
+                )
+                payloads.append(MM.encode_wav(s, sample_rate=8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(make_wav, schema="media_id long, payload binary")
+    return MM.audio_features(media).select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak",
+        "zero_crossings",
+        F.round("rms", 4).alias("rms"),
+    )
+
+
 def q_ngram_search(spark, sf):
     """K6: token-bigram inverted index build + multi-term lookup."""
     from frontier_engine import index as IX
@@ -3348,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_classify": q_centroid_classify,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
+        "audio_features": q_audio_features,
         "ngram_search": q_ngram_search,
         "batch_infer": q_batch_infer,
         "repetition": q_repetition,
@@ -4333,6 +4374,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(256 AS INTEGER) AS n_bytes,
                    round(list_sum(list_transform(range(0, 256), i -> (doc_id * 31 + i * 7) % 256)) / 256.0, 4) AS mean_byte
             FROM documents
+        """,
+        "audio_features": """
+            WITH base AS (
+                SELECT doc_id AS media_id, 64 + doc_id % 64 AS n,
+                       list_transform(range(0, 64 + doc_id % 64),
+                           i -> (doc_id * 31 + i * 7) % 256 - 128) AS s
+                FROM documents)
+            SELECT media_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+                   CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak,
+                   CAST(list_sum(list_transform(range(1, n),
+                        i -> CASE WHEN (s[i] < 0) <> (s[i+1] < 0)
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+                   round(sqrt(list_sum(list_transform(s,
+                        x -> CAST(x * x AS DOUBLE))) / n), 4) AS rms
+            FROM base
         """,
         "ngram_search": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -409,6 +409,102 @@ def sniff_mime_py(payload: bytes) -> str:
     return "application/octet-stream"
 
 
+def _wav_samples(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, mono int32 samples) from a PCM RIFF/WAVE payload.
+    8-bit unsigned is centered to signed by −128; 16-bit is little-endian
+    signed; multi-channel audio is mixed down by integer-floor channel
+    mean, so every returned value is integer-exact and SQL-replayable."""
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos, channels, bits, rate, data = 12, 0, 0, 0, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, rate = struct.unpack_from("<HHI", chunk, 0)
+            bits = struct.unpack_from("<H", chunk, 14)[0]
+            if audio_format != 1:
+                raise NotImplementedError(f"WAV audio_format={audio_format} (non-PCM)")
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)
+    if data is None or channels == 0 or rate == 0:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.int32)
+    elif bits == 8:
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise NotImplementedError(f"WAV bits={bits}")
+    if channels > 1:
+        usable = (len(s) // channels) * channels
+        s = s[:usable].reshape(-1, channels).sum(axis=1) // channels
+    return rate, s
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms long, "
+    "peak int, zero_crossings long, rms double, spectral_centroid_hz double"
+)
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Arrow-batched audio feature extraction over PCM WAV binary columns —
+    the audio leg of the multimodal decode story (the gates an audio-text
+    curation pipeline filters on: silence/clipping via ``peak``/``rms``,
+    tone-vs-noise via ``zero_crossings`` and ``spectral_centroid_hz``,
+    duration buckets via ``duration_ms``).
+
+    Everything except the two float features is integer-exact
+    (``duration_ms`` is integer math: ``n_samples * 1000 // rate``), so a
+    SQL oracle replays them from a closed-form fixture; ``rms`` is one
+    float64 sqrt-of-integer-mean and ``spectral_centroid_hz`` the
+    rFFT-magnitude-weighted mean frequency (numpy per batch, module-tested
+    against a direct numpy oracle). Undecodable payloads are dropped —
+    same dead-letter semantics as :func:`decode_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "duration_ms",
+                "peak", "zero_crossings", "rms", "spectral_centroid_hz",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    rate, s = _wav_samples(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                n = int(s.size)
+                if n == 0:
+                    continue
+                neg = s < 0
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                sq = s.astype(np.float64)
+                rms = float(np.sqrt((sq * sq).sum() / n))
+                mag = np.abs(np.fft.rfft(sq))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                msum = float(mag.sum())
+                centroid = float((mag * freqs).sum() / msum) if msum > 0 else 0.0
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(int(np.abs(s).max()))
+                out["zero_crossings"].append(zc)
+                out["rms"].append(rms)
+                out["spectral_centroid_hz"].append(centroid)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 DHASH_SCHEMA = "media_id long, width int, height int, dhash string"
 
 

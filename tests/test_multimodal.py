@@ -126,3 +126,48 @@ def test_malformed_riff_dropped_not_task_failure(spark):
     assert [r["media_id"] for r in MM.resize(df, 2, 2).collect()] == [1]
     # sample_frames keeps only video rows; the point is it must not crash
     assert MM.sample_frames(df, 1).collect() == []
+
+
+def test_audio_features_match_numpy_oracle(spark):
+    import numpy as np
+
+    from frontier_engine.multimodal import audio_features, encode_wav
+
+    rows = []
+    oracle = {}
+    for i in range(5):
+        n = 64 + i * 16
+        s = (((np.arange(n) * 7 + i * 31) % 256) - 128).astype(np.int16)
+        rows.append((i, encode_wav(s, sample_rate=8000)))
+        sf_ = s.astype(np.float64)
+        mag = np.abs(np.fft.rfft(sf_))
+        freqs = np.fft.rfftfreq(n, d=1 / 8000)
+        neg = s < 0
+        oracle[i] = (
+            n,
+            n * 1000 // 8000,
+            int(np.abs(s).max()),
+            int(np.count_nonzero(neg[1:] != neg[:-1])),
+            float(np.sqrt((sf_ * sf_).mean())),
+            float((mag * freqs).sum() / mag.sum()),
+        )
+    # stereo: channels cancel -> integer-floor mixdown is exactly zero
+    st = np.stack(
+        [np.arange(40) % 100, -(np.arange(40) % 100)], axis=1
+    ).astype(np.int16).reshape(-1)
+    rows.append((100, encode_wav(st, sample_rate=16000, channels=2)))
+    rows.append((200, b"not a wav"))  # undecodable -> dropped, not a failure
+
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in audio_features(df).collect()}
+
+    assert set(got) == {0, 1, 2, 3, 4, 100}  # 200 dead-lettered
+    for i, (n, dur, peak, zc, rms, cent) in oracle.items():
+        r = got[i]
+        assert (r.sample_rate, r.n_samples, r.duration_ms) == (8000, n, dur)
+        assert (r.peak, r.zero_crossings) == (peak, zc)
+        assert r.rms == pytest.approx(rms, abs=1e-9)
+        assert r.spectral_centroid_hz == pytest.approx(cent, abs=1e-6)
+    r100 = got[100]
+    assert (r100.sample_rate, r100.peak, r100.rms) == (16000, 0, 0.0)
+    assert r100.spectral_centroid_hz == 0.0  # silent signal: defined as 0
