@@ -171,3 +171,68 @@ def test_audio_features_match_numpy_oracle(spark):
     r100 = got[100]
     assert (r100.sample_rate, r100.peak, r100.rms) == (16000, 0, 0.0)
     assert r100.spectral_centroid_hz == 0.0  # silent signal: defined as 0
+
+
+def test_audio_resample_linear_interp(spark):
+    import numpy as np
+
+    from frontier_engine.multimodal import (
+        audio_features,
+        audio_resample,
+        encode_wav,
+        _wav_samples,
+    )
+
+    n = 100
+    s = (((np.arange(n) * 13 + 5) % 200) - 100).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, encode_wav(s, sample_rate=8000)), (2, b"junk")],
+        "media_id long, payload binary",
+    )
+    out = audio_resample(df, target_rate=4000).collect()
+    assert len(out) == 1 and out[0].media_id == 1  # junk dropped
+    assert (out[0].sample_rate, out[0].n_samples) == (4000, 50)
+    rate, got = _wav_samples(bytes(out[0].payload))
+    assert rate == 4000
+    # numpy oracle: linear interp on the exact grid, round half away from 0
+    dst = np.arange(50, dtype=np.float64) * 2.0
+    want = np.interp(dst, np.arange(n, dtype=np.float64), s.astype(np.float64))
+    want = np.floor(want + np.where(want >= 0, 0.5, -0.5)).astype(np.int16)
+    assert np.array_equal(got.astype(np.int16), want)
+    # the re-encoded WAV feeds straight back into audio_features
+    feats = audio_features(spark.createDataFrame(
+        [(1, bytes(out[0].payload))], "media_id long, payload binary"
+    )).collect()[0]
+    assert (feats.sample_rate, feats.n_samples, feats.duration_ms) == (4000, 50, 12)
+
+
+def test_spectrogram_frames_match_numpy(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from frontier_engine.multimodal import encode_wav, spectrogram_frames
+
+    n = 200
+    s = (((np.arange(n) * 29 + 3) % 256) - 128).astype(np.int16)
+    df = spark.createDataFrame(
+        [(7, encode_wav(s, sample_rate=8000))], "media_id long, payload binary"
+    )
+    rows = sorted(spectrogram_frames(df, n_fft=64, n_frames=4, n_bands=8).collect(),
+                  key=lambda r: r.frame_no)
+    assert [r.frame_no for r in rows] == [0, 1, 2, 3]
+    sf_ = s.astype(np.float64)
+    for k, r in enumerate(rows):
+        st = (k * (n - 64)) // 3
+        mag = np.abs(np.fft.rfft(sf_[st:st + 64]))[:32]
+        want = mag.reshape(8, 4).mean(axis=1)
+        assert np.allclose(r.band_energy, want, atol=1e-9), k
+    # a clip shorter than one window still emits zero-padded frames
+    short = spark.createDataFrame(
+        [(8, encode_wav(s[:10], sample_rate=8000))], "media_id long, payload binary"
+    )
+    srows = spectrogram_frames(short, n_fft=64, n_frames=2, n_bands=8).collect()
+    assert len(srows) == 2
+    magp = np.abs(np.fft.rfft(np.pad(sf_[:10], (0, 54))))[:32]
+    assert np.allclose(srows[0].band_energy, magp.reshape(8, 4).mean(axis=1))
+    with _pytest.raises(ValueError, match="must divide"):
+        spectrogram_frames(short, n_fft=64, n_bands=5)
