@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from frontier_engine import ann, graph as GR, ops, textops as TX  # noqa: E402
 from frontier_engine import multimodal as MM  # noqa: E402
 from frontier_engine import sketch as SK  # noqa: E402
+from frontier_engine import feeds as FD  # noqa: E402
 from frontier_engine.shardplan import zorder_oracle_expr  # noqa: E402
 from frontier_engine.frontier import DrainConfig, drain_epoch  # noqa: E402
 from frontier_engine.seen import SeenConfig, empty_state, filter_unseen, update_state, with_bucket  # noqa: E402
@@ -647,6 +648,49 @@ def q_audio_features(spark, sf):
         "zero_crossings",
         F.round("rms", 4).alias("rms"),
     )
+
+
+def q_feed_seeds(spark, sf):
+    """RSS/Atom feed ingestion (feeds.parse_feeds + seeds_from_feeds):
+    deterministic Atom bodies built from doc ids — real XML through the
+    real anchored-regex parser, RFC 3339 date normalization, canonical
+    seed handoff with freshness-decayed priority (0.5^(age/7d) from a
+    fixed logical as_of). The oracle recomputes url + decay closed-form;
+    the parse itself is inside the gate because a parse slip changes
+    url/updated and breaks the hash."""
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def make_feed(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bodies = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                day = 1 + i % 28
+                bodies.append(
+                    (
+                        '<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+                        f'<link rel="alternate" href="https://h{i % 20}.example/p{i}"/>'
+                        f"<updated>2026-01-{day:02d}T00:00:00Z</updated>"
+                        "</entry></feed>"
+                    ).encode()
+                )
+            yield pd.DataFrame(
+                {
+                    "url": ["https://feed.example/f"] * len(pdf),
+                    "body": bodies,
+                }
+            )
+
+    bodies = d.mapInPandas(make_feed, schema="url string, body binary")
+    parsed = FD.parse_feeds(bodies)
+    seeds = FD.seeds_from_feeds(
+        parsed, priority=0.5, as_of="2026-03-01 00:00:00", half_life_days=7.0
+    )
+    return seeds.select("url", F.round("priority", 6).alias("priority"))
 
 
 def q_ngram_search(spark, sf):
@@ -3389,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "audio_features": q_audio_features,
+        "feed_seeds": q_feed_seeds,
         "ngram_search": q_ngram_search,
         "batch_infer": q_batch_infer,
         "repetition": q_repetition,
@@ -4373,6 +4418,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(32 + doc_id % 64 AS INTEGER) AS width,
                    CAST(256 AS INTEGER) AS n_bytes,
                    round(list_sum(list_transform(range(0, 256), i -> (doc_id * 31 + i * 7) % 256)) / 256.0, 4) AS mean_byte
+            FROM documents
+        """,
+        "feed_seeds": """
+            SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example/p'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   round(0.5 * pow(0.5,
+                       ((epoch(TIMESTAMP '2026-03-01 00:00:00')
+                         - epoch(CAST('2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                                      || ' 00:00:00' AS TIMESTAMP)))
+                        / 86400.0) / 7.0), 6) AS priority
             FROM documents
         """,
         "audio_features": """
