@@ -92,6 +92,10 @@ def main(argv=None):
                     help="after the crawl, harvest LAION-style (page_url, "
                          "img_url, alt) caption pairs from the crawled "
                          "pages' html into parquet in this dir")
+    ap.add_argument("--feeds-out", default=None,
+                    help="after the crawl, autodiscover RSS/Atom feed URLs "
+                         "(link rel=alternate) from the crawled pages' html "
+                         "into parquet in this dir")
     ap.add_argument("--cdx-out", default=None,
                     help="after the crawl, build a SURT-keyed CDX-style "
                          "URL index over the captured records in this dir")
@@ -263,15 +267,13 @@ def main(argv=None):
         summary["wat_shards"] = len(manifest)
         summary["wat_records"] = sum(m["n_records"] for m in manifest)
 
-    if args.image_pairs_out:
-        # LAION-style caption harvesting over what the crawl fetched: the
-        # same canonicalized-corpus-joined-on-crawled-URLs discipline as
-        # --warc-out/--wat-out, then the zero-shuffle img-alt map stage
+    if args.image_pairs_out or args.feeds_out:
+        # harvesting over what the crawl fetched: the same canonicalized-
+        # corpus-joined-on-crawled-URLs discipline as --warc-out/--wat-out
         from pyspark.sql import functions as F
 
         from frontier_engine import canon
         from frontier_engine.corpus import corpus_df, read_pages
-        from frontier_engine.extract import image_text_pairs
         from frontier_engine.snapshot import SnapshotStore
 
         store = SnapshotStore(args.warehouse)
@@ -285,9 +287,23 @@ def main(argv=None):
                 F.col("raw"),
                 "url",
             ).select("url", "html")
-        pairs = image_text_pairs(crawled.join(raw, "url"))
-        pairs.write.mode("overwrite").parquet(args.image_pairs_out)
-        summary["image_pairs"] = spark.read.parquet(args.image_pairs_out).count()
+        fetched = crawled.join(raw, "url")
+
+        if args.image_pairs_out:
+            # LAION-style caption pairs: zero-shuffle img-alt map stage
+            from frontier_engine.extract import image_text_pairs
+
+            pairs = image_text_pairs(fetched)
+            pairs.write.mode("overwrite").parquet(args.image_pairs_out)
+            summary["image_pairs"] = spark.read.parquet(args.image_pairs_out).count()
+
+        if args.feeds_out:
+            # RSS/Atom autodiscovery: one map stage, one row per feed link
+            from frontier_engine.feeds import feeds_from_html
+
+            found = feeds_from_html(fetched).dropDuplicates(["feed_url"])
+            found.write.mode("overwrite").parquet(args.feeds_out)
+            summary["feeds_found"] = spark.read.parquet(args.feeds_out).count()
 
     if args.cdx_out:
         # index what the crawl captured: SURT-keyed, range-sharded,

@@ -146,3 +146,60 @@ def test_feeds_pipeline_spark(spark):
     # p1 updated 2026-02-03 (age ~0.56d) > p2 updated 2026-01-31 (age ~3d)
     assert pri["https://site.example/p1"] > pri["https://site.example/p2"] > 0
     assert pri["https://site.example/p1"] < 0.5  # decayed, not base
+
+
+def test_crawl_cli_feeds_out(spark, tmp_path):
+    """--feeds-out autodiscovers feed links from the crawled pages' html
+    (same canonicalized-corpus join discipline as --image-pairs-out)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    url = "https://news.example/home"
+    html = (b'<html><head>'
+            b'<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+            b'<link rel="stylesheet" href="/style.css">'
+            b'</head><body>hello</body></html>')
+    pq.write_table(
+        pa.table({
+            "url": [url],
+            "warc_ts": [datetime(2026, 1, 2)],
+            "html": [html],
+            "lang": ["en"],
+        }),
+        str(tmp_path / "pages.parquet"),
+    )
+    pq.write_table(
+        pa.table({"url": [url], "priority": [1.0]}),
+        str(tmp_path / "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "host": ["news.example"],
+            "crawl_delay": [1.0],
+            "disallow_prefixes": [[]],
+        }),
+        str(tmp_path / "robots.parquet"),
+    )
+    out = str(tmp_path / "feeds")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "crawl.py"),
+         "--pages", str(tmp_path / "pages.parquet"),
+         "--seeds", str(tmp_path / "seeds.parquet"),
+         "--robots", str(tmp_path / "robots.parquet"),
+         "--warehouse", str(tmp_path / "wh"),
+         "--feeds-out", out, "--max-epochs", "2"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["feeds_found"] == 1
+    got = [tuple(r) for r in spark.read.parquet(out).collect()]
+    assert got == [(url, "https://news.example/feed.xml", "rss")]
