@@ -197,11 +197,13 @@ def parse_feed_body(payload: bytes) -> list[tuple[str, str | None, str]]:
                 except UnicodeDecodeError:
                     loc = None
         else:
-            # Atom: prefer rel="alternate" (or rel-less) link href
+            # Atom: prefer rel="alternate" (or rel-less) link href;
+            # whitespace-token match like the HTML side — 'alternate-media'
+            # must not pass as 'alternate'
             for lm in _ATOM_LINK.finditer(block):
                 attrs = lm.group(1)
                 relm = _ATOM_REL.search(attrs)
-                if relm and b"alternate" not in relm.group(1).lower():
+                if relm and b"alternate" not in relm.group(1).lower().split():
                     continue
                 hm = _ATOM_HREF.search(attrs)
                 if hm:

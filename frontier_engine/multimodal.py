@@ -413,21 +413,29 @@ def _wav_samples(payload: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, mono int32 samples) from a PCM RIFF/WAVE payload.
     8-bit unsigned is centered to signed by −128; 16-bit is little-endian
     signed; multi-channel audio is mixed down by integer-floor channel
-    mean, so every returned value is integer-exact and SQL-replayable."""
+    mean, so every returned value is integer-exact and SQL-replayable.
+    Malformed chunk structure raises ``ValueError`` (struct.error is
+    converted, like the ``_decode`` dispatcher) so callers' dead-letter
+    handlers see one exception family."""
     if len(payload) < 12 or payload[8:12] != b"WAVE":
         raise ValueError("not a WAVE file")
     pos, channels, bits, rate, data = 12, 0, 0, 0, None
-    while pos + 8 <= len(payload):
-        cid, size = struct.unpack_from("<4sI", payload, pos)
-        chunk = payload[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            audio_format, channels, rate = struct.unpack_from("<HHI", chunk, 0)
-            bits = struct.unpack_from("<H", chunk, 14)[0]
-            if audio_format != 1:
-                raise NotImplementedError(f"WAV audio_format={audio_format} (non-PCM)")
-        elif cid == b"data":
-            data = chunk
-        pos += 8 + size + (size & 1)
+    try:
+        while pos + 8 <= len(payload):
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            chunk = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                audio_format, channels, rate = struct.unpack_from("<HHI", chunk, 0)
+                bits = struct.unpack_from("<H", chunk, 14)[0]
+                if audio_format != 1:
+                    raise NotImplementedError(
+                        f"WAV audio_format={audio_format} (non-PCM)"
+                    )
+            elif cid == b"data":
+                data = chunk
+            pos += 8 + size + (size & 1)
+    except struct.error as e:  # truncated fmt chunk etc.
+        raise ValueError(f"malformed WAV chunk: {e}") from e
     if data is None or channels == 0 or rate == 0:
         raise ValueError("WAV missing fmt/data chunk")
     if bits == 16:
@@ -537,8 +545,10 @@ def audio_resample(
                 src = np.arange(len(s), dtype=np.float64)
                 dst = np.arange(n_out, dtype=np.float64) * (rate / target_rate)
                 vals = np.interp(dst, src, s.astype(np.float64))
+                # half-away-from-zero: trunc, not floor (floor would shift
+                # every negative sample down by 1, a DC bias)
                 res = np.clip(
-                    np.floor(vals + np.where(vals >= 0, 0.5, -0.5)),
+                    np.trunc(vals + np.where(vals >= 0, 0.5, -0.5)),
                     -32768,
                     32767,
                 ).astype(np.int16)

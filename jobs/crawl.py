@@ -288,6 +288,10 @@ def main(argv=None):
                 "url",
             ).select("url", "html")
         fetched = crawled.join(raw, "url")
+        both = bool(args.image_pairs_out) and bool(args.feeds_out)
+        if both:
+            # two write actions consume the same corpus join — pay it once
+            fetched = fetched.persist()
 
         if args.image_pairs_out:
             # LAION-style caption pairs: zero-shuffle img-alt map stage
@@ -298,12 +302,25 @@ def main(argv=None):
             summary["image_pairs"] = spark.read.parquet(args.image_pairs_out).count()
 
         if args.feeds_out:
-            # RSS/Atom autodiscovery: one map stage, one row per feed link
+            # RSS/Atom autodiscovery: one map stage, one row per feed link;
+            # min-aggregated survivor (NOT dropDuplicates) so the exported
+            # (url, feed_type) is deterministic at any parallelism
             from frontier_engine.feeds import feeds_from_html
 
-            found = feeds_from_html(fetched).dropDuplicates(["feed_url"])
+            found = (
+                feeds_from_html(fetched)
+                .groupBy("feed_url")
+                .agg(
+                    F.min("url").alias("url"),
+                    F.min("feed_type").alias("feed_type"),
+                )
+                .select("url", "feed_url", "feed_type")
+            )
             found.write.mode("overwrite").parquet(args.feeds_out)
             summary["feeds_found"] = spark.read.parquet(args.feeds_out).count()
+
+        if both:
+            fetched.unpersist()
 
     if args.cdx_out:
         # index what the crawl captured: SURT-keyed, range-sharded,

@@ -159,7 +159,10 @@ def main(argv=None):
     # table is the artifact a pretraining run consumes, so it is trained
     # AFTER cleaning/dedup/selection — on the corpus the model will see
     if args.train_bpe is not None:
-        merges = TX.bpe_train(base, n_merges=args.train_bpe)
+        # train on the parquet just written, not the lazy `base` lineage —
+        # re-deriving the whole funnel for the vocabulary aggregate would
+        # recompute every stage above
+        merges = TX.bpe_train(spark.read.parquet(args.out), n_merges=args.train_bpe)
         bpe_out = args.out.rstrip("/") + "_bpe"
         merges.coalesce(1).write.mode("overwrite").parquet(bpe_out)
         funnel["bpe_merges"] = spark.read.parquet(bpe_out).count()

@@ -78,6 +78,18 @@ def test_parse_feed_body_atom_rel_and_offsets():
     ]
 
 
+def test_parse_feed_body_atom_rel_token_match():
+    # 'alternate-media' must NOT pass as 'alternate' (token match, not
+    # substring): the real alternate later in the entry wins
+    body = (b'<feed><entry>'
+            b'<link rel="alternate-media" href="https://cdn.example/x.mp4"/>'
+            b'<link rel="alternate" href="https://site.example/post"/>'
+            b"</entry></feed>")
+    assert feeds.parse_feed_body(body) == [
+        ("https://site.example/post", None, "atom")
+    ]
+
+
 def test_parse_feed_body_gzip_cap_and_dead_letter():
     assert feeds.parse_feed_body(gzip.compress(RSS))[0][0].endswith("x=1&y=2")
     import pytest

@@ -157,11 +157,18 @@ def test_audio_features_match_numpy_oracle(spark):
     ).astype(np.int16).reshape(-1)
     rows.append((100, encode_wav(st, sample_rate=16000, channels=2)))
     rows.append((200, b"not a wav"))  # undecodable -> dropped, not a failure
+    # truncated fmt chunk: struct.error inside the parser must dead-letter
+    # (ValueError), never fail the Spark task
+    import struct as _struct
+
+    rows.append(
+        (201, b"RIFF\x00\x00\x00\x00WAVEfmt " + _struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+    )
 
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r for r in audio_features(df).collect()}
 
-    assert set(got) == {0, 1, 2, 3, 4, 100}  # 200 dead-lettered
+    assert set(got) == {0, 1, 2, 3, 4, 100}  # 200/201 dead-lettered
     for i, (n, dur, peak, zc, rms, cent) in oracle.items():
         r = got[i]
         assert (r.sample_rate, r.n_samples, r.duration_ms) == (8000, n, dur)
@@ -197,8 +204,17 @@ def test_audio_resample_linear_interp(spark):
     # numpy oracle: linear interp on the exact grid, round half away from 0
     dst = np.arange(50, dtype=np.float64) * 2.0
     want = np.interp(dst, np.arange(n, dtype=np.float64), s.astype(np.float64))
-    want = np.floor(want + np.where(want >= 0, 0.5, -0.5)).astype(np.int16)
+    want = np.trunc(want + np.where(want >= 0, 0.5, -0.5)).astype(np.int16)
     assert np.array_equal(got.astype(np.int16), want)
+    # negative samples are NOT shifted: an exactly-representable negative
+    # survives the round trip (floor-based rounding would yield -101)
+    exact = (-100 * np.ones(8)).astype(np.int16)
+    df2 = spark.createDataFrame(
+        [(3, encode_wav(exact, sample_rate=8000))], "media_id long, payload binary"
+    )
+    out2 = audio_resample(df2, target_rate=4000).collect()[0]
+    _, got2 = _wav_samples(bytes(out2.payload))
+    assert np.array_equal(got2, -100 * np.ones(4, dtype=np.int32))
     # the re-encoded WAV feeds straight back into audio_features
     feats = audio_features(spark.createDataFrame(
         [(1, bytes(out[0].payload))], "media_id long, payload binary"
