@@ -1322,6 +1322,57 @@ def _bpe_train_oracle_sql(k: int = 6, min_count: int = 2) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n            " + union
 
 
+def q_bpe_fertility(spark, sf):
+    """Per-language tokenizer fertility (BPE tokens per word by language) —
+    the multilingual-fairness statistic pretraining corpora are audited
+    with (a language whose fertility is 2× pays 2× the context budget per
+    word; cf. the tokenizer-parity analyses around XLM-R/NLLB). Pure
+    composition: bpe_token_counts (vocabulary-first apply) joined back to
+    the documents' lang, one map-side-combined aggregate. Integer sums;
+    the ratio is one float64 division rounded to 6."""
+    d = _t(spark, sf, "documents")
+    counts = TX.bpe_token_counts(d, BPE_MERGES)
+    joined = counts.join(d.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe_tokens").cast("double") / F.sum("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+    )
+
+
+def _bpe_fertility_oracle_sql() -> str:
+    """Per-language aggregate over the same delimited-replace-chain twin
+    as _bpe_oracle_sql, joined to documents.lang."""
+    expr = (
+        "array_to_string(list_transform(string_split(word, ''),"
+        " c -> '<' || c || '>'), '')"
+    )
+    for left, right in BPE_MERGES:
+        expr = f"replace({expr}, '<{left}><{right}>', '<{left}{right}>')"
+    return f"""
+            WITH w AS (
+                SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+            tok AS (
+                SELECT doc_id,
+                       CAST(len(s) - len(replace(s, '<', '')) AS BIGINT) AS n_tok
+                FROM (SELECT doc_id, {expr} AS s FROM w)),
+            per_doc AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+                FROM tok GROUP BY doc_id)
+            SELECT d.lang,
+                   CAST(sum(p.n_words) AS BIGINT) AS n_words,
+                   CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+                   round(CAST(sum(p.n_bpe_tokens) AS DOUBLE)
+                         / CAST(sum(p.n_words) AS DOUBLE), 6) AS fertility
+            FROM per_doc p JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+        """
+
+
 def q_recrawl_schedule(spark, sf):
     """Adaptive recrawl scheduling (Cho & Garcia-Molina 2003 freshness
     estimation): per-URL change rate from consecutive-visit fingerprint
@@ -3460,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_profile": q_dup_profile,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "bpe_fertility": q_bpe_fertility,
         "recrawl_schedule": q_recrawl_schedule,
         "corpus_stats": q_corpus_stats,
         "trap_detection": q_trap_detection,
@@ -5799,6 +5851,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_encode": _bpe_oracle_sql(),
         "bpe_train": _bpe_train_oracle_sql(),
+        "bpe_fertility": _bpe_fertility_oracle_sql(),
         "trustrank": _trustrank_oracle_sql(),
         "image_dedup": """
             WITH g AS (
