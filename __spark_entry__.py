@@ -362,17 +362,20 @@ def q_ann_topk(spark, sf):
 
 
 def q_minhash_near_dup(spark, sf):
-    """MinHash+LSH candidates → exact shingle-Jaccard verify ≥ 0.5."""
+    """MinHash+LSH candidates → exact shingle-Jaccard verify ≥ 0.5.
+
+    Round 6: the fused one-pass form (textops.minhash_near_dup_pairs) —
+    one corpus scan/signature pass feeding a single group-by exchange that
+    carries the distinct shingle-hash sets, with the exact verify done by
+    array_intersect on the carried sets instead of a second corpus-wide
+    shingle explode. Output proven equal to the legacy
+    candidate_pairs→ngram_jaccard_pairs pipeline (and to the DuckDB
+    oracle) at every shipped SF."""
     d = _t(spark, sf, "documents")
-    cand = TX.minhash_candidate_pairs(d, num_perm=128, bands=32, attach_estimate=False)
-    # scope_to_pairs: shingle only candidate docs (re-references the lazy
-    # cand DAG, but ReuseExchange dedupes its shuffle — measured faster
-    # than the corpus-wide shingle shuffle even unmaterialized; a real
-    # pipeline would persist cand first, which is faster still)
-    verified = TX.ngram_jaccard_pairs(d, cand, k=3, scope_to_pairs=True)
-    return verified.filter(F.col("jaccard") >= 0.5).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    verified = TX.minhash_near_dup_pairs(
+        d, num_perm=128, bands=32, shingle_k=3, min_jaccard=0.5
     )
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_simhash_near_dup(spark, sf):

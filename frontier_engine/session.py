@@ -45,6 +45,19 @@ def get_spark(
         # floor collapses them to a handful of tasks — keep partitions fine
         # enough that CPU parallelism survives coalescing
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # ... and the same applies to the coalescing TARGET: the default
+        # advisory size (64 MB) folds any CPU-dense stage whose shuffle is
+        # a few MB of hashes/sketch keys onto 1-2 cores (measured: the
+        # simhash chunk join at sf1.0 ships ~4 MB and ran 4.1s coalesced
+        # vs 0.8s at full width; minhash_near_dup 3.1s -> 1.5s). With
+        # shuffle.partitions already == cores, coalescing below core count
+        # is never right for CPU-bound stages, so the local default keeps
+        # partition-per-core granularity. On a byte-bound cluster raise it
+        # per job (guide: 100 MB - 1 GB partitions) via this env var.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

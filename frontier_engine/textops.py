@@ -131,6 +131,27 @@ def ngram_jaccard_pairs(
 
 _MINHASH_PRIME = np.uint64((1 << 61) - 1)
 
+# splitmix64-style mixing constants for the fused near-dup path's rolling
+# token-hash folds (shingle hashes, band hashes, group keys) — public
+# constants from the splitmix64 reference generator
+_MIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_MIX_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C3 = np.uint64(0x94D049BB133111EB)
+_S29 = np.uint64(29)
+_S32 = np.uint64(32)
+_S61 = np.uint64(61)
+
+
+def _mix_fold(x: np.ndarray, h) -> np.ndarray:
+    """One rolling-fold step: absorb ``h`` into state ``x`` (uint64 wrap)."""
+    x = (x ^ h) * _MIX_C2
+    return x ^ (x >> _S29)
+
+
+def _mix_finalize(x: np.ndarray) -> np.ndarray:
+    x = x * _MIX_C3
+    return x ^ (x >> _S32)
+
 
 def _minhash_params(num_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
@@ -362,6 +383,245 @@ def minhash_candidate_pairs(
     return cross.unionByName(intra)
 
 
+def _minhash_feature_udf(num_perm: int, bands: int, shingle_k: int, seed: int):
+    """pandas UDF: array<long> token hashes → struct(h1, h2, bands, sh).
+
+    The entire per-document MinHash feature set in ONE Python pass:
+
+    - ``sh``: the distinct shingle-hash set (rolling splitmix64 fold over
+      each ``shingle_k``-token window of xxhash64 token hashes; documents
+      with fewer than k tokens collapse to a single whole-doc fold, the
+      same semantics as :func:`word_shingles`'s short-doc branch). Used
+      downstream for the EXACT set-Jaccard verify (array_intersect) —
+      Jaccard over the distinct hash set equals Jaccard over the distinct
+      shingle-string set except under 64-bit hash collisions
+      (~1e-16/pair; the oracle gate verifies equality empirically).
+    - the MinHash signature (same universal-hash family as
+      :func:`minhash_signature_udf`, Mersenne-61 reduction done with
+      shift/add — bit-identical to ``% (2^61-1)``) — consumed internally:
+    - ``bands``: per-band rolling-fold hashes of the signature (the LSH
+      bucket keys), and
+    - ``h1``/``h2``: two independent folds of the full signature — the
+      128-bit group key (same birthday-collision argument as
+      :func:`minhash_candidate_pairs`'s ``skey``).
+
+    Everything after the per-row shingle fold is vectorized ACROSS the
+    Arrow batch (signature matrix folds), so per-row Python overhead is
+    one small numpy pass; the JVM never sees the 1 KB signature at all —
+    only 16 bytes of key + ``bands`` longs + the shingle set cross the
+    boundary, which is also exactly what the group-by shuffle ships.
+
+    A ``None`` token array (null text) yields null features: no bands
+    (never bucketed), null ``sh`` (null Jaccard → filtered) — matching
+    the legacy pipeline, where null texts produce no shingle rows and
+    therefore no verified pairs.
+    """
+    a, b = _minhash_params(num_perm, seed)
+    rows = num_perm // bands
+    k = shingle_k
+
+    def _shingles_of(th: np.ndarray) -> np.ndarray:
+        n = len(th)
+        if n >= k:
+            x = np.full(n - k + 1, _MIX_GAMMA, dtype=np.uint64)
+            for j in range(k):
+                x = _mix_fold(x, th[j : n - k + 1 + j])
+            return _mix_finalize(x)
+        x = np.full(1, _MIX_GAMMA, dtype=np.uint64)
+        for j in range(n):
+            x = _mix_fold(x, th[j])
+        return _mix_finalize(x)
+
+    schema = T.StructType(
+        [
+            T.StructField("h1", T.LongType()),
+            T.StructField("h2", T.LongType()),
+            T.StructField("bands", T.ArrayType(T.LongType())),
+            T.StructField("sh", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def feat(tok_hashes: pd.Series) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            arrs = tok_hashes.to_numpy()
+            nr = len(arrs)
+            live = np.fromiter((h is not None for h in arrs), dtype=bool, count=nr)
+            idx = np.flatnonzero(live)
+            shs: list = [None] * nr
+            sigs = np.empty((idx.size, num_perm), dtype=np.uint64)
+            for j, i in enumerate(idx):
+                th = np.asarray(arrs[i], dtype=np.int64).view(np.uint64)
+                sh = np.unique(_shingles_of(th))
+                vals = a[None, :] * sh[:, None] + b[None, :]
+                r = (vals & _MINHASH_PRIME) + (vals >> _S61)
+                r -= (r >= _MINHASH_PRIME) * _MINHASH_PRIME
+                sigs[j] = r.min(axis=0)
+                shs[i] = sh.astype(np.int64)
+            # batch-vectorized folds over the signature matrix
+            v = sigs.reshape(idx.size, bands, rows)
+            bx = np.full((idx.size, bands), _MIX_GAMMA, dtype=np.uint64)
+            for j in range(rows):
+                bx = _mix_fold(bx, v[:, :, j])
+            bnd = _mix_finalize(bx).astype(np.int64)
+            k1 = np.full(idx.size, np.uint64(0x51CE1), dtype=np.uint64)
+            k2 = np.full(idx.size, np.uint64(0x51CE2), dtype=np.uint64)
+            for j in range(num_perm):
+                col = sigs[:, j]
+                k1 = _mix_fold(k1, col)
+                k2 = _mix_fold(k2, col)
+            k1 = _mix_finalize(k1).astype(np.int64)
+            k2 = _mix_finalize(k2).astype(np.int64)
+            h1s = np.zeros(nr, dtype=np.int64)
+            h2s = np.zeros(nr, dtype=np.int64)
+            h1s[idx] = k1
+            h2s[idx] = k2
+            bandss: list = [None] * nr
+            for j, i in enumerate(idx):
+                bandss[i] = bnd[j]
+            return pd.DataFrame({"h1": h1s, "h2": h2s, "bands": bandss, "sh": shs})
+
+    return feat
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Fused MinHash LSH candidates + EXACT shingle-set Jaccard verify:
+    ``(id_a < id_b, jaccard)`` with ``jaccard ≥ min_jaccard`` — the
+    one-pass form of ``minhash_candidate_pairs`` → ``ngram_jaccard_pairs``.
+
+    Plan shape (the whole point — guide §2.4 "remove shuffles outright"):
+    the corpus is scanned, tokenized, hashed and signed ONCE; every
+    downstream branch (band bucketing, membership expansion, intra-group
+    pairs) hangs off a single ``groupBy(h1, h2)`` exchange that carries
+    the per-doc distinct shingle-hash sets, so the exact verify is a pair
+    of array_intersects on already-carried arrays instead of a second
+    corpus-wide shingle explode + window + two joins. Each consumer
+    carries a benign reference to EVERY aggregate column (the
+    ``size(...) >= 1``/``>= 0`` filters below, all tautologies): column
+    pruning would otherwise specialize the aggregate per branch, the
+    canonical plans would diverge, and AQE's stage reuse — which is what
+    makes the N references cost ONE evaluation — could no longer fire
+    (measured 2x on the sf1.0 corpus: divergent 4.18s vs benign 2.49s).
+
+    Skew discipline is inherited from :func:`minhash_candidate_pairs`:
+    banding runs over DISTINCT signatures (one row per band per group,
+    whatever the group size), in-bucket pairs are generated at
+    distinct-signature cardinality, and id-level pairs cost exactly the
+    output cardinality. The carried per-group member array is bounded by
+    the duplicate-group size, whose verified pair OUTPUT is quadratic
+    anyway — the array is never the binding term.
+
+    Exactness: candidates are a probabilistic superset (32x4 banding —
+    same miss bound as minhash_candidate_pairs, < 5e-8 per true pair);
+    every emitted pair's jaccard is EXACT set-Jaccard over distinct
+    shingle hashes, equal to shingle-string Jaccard modulo 64-bit
+    collisions (~1e-16/pair). Both are verified against the exact-SQL
+    oracle at every shipped SF by the contract gate.
+    """
+    rows = num_perm // bands
+    if bands * rows != num_perm:
+        raise ValueError("num_perm must be divisible by bands")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) >= 1
+    )
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    udf = _minhash_feature_udf(num_perm, bands, shingle_k, seed)
+    feat = df.select(F.col(id_col).alias("id"), udf(tok_hashes).alias("f")).select(
+        "id",
+        F.col("f.h1").alias("h1"),
+        F.col("f.h2").alias("h2"),
+        F.col("f.bands").alias("bands"),
+        F.col("f.sh").alias("sh"),
+    )
+    grouped = feat.groupBy("h1", "h2").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sh"))).alias("members"),
+        F.first("bands").alias("bands"),
+    )
+    # band bucketing over distinct signatures; benign members reference
+    # keeps this branch's aggregate identical to the others (see docstring)
+    banded = grouped.filter(F.size("members") >= 1).select(
+        "h1", "h2", F.posexplode("bands").alias("band", "bh")
+    )
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(F.struct("h1", "h2"))).alias("ks"))
+        .filter(F.size("ks") >= 2)
+    )
+    n = F.size("ks")
+    kpair_structs = F.flatten(
+        F.transform(
+            "ks",
+            lambda x, i: F.transform(
+                F.slice("ks", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("ka"), y.alias("kb")),
+            ),
+        )
+    )
+    kpairs = (
+        buckets.select(F.explode(kpair_structs).alias("p"))
+        .select(F.col("p.ka").alias("ka"), F.col("p.kb").alias("kb"))
+        .dropDuplicates(["ka", "kb"])
+    )
+    member = (
+        grouped.filter(F.size("bands") >= 1)
+        .select(F.struct("h1", "h2").alias("k"), F.explode("members").alias("m"))
+        .select("k", F.col("m.id").alias("id"), F.col("m.sh").alias("sh"))
+    )
+    am = member.select(
+        F.col("k").alias("ka"), F.col("id").alias("ia"), F.col("sh").alias("sha")
+    )
+    bm = member.select(
+        F.col("k").alias("kb"), F.col("id").alias("ib"), F.col("sh").alias("shb")
+    )
+    cross = (
+        kpairs.join(am, "ka")
+        .join(bm, "kb")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.col("sha").alias("sh_a"),
+            F.col("shb").alias("sh_b"),
+        )
+    )
+    m = F.size("members")
+    intra_structs = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice("members", i + F.lit(2), m - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    intra = (
+        grouped.filter((m >= 2) & (F.size("bands") >= 1))
+        .select(F.explode(intra_structs).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.sh").alias("sh_a"),
+            F.col("p.b.sh").alias("sh_b"),
+        )
+    )
+    allp = cross.unionByName(intra)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    return (
+        allp.withColumn("jaccard", inter / (na + nb - inter))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 
@@ -457,7 +717,6 @@ def simhash_near_dup_pairs(
     if cached is not None:
         groups = groups.persist()
         cached.append(groups)
-    distinct = groups.select("simhash")
     # chunk i covers bits [bounds[i], bounds[i+1]); widths differ by ≤1 bit
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
 
@@ -468,8 +727,23 @@ def simhash_near_dup_pairs(
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
-    chunks = distinct.select(
+    # Round 6 restructure (see OPTIMIZATION_r06.md): candidate generation is
+    # a chunk-keyed AGGREGATE with the pair explode (and the hamming filter)
+    # inside the bucket array, not a chunk self-join. Two measured reasons:
+    # (a) a self-join's two sides each re-evaluate the tokenize+simhash+
+    #     group chain — AQE stage reuse, which does collapse same-pruning
+    #     UNION branches, does not fire across self-join sides (measured
+    #     0.7s from a materialized input vs 5.2s live at sf1.0);
+    # (b) hot chunk values (templated corpora) made the join emit 21.5M
+    #     intermediate pairs for 50k true ones; filtering by hamming INSIDE
+    #     the in-bucket pair lambda materializes only survivors as rows.
+    # The bucket aggregate also CARRIES each distinct hash's id array, so
+    # membership expansion is a local explode instead of two joins, and the
+    # aggregate's two consumers (buckets, intra) reference the same columns
+    # (simhash, ids) — identical canonical plans, stage reuse applies.
+    chunks = groups.select(
         "simhash",
+        "ids",
         F.explode(
             F.array(
                 *[
@@ -478,26 +752,47 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
-    l = chunks.select(F.col("simhash").alias("sh_a"), "chunk", "val")
-    r = chunks.select(F.col("simhash").alias("sh_b"), "chunk", "val")
+    ).select("simhash", "ids", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    buckets = (
+        chunks.groupBy("chunk", "val")
+        .agg(F.sort_array(F.collect_list(F.struct("simhash", "ids"))).alias("ks"))
+        .filter(F.size("ks") >= 2)
+    )
+    nk = F.size("ks")
+    # ks is sorted by simhash asc (distinct within a bucket), so pairing
+    # each element with its successors yields each unordered pair once with
+    # sh_a < sh_b; the hamming predicate prunes inside the lambda
+    pair_structs = F.flatten(
+        F.transform(
+            "ks",
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice("ks", i + F.lit(2), nk - i - 1),
+                    lambda y: F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    ) <= max_hamming,
+                ),
+                lambda y: F.struct(
+                    x["simhash"].alias("sh_a"),
+                    y["simhash"].alias("sh_b"),
+                    x["ids"].alias("ids_a"),
+                    y["ids"].alias("ids_b"),
+                ),
+            ),
+        )
+    )
     sh_pairs = (
-        l.join(r, ["chunk", "val"])
-        .filter(F.col("sh_a") < F.col("sh_b"))
-        .select("sh_a", "sh_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.sh_a", "p.sh_b", "p.ids_a", "p.ids_b")
         .dropDuplicates(["sh_a", "sh_b"])
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
     )
-    # expand surviving distinct-hash pairs to id pairs (sh_a < sh_b, so each
-    # unordered id pair appears exactly once; least/greatest restores the
-    # id_a < id_b output convention)
-    member = groups.select("simhash", F.explode("ids").alias("id"))
-    a = member.select(F.col("simhash").alias("sh_a"), F.col("id").alias("ia"))
-    b = member.select(F.col("simhash").alias("sh_b"), F.col("id").alias("ib"))
+    # expand surviving distinct-hash pairs to id pairs by exploding the
+    # CARRIED id arrays (sh_a < sh_b, so each unordered id pair appears
+    # exactly once; least/greatest restores the id_a < id_b convention)
     cross = (
-        sh_pairs.join(a, "sh_a")
-        .join(b, "sh_b")
+        sh_pairs.select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        .select("ia", F.explode("ids_b").alias("ib"), "hamming")
         .select(
             F.least("ia", "ib").alias("id_a"),
             F.greatest("ia", "ib").alias("id_b"),

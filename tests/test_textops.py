@@ -136,6 +136,45 @@ def test_ngram_jaccard_verifies(spark, near_df):
     assert (1, 3) not in j or j.get((1, 3), 0.0) == 0.0  # zero intersection drops out
 
 
+def test_minhash_near_dup_pairs_fused(spark, near_df):
+    """The round-6 fused candidates+verify path finds the same pairs with
+    the same exact jaccard values as the two-stage legacy pipeline."""
+    fused = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             TX.minhash_near_dup_pairs(near_df, num_perm=64, bands=16).collect()}
+    assert fused[(1, 4)] == 1.0          # exact dup
+    assert 0.5 < fused[(1, 2)] < 1.0     # near dup above threshold
+    assert all(k not in fused for k in [(1, 3), (3, 5)])
+
+
+def test_minhash_near_dup_pairs_equals_legacy(spark):
+    """Fused path == candidate_pairs -> ngram_jaccard_pairs on the sf0.001
+    documents corpus (pair set AND jaccard doubles, both ways)."""
+    docs = spark.read.parquet(DOCS)
+    fused = TX.minhash_near_dup_pairs(docs, num_perm=128, bands=32)
+    cand = TX.minhash_candidate_pairs(docs, num_perm=128, bands=32, attach_estimate=False)
+    legacy = (
+        TX.ngram_jaccard_pairs(docs, cand, k=3, scope_to_pairs=True)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in fused.collect()}
+    want = {(r["id_a"], r["id_b"]): r["jaccard"] for r in legacy.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_minhash_near_dup_pairs_mega_cluster(spark):
+    """A planted identical-text cluster: the fused path emits the full
+    clique at jaccard 1.0 (the 'all'-mode contract the exact verify
+    needs) while banding stays at distinct-signature cardinality."""
+    k = 40
+    rows = [(i, "same boilerplate body repeated for every page in the site") for i in range(k)]
+    rows += [(1000, "an entirely different document about something else entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.minhash_near_dup_pairs(df, num_perm=64, bands=16).collect()
+    assert len(out) == k * (k - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in out)
+
+
 def test_simhash_near_dups(spark, near_df):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              TX.simhash_near_dup_pairs(near_df, max_hamming=6).collect()}
