@@ -577,10 +577,16 @@ def q_embedding_near_dup(spark, sf):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     planted = emb.unionByName(dup)
-    # n_bits=8 → 256 buckets: exact duplicates (identical vectors) collide in
-    # EVERY table at any bucket count, so recall for the >=0.99 pairs the
-    # oracle finds is 1.0 by construction while candidates shrink ~4x
-    pairs = ann.embedding_near_dup_pairs(planted, dim=64, threshold=0.99, n_bits=8, n_tables=8)
+    # n_bits derived from the corpus size (auto_bits, target ~16 ids per
+    # bucket): exact duplicates (identical vectors) collide in EVERY table
+    # at any bucket count, so recall for the >=0.99 pairs the oracle finds
+    # is 1.0 by construction at any width, while a fixed width taken at a
+    # larger SF would quietly turn the in-bucket pair step quadratic
+    # (round-5's n_bits=8 emitted 7.2M candidates for 20 true pairs at
+    # sf1.0; the derived width emits ~0.4M)
+    pairs = ann.embedding_near_dup_pairs(
+        planted, dim=64, threshold=0.99, n_bits=None, n_tables=8, target_bucket=16
+    )
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -697,12 +703,17 @@ def q_feed_seeds(spark, sf):
 
 
 def q_ngram_search(spark, sf):
-    """K6: token-bigram inverted index build + multi-term lookup."""
+    """K6: token-bigram inverted index build + multi-term lookup.
+
+    Round 6: the literal-term lookup is fused through the posting explode
+    (index.match_counts_docs) — row-identical to
+    match_counts(build_postings(d, 2), terms), proven by the oracle and
+    tests/test_index.py, with the corpus-wide (ngram, doc_id) explode and
+    its aggregation shuffle eliminated."""
     from frontier_engine import index as IX
 
     d = _t(spark, sf, "documents")
-    postings = IX.build_postings(d, n=2)
-    return IX.match_counts(postings, NGRAM_TERMS)
+    return IX.match_counts_docs(d, NGRAM_TERMS, n=2)
 
 
 NGRAM_TERMS = ["part filter", "table hash", "sort query"]
@@ -808,10 +819,8 @@ def q_dedup_clusters(spark, sf):
     parallelism-independent, cross-checked against a recursive
     reachability CTE."""
     d = _t(spark, sf, "documents")
-    cand = TX.minhash_candidate_pairs(d, num_perm=128, bands=32, attach_estimate=False)
     pairs = (
-        TX.ngram_jaccard_pairs(d, cand, k=3, scope_to_pairs=True)
-        .filter(F.col("jaccard") >= 0.5)
+        TX.minhash_near_dup_pairs(d, num_perm=128, bands=32, min_jaccard=0.5)
         .select("id_a", "id_b")
         .persist()
     )
@@ -914,10 +923,8 @@ def q_dedup_survivors(spark, sf):
     argmax — no window sort, mega-cluster-safe. The oracle recomputes the
     same pick with a recursive-CTE closure + a rank window."""
     d = _t(spark, sf, "documents")
-    cand = TX.minhash_candidate_pairs(d, num_perm=128, bands=32, attach_estimate=False)
     pairs = (
-        TX.ngram_jaccard_pairs(d, cand, k=3, scope_to_pairs=True)
-        .filter(F.col("jaccard") >= 0.5)
+        TX.minhash_near_dup_pairs(d, num_perm=128, bands=32, min_jaccard=0.5)
         .select("id_a", "id_b")
         .persist()
     )

@@ -298,32 +298,61 @@ def embedding_near_dup_pairs(
     """
     if n_bits is None:
         n_bits = auto_bits(corpus.count(), target_bucket)
-    # ids-ONLY through the bucket self-join and the cross-table dedup: a
-    # candidate pair is 16 bytes instead of 2 x dim doubles (~60x less
-    # shuffle at dim=64), and a pair colliding in several tables is deduped
-    # BEFORE its cosine is computed rather than after. All tables hash in
-    # ONE stacked-planes UDF pass and meet in ONE self-join keyed on
-    # (table, bucket) — not n_tables UDF passes + joins + a union
+    # ids-ONLY through bucketing and the cross-table dedup: a candidate
+    # pair is 16 bytes instead of 2 x dim doubles (~60x less shuffle at
+    # dim=64), and a pair colliding in several tables is deduped BEFORE
+    # its cosine is computed rather than after. All tables hash in ONE
+    # stacked-planes UDF pass. Round 6: in-bucket pairs come from a
+    # (table, bucket)-keyed AGGREGATE + local pair explode over the
+    # sorted id array, not a self-join — a self-join's two sides each
+    # re-evaluate the hashing UDF chain (AQE stage reuse does not fire
+    # across self-join sides; measured on the sf1.0 dedup queries), and
+    # the aggregate ships each id once per table instead of twice.
     b = hyperplane_buckets_udf(dim, n_bits, n_tables, seed)
     withb = corpus.select(
         F.col(id_col).alias("id"),
         F.posexplode(b(F.col(vec_col))).alias("table", "bucket"),
     )
-    l = withb.select(F.col("id").alias("id_a"), "table", "bucket")
-    r = withb.select(F.col("id").alias("id_b"), "table", "bucket")
+    buckets = (
+        withb.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    # ids sorted asc, so successor pairing emits each unordered pair once
+    # with id_a < id_b — same output convention as the old self-join
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        l.join(r, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .drop("table", "bucket")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # vectors joined back to the surviving deduped candidates only
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # vectors joined back to the surviving deduped candidates only, with
+    # the L2 norm computed ONCE PER VECTOR here rather than once per pair:
+    # cosine = dot/(n_a*n_b) is the same expression tree per pair as the
+    # old cosine_col (identical doubles), at a third of the fold work
+    va = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        norm_col(F.col(vec_col)).alias("n_a"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        norm_col(F.col(vec_col)).alias("n_b"),
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .withColumn("cosine", dot_col(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
