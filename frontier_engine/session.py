@@ -58,6 +58,17 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64k"),
         )
+        # scan split size: the shipped single-file tables have 1-6 row
+        # groups, so the default 128 MB split turns every first stage into
+        # a 1-2 thread scan; 8 MB splits let each row group get its own
+        # task (a split only materializes the row groups whose midpoint it
+        # covers — excess splits are free). On a many-file warehouse the
+        # 128 MB-1 GB guidance (guide §6) applies instead — override via
+        # env for cluster profiles.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

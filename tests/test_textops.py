@@ -1504,3 +1504,22 @@ def test_term_drift_identical_corpora_flat(spark):
     for r in rows:
         assert r["drift"] == 1.0
         assert r["direction"] == 1
+
+
+def test_bpe_token_count_matches_regex(spark):
+    """The vectorized BPE token counter == size(regexp_extract_all(TOKEN_REGEX))
+    on corpus docs plus adversarial rows (nulls, unicode classes, astral)."""
+    docs = spark.read.parquet(DOCS).select("text")
+    extra = spark.createDataFrame(
+        [(None,), ("",), ("  \t\n ",), ("héllo wörld ỹ À",), ("a1b2c3",),
+         ("!!!",), ("abc123!?x",), ("mixêd ѐcyrillic 漢字 🎉🎉 ok",),
+         ("ỹỹỹ0xyzÀÀ",), ("a",), ("9",), (".",)],
+        "text string",
+    )
+    df = docs.unionByName(extra)
+    both = df.select(
+        TX.token_count_col(F.col("text"), "bpe").alias("fast"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TX.TOKEN_REGEX), 0)).alias("ref"),
+    )
+    bad = both.filter(~F.col("fast").eqNullSafe(F.col("ref"))).count()
+    assert bad == 0
