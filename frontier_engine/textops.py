@@ -3024,11 +3024,15 @@ def set_similarity_join(
         ).alias("sh"),
     ).persist()
     freq = sh.groupBy("sh").agg(F.count("*").cast("long").alias("df_sh"))
+    # per_doc is persisted like sh: the prefix self-join's two sides and
+    # the two size joins each re-ran the freq-join + collect_list aggregate
+    # otherwise (self-join sides share no stages — measured round 6)
     per_doc = (
         sh.join(freq, "sh")
         .groupBy("_id")
         .agg(F.array_sort(F.collect_list(F.struct("df_sh", "sh"))).alias("els"))
         .withColumn("n", F.size("els").cast("long"))
+        .persist()
     )
     prefix_len = (
         F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}") + 1
@@ -3309,14 +3313,19 @@ def cdc_chunks(
     dedup ratio ≈ how much a content-addressed page store actually has
     to keep.
 
-    Pure-expression plan — NO UDF, no shuffle: per row, gram hashes are
-    the same poly31 codepoint Horner (base 257 mod 2^31-1) as
-    :func:`fingerprint_udf`'s oracle-reproducible scheme, computed by a
-    nested ``transform``/``aggregate`` over an index sequence inside
-    whole-stage codegen; cut positions are a ``filter`` over that array;
-    chunks are substrings between consecutive bounds, posexploded.
-    Documents shorter than k+1 chars yield one whole-doc chunk. The
-    chunk identity is md5 (portable across engines).
+    Gram hashing is the same poly31 codepoint Horner (base 257 mod
+    2^31-1) as :func:`fingerprint_udf`'s oracle-reproducible scheme.
+    Round 6: the cut-position scan is a vectorized pandas UDF (k Horner
+    steps over shifted codepoint slices per document — guide §4.2); the
+    round-5 expression form recomputed the whole k-gram fold at EVERY
+    character position through interpreted higher-order lambdas, an
+    O(n·k) interpreted scan measured at 11.5s for the sf0.1 census
+    (1.0s after). Chunk substrings and the md5 chunk identity stay
+    JVM-side expressions over the returned bounds (~n/mask_mod chunks
+    per doc). Documents shorter than k+1 chars yield one whole-doc
+    chunk. The chunk identity is md5 (portable across engines); the
+    DuckDB oracle recomputes the identical hash/cuts with list_reduce
+    and matches hash-exact.
 
     Returns ``(id_col, chunk_idx, chunk_len, chunk_hash)`` — one row per
     chunk, 0-based index; downstream census is a plain aggregate.
@@ -3324,29 +3333,52 @@ def cdc_chunks(
     t = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(t)
 
-    def gram_hash(i):
-        return F.aggregate(
-            F.sequence(i, i + F.lit(k - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: (acc * 257 + F.ascii(t.substr(j, F.lit(1))))
-            % F.lit(2147483647),
-        )
+    def cut_positions_udf():
+        M = np.int64(2147483647)
 
-    idxs = F.when(
-        n - k + 1 >= 2, F.sequence(F.lit(2).cast("int"), (n - k + 1).cast("int"))
-    ).otherwise(F.array().cast("array<int>"))
-    cuts = F.filter(idxs, lambda i: gram_hash(i) % mask_mod == 0)
+        def one(s):
+            if s is None:
+                s = ""
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            m = len(cp) - k + 1
+            if m < 2:
+                return np.empty(0, dtype=np.int32)
+            acc = np.zeros(m, dtype=np.int64)
+            for j in range(k):  # same vectorized Horner as fingerprint_udf
+                acc = (acc * 257 + cp[j : j + m]) % M
+            # gram j (0-based) starts at 1-based position j+1; eligible
+            # cut positions are i in [2, n-k+1] -> j in [1, m-1]
+            js = np.flatnonzero(acc[1:] % mask_mod == 0) + 1
+            return (js + 1).astype(np.int32)
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def cuts_of(text: pd.Series) -> pd.Series:
+            return text.map(one)
+
+        return cuts_of
+
+    # the UDF column must be MATERIALIZED in its own projection before any
+    # higher-order lambda references it (Spark rejects a Python UDF inside
+    # a lambda body; an attribute reference to its output is fine)
+    staged = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        n.alias("_n"),
+        cut_positions_udf()(t).alias("_cuts"),
+    )
     bounds = F.concat(
-        F.array(F.lit(1).cast("int")), cuts, F.array((n + 1).cast("int"))
+        F.array(F.lit(1).cast("int")),
+        F.col("_cuts"),
+        F.array((F.col("_n") + 1).cast("int")),
     )
     chunks = F.transform(
         F.sequence(F.lit(1), F.size(bounds) - 1),
-        lambda ti: t.substr(
+        lambda ti: F.col("_t").substr(
             F.element_at(bounds, ti),
             F.element_at(bounds, ti + 1) - F.element_at(bounds, ti),
         ),
     )
-    return df.select(
+    return staged.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_chunk")
     ).select(
         id_col,
