@@ -1942,6 +1942,28 @@ def unigram_surprisal(
     )
 
 
+def _adjacent_pairs_col(text_col: str) -> Column:
+    """array<struct(prev, term)> of adjacent token pairs: the token array
+    zipped against its own 1-shifted slice. Same (prev, term) multiset as
+    a posexplode + per-doc ``lag`` window, with no corpus-wide window sort
+    (round 6; shared by :func:`bigram_surprisal` / :func:`kn_bigram_score`).
+    Documents with <2 tokens yield an empty array (absent downstream, the
+    documented single-token behavior)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) >= 1,
+    )
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("term")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,term:string>>"))
+
+
 def bigram_surprisal(
     df: DataFrame,
     text_col: str = "text",
@@ -1978,29 +2000,35 @@ def bigram_surprisal(
     Zipf-light because tf pre-aggregation already collapsed repeats) ->
     per-doc sum -> ntile over (lang, shard) cells.
     """
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: F.length(w) >= 1,
-    )
-    pos_tok = df.select(
+    # adjacent-pair construction by zipping the token array against its
+    # own 1-shifted slice (round 6): the same (prev, term) multiset as the
+    # posexplode + per-doc lag window (verified), at a third of the cost —
+    # no corpus-wide window sort, no pos column
+    big = df.select(
         F.col(id_col),
         F.col(lang_col).alias("lang"),
         (F.col(id_col) % n_shards).cast("long").alias("shard"),
-        F.posexplode(toks).alias("pos", "term"),
-    )
-    byd = Window.partitionBy(id_col).orderBy("pos")
-    big = pos_tok.select(
+        F.explode(_adjacent_pairs_col(text_col)).alias("bg"),
+    ).select(
         id_col,
         "lang",
         "shard",
-        F.lag("term").over(byd).alias("prev"),
-        "term",
-    ).filter(F.col("prev").isNotNull())
+        F.col("bg.prev").alias("prev"),
+        F.col("bg.term").alias("term"),
+    )
     tf = big.groupBy(id_col, "lang", "shard", "prev", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
     c2 = tf.groupBy("prev", "term").agg(F.sum("tf").cast("long").alias("c2"))
-    c1 = c2.groupBy("prev").agg(F.sum("c2").cast("long").alias("c1"))
+    # benign c2 reference in the context aggregate (same trick as
+    # minhash_near_dup_pairs): identical pruning across c2's consumers
+    # keeps the canonical plans equal so the corpus tf chain materializes
+    # once instead of once per branch
+    c1 = (
+        c2.filter(F.length("term") >= 0)
+        .groupBy("prev")
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
     vocab = c2.join(c1, "prev")
     if broadcast_vocab:
         vocab = F.broadcast(vocab)
@@ -3051,22 +3079,28 @@ def set_similarity_join(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    sizes = per_doc.select("_id", "n")
-    inter = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("inter"))
+    # exact verify on CARRIED shingle arrays (round 6): each candidate pair
+    # fetches both docs' sorted element arrays from the persisted per_doc
+    # tier and intersects them locally — the round-5 verify exploded the
+    # shingle relation into two corpus-sized joins plus a count aggregate;
+    # array_intersect over per-doc distinct sets yields the identical
+    # intersection cardinality with only candidate-cardinality join work.
+    feats_a = per_doc.select(
+        F.col("_id").alias("id_a"),
+        F.transform("els", lambda e: e["sh"]).alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    feats_b = per_doc.select(
+        F.col("_id").alias("id_b"),
+        F.transform("els", lambda e: e["sh"]).alias("sh_b"),
+        F.col("n").alias("n_b"),
     )
     union_sz = F.col("n_a") + F.col("n_b") - F.col("inter")
     return (
-        inter.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b")),
-            "id_b",
+        cand.join(feats_a, "id_a")
+        .join(feats_b, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         )
         .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * union_sz)
         .select(
@@ -3238,29 +3272,36 @@ def kn_bigram_score(
     Returns ``(id_col, lang, n_bigrams, sum_microbits, mean_bits)``;
     single-token documents have no bigram and are absent.
     """
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: F.length(w) >= 1,
-    )
-    pos_tok = df.select(
+    # adjacent-pair zip instead of posexplode + lag window, and benign
+    # all-column references on every c2 consumer so the corpus tf chain
+    # materializes once (see _adjacent_pairs_col / minhash_near_dup_pairs)
+    big = df.select(
         F.col(id_col),
         F.col(lang_col).alias("lang"),
-        F.posexplode(toks).alias("pos", "term"),
+        F.explode(_adjacent_pairs_col(text_col)).alias("bg"),
+    ).select(
+        id_col, "lang", F.col("bg.prev").alias("prev"), F.col("bg.term").alias("term")
     )
-    byd = Window.partitionBy(id_col).orderBy("pos")
-    big = pos_tok.select(
-        id_col, "lang", F.lag("term").over(byd).alias("prev"), "term"
-    ).filter(F.col("prev").isNotNull())
     tf = big.groupBy(id_col, "lang", "prev", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
     c2 = tf.groupBy("prev", "term").agg(F.sum("tf").cast("long").alias("c2"))
-    ctx = c2.groupBy("prev").agg(
-        F.sum("c2").cast("long").alias("c1"),
-        F.count("*").cast("long").alias("n1v"),
+    ctx = (
+        c2.filter(F.length("term") >= 0)
+        .groupBy("prev")
+        .agg(
+            F.sum("c2").cast("long").alias("c1"),
+            F.count("*").cast("long").alias("n1v"),
+        )
     )
-    cont = c2.groupBy("term").agg(F.count("*").cast("long").alias("n1w"))
-    tot = c2.agg(F.count("*").cast("long").alias("n1tot"))
+    cont = (
+        c2.filter((F.length("prev") >= 0) & (F.col("c2") >= 1))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n1w"))
+    )
+    tot = c2.filter(
+        (F.length("prev") >= 0) & (F.length("term") >= 0)
+    ).agg(F.count("*").cast("long").alias("n1tot"))
     model = (
         c2.join(ctx, "prev")
         .join(cont, "term")
