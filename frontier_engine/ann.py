@@ -492,25 +492,56 @@ def semantic_dedup(
     cluster-keyed self-join projecting ids only, and verdicts join back
     by id.
     """
+    # Round 6: in-cluster pairs come from a cluster-keyed AGGREGATE + local
+    # pair explode rather than a cluster self-join — the self-join's two
+    # sides (and the final keep join's third reference) each re-ran the
+    # assignment UDF chain (AQE stage reuse does not fire across self-join
+    # sides; measured on the near-dup family). The carried member array is
+    # bounded by cluster size, which SemDeDup's own cost model bounds by
+    # growing n_centroids with the corpus. Norms are computed once per
+    # VECTOR in the aggregate input; cosine per pair is the identical
+    # dot/(n_a*n_b) expression tree, so verdicts are bit-unchanged.
     assign = ivf_assign_udf(centroids, 1)
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm_col(F.col(vec_col)).alias("n"),
         F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
     )
-    a = c.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = c.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    grouped = c.groupBy("cluster").agg(
+        F.sort_array(F.collect_list(F.struct("id", "v", "n"))).alias("members")
+    )
+    m = F.size("members")
+    pair_structs = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice("members", i + F.lit(2), m - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        grouped.filter(m >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a.v").alias("v_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.b.v").alias("v_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
+        .withColumn(
+            "cosine", dot_col(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
     return (
-        c.select("id", "cluster")
+        grouped.select("cluster", F.explode("members").alias("mm"))
+        .select("cluster", F.col("mm.id").alias("id"))
         .join(dropped, "id", "left")
         .select(
             "id",
